@@ -1,0 +1,60 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Every knob here is scale-motivated (see SURVEY.md SS4): AQE for runtime
+re-planning/skew handling, Arrow for any Python exchange, UTC pinned for
+cross-engine (DuckDB-oracle) timestamp parity, and nanosAsLong because the
+``events`` fixture carries parquet TIMESTAMP(NANOS) which Spark's vectorized
+reader otherwise rejects (catalog.py converts back to TimestampType).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # local[32] stand-in for a multi-executor cluster: one shuffle partition
+    # per core here; on a real 1000-executor cluster this would be set to
+    # ~2-3x total cores (or left to AQE coalescing from a high initial value).
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet is TIMESTAMP(NANOS); read as long then convert (catalog).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "etl-connector-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) else '*'.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # If an existing session was reused, re-assert runtime-settable confs.
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session; builder already applied it
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an externally-built session
+    (the driver passes its own SparkSession to ``__spark_entry__.entry``)."""
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
