@@ -1,0 +1,378 @@
+"""LLM-data-pipeline queries (SURVEY.md SS2.10, L1-L5): dedup families,
+similarity search, text analysis, multimodal column convention.
+
+Oracle notes: Jaccard/text/fingerprint/cosine queries are fully
+SQL-expressible with DuckDB list functions; MinHash/SimHash/LSH depend on
+xxhash64 (engine-specific) and are rows-only here, with planted-duplicate
+recall checks in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import multimodal as M
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from .registry import query
+
+# --------------------------------------------------------------------------
+# L1 exact dedup + L4 text analysis (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_exact_dedup_documents",
+    tags=("L1", "O5", "F8"),
+    oracle="""
+    SELECT digest, MIN(doc_id) AS keeper_id, COUNT(*) AS copies
+    FROM (SELECT doc_id, md5(text) AS digest FROM documents)
+    GROUP BY digest
+    """,
+)
+def llm_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one digest per distinct text, keeper = min id.
+    (Single hash-aggregate shuffle — the 100 TB exact-dedup plan.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+@query(
+    "llm_token_stats_by_lang",
+    tags=("L4", "A1", "F5"),
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT)                      AS total_chars,
+           MAX(len(string_split(text, ' ')))                 AS max_tokens,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting aggregated per language."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(T.tokens(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max(ntok).alias("max_tokens"),
+        F.round(F.avg(ntok.cast("double")), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "llm_quality_scores",
+    tags=("L4", "F5"),
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                       AS n_tokens,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)           AS distinct_ratio,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(string_split(text, ' '),
+                                  t -> CAST(length(t) AS DOUBLE))),
+                   (a, b) -> a + b) / len(string_split(text, ' ')), 4) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('table', 'row', 'value', 'query', 'join', 'scan')))
+                 AS DOUBLE) / len(string_split(text, ' ')), 4) AS marker_ratio
+    FROM documents
+    """,
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, vocabulary diversity,
+    mean token length, marker-word ratio (language-ID heuristic input)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(T.distinct_ratio(toks), 4).alias("distinct_ratio"),
+        F.round(T.avg_token_len(toks), 4).alias("avg_token_len"),
+        F.round(T.marker_ratio(toks), 4).alias("marker_ratio"),
+    )
+
+
+@query(
+    "llm_lang_marker_profile",
+    tags=("L4", "A1"),
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS doc_cnt,
+           ROUND(AVG(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('table', 'row', 'value', 'query', 'join', 'scan')))
+                 AS DOUBLE) / len(string_split(text, ' '))), 4) AS avg_marker_ratio
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def llm_lang_marker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic profile: marker-word density by (lang, source)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.round(F.avg(T.marker_ratio(toks)), 4).alias("avg_marker_ratio"),
+    )
+
+
+@query(
+    "llm_bpe_token_counts",
+    tags=("L4", "F1"),
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text,
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)       AS ws_tokens,
+           COUNT(*) AS doc_cnt
+    FROM documents
+    GROUP BY source
+    """,
+)
+def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting vs whitespace counting, per source."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(T.bpe_ish_tokens(F.col("text")))).cast("bigint").alias("bpe_tokens"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("ws_tokens"),
+        F.count(F.lit(1)).alias("doc_cnt"),
+    )
+
+
+@query(
+    "llm_doc_fingerprints",
+    tags=("L4", "F5"),
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                   t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def llm_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (engine-neutral fold, mod 31-bit
+    prime => no overflow divergence)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_fingerprint(T.tokens(F.col("text"))).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# L2 near-dup: exact n-gram Jaccard (oracle) + MinHash/SimHash (rows-only)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_ngram_jaccard_pairs",
+    tags=("L2", "J1", "F5"),
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2])))
+                   AS shingle_set
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 4)
+               AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingle_set, b.shingle_set)) > 0
+    """,
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via inverted-index join: explode shingles into
+    postings, equi-join postings on (source, shingle) to count intersections,
+    then |union| = n1 + n2 - inter. No per-pair array ops — pair cost is
+    proportional to actual overlap, which is how this survives at corpus
+    scale (hot shingles would additionally be capped by document frequency)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("shingle_set"),
+    )
+    sizes = sh.select("doc_id", F.size("shingle_set").alias("n_shingles"))
+    posts = sh.select("doc_id", "source", F.explode("shingle_set").alias("shingle"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("llm_minhash_near_dup", tags=("L2",))  # rows-only: xxhash64 is engine-specific
+def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, Jaccard-verified (threshold 0.5).
+    Scale path: banded equi-join, never all-pairs. Recall vs the exact
+    Jaccard baseline is asserted in tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d)
+    cands = D.lsh_candidate_pairs(sigs)
+    return D.jaccard_verify(cands, sigs, threshold=0.5)
+
+
+@query("llm_simhash_near_dup", tags=("L2",))  # rows-only: xxhash64 is engine-specific
+def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-distance near-dup pairs within source blocks."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.simhash(d)
+    blocking = d.select("doc_id", F.col("source").alias("block"))
+    return D.simhash_near_pairs(sh, blocking, max_hamming=16)
+
+
+# --------------------------------------------------------------------------
+# L3 similarity search (cosine top-k oracle-checked; LSH rows-only)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_cosine_topk",
+    tags=("L3", "J8", "W4", "F5"),
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, len(q.embedding) + 1),
+                             i -> CAST(q.embedding[i] AS DOUBLE)
+                                  * CAST(c.embedding[i] AS DOUBLE))),
+                         (a, b) -> a + b)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(q.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                         (a, b) -> a + b))
+                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(c.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                         (a, b) -> a + b))), 6) AS sim
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 20-query set (exact ANN baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e.where(F.col("vec_id") < 20), e, k=5)
+
+
+@query("llm_ann_lsh_topk", tags=("L3",))  # rows-only: approximate by design
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the N^2-free scale path); recall vs
+    brute force asserted in tests/test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e.where(F.col("vec_id") < 20), e, k=5)
+
+
+@query(
+    "llm_embedding_near_dup",
+    tags=("L2", "L3"),
+    oracle="""
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) > 0.35
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above threshold, computed as
+    block-wise BLAS GEMM (operators/similarity.cosine_near_pairs) — the
+    threshold is applied to the ROUNDED similarity on both sides so the
+    cutoff is engine-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_pairs(e, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# L5 multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_media_metadata",
+    tags=("L5", "F8"),
+    oracle="""
+    SELECT 'image/fake' AS mime,
+           COUNT(*) AS n_media,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MAX(CAST(octet_length(encode(text)) % 640 AS INT)) AS max_width
+    FROM documents
+    """,
+)
+def multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-struct convention: binary payload + typed metadata, aggregated
+    JVM-side (no Python) — the cheap scan-level stats path."""
+    d = M.attach_media(load_table(spark, sf_dir, "documents"))
+    return d.groupBy(F.col("media.mime").alias("mime")).agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("media.meta.n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("media.meta.width").alias("max_width"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    tags=("L5", "U3"),
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)        AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT)     AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT)     AS height,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, LEAST(octet_length(encode(text)), 64) + 1),
+                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+               (a, b) -> a + b) % 1000000007 AS BIGINT)      AS checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over the media convention (the fake
+    codec is deterministic, so even this Python path gets a full oracle —
+    the comparison covers the batch plumbing end to end)."""
+    d = M.attach_media(load_table(spark, sf_dir, "documents"))
+    return M.decode_media(d)

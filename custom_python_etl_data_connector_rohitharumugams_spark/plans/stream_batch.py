@@ -1,0 +1,156 @@
+"""Batch-form queries for the streaming operator surface (SURVEY.md SS2.8).
+
+Each streaming operator (tumbling/sliding/session windows, dedup) has a
+batch-equivalent declared here for the DuckDB oracle; the same operator
+running under ``readStream``/``availableNow`` is exercised in
+tests/test_streaming.py, where batch output == streaming output is the
+correctness invariant (Structured Streaming's incremental execution of the
+identical logical plan).
+
+Window starts are emitted as epoch seconds (BIGINT): Spark's ``window()``
+struct and DuckDB timestamps don't hash alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "stream_tumbling_event_counts",
+    tags=("T1",),
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_sec,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY win_start_sec, event_type
+    """,
+)
+def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows (batch form of the T1 streaming agg)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").cast("long").alias("win_start_sec"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_event_volume",
+    tags=("T2",),
+    oracle="""
+    SELECT win_start_sec, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start_sec, value
+        FROM events
+        UNION ALL
+        SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT) AS win_start_sec, value
+        FROM events
+    )
+    GROUP BY win_start_sec
+    """,
+)
+def stream_sliding_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event lands in
+    exactly two windows; the oracle materializes the same two-window
+    assignment arithmetically."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").cast("long").alias("win_start_sec"), "cnt", "total_value")
+    )
+
+
+@query(
+    "stream_session_windows",
+    tags=("T3", "W2"),
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               -- >= not >: Spark's session ends at last_event + gap exclusive,
+               -- so an event exactly `gap` later opens a NEW session
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 300
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_sec,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-minute gap) via Spark's native
+    session_window operator; the oracle reconstructs sessions with the
+    classic lag->flag->cumulative-sum dance."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start_sec"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "stream_dedup_user_event_types",
+    tags=("T5", "O5"),
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming dedup (dropDuplicatesWithinWatermark in the
+    streaming path, tests/test_streaming.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "stream_static_join_enrichment",
+    tags=("T7", "J1"),
+    oracle="""
+    SELECT c_mktsegment, e.event_type, COUNT(*) AS cnt
+    FROM events e JOIN customer c ON e.user_id % 1500 = c.c_custkey
+    GROUP BY c_mktsegment, e.event_type
+    """,
+)
+def stream_static_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join shape: events enriched against the customer dim
+    (modulo mapping: fixture user ids exceed the customer key range).
+
+    NOTE: the modulus is the sf0.01 customer count — the oracle comparison
+    runs at sf0.01 (driver contract); other sfs still execute fine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id % 1500 == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

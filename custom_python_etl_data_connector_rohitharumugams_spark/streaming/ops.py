@@ -1,0 +1,114 @@
+"""Streaming operators over the event stream (SURVEY.md T1-T7).
+
+Each function takes a (streaming or batch) events DataFrame and returns the
+transformed DataFrame — the logical plan is identical in both modes, which is
+exactly the correctness argument: the batch result is the oracle for the
+incremental execution (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """T1/T4: watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").cast("long").alias("win_start_sec"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sliding_volume(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """T2: sliding windows (10 min / 5 min slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").cast("long").alias("win_start_sec"), "cnt", "total_value")
+    )
+
+
+def session_stats(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """T3: gap-based session windows per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start_sec"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5: streaming dedup on (user_id, event_type) within the watermark
+    horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("total_spend", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_purchase_totals(events: DataFrame) -> DataFrame:
+    """T6: arbitrary stateful op — per-user running purchase count/spend via
+    applyInPandasWithState (state persists across micro-batches; each batch
+    emits the updated running totals for users seen in that batch)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id", "value")
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_purchases": [n], "total_spend": [round(total, 2)]}
+        )
+
+    return purchases.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

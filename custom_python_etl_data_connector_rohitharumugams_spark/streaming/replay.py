@@ -1,0 +1,78 @@
+"""Event-replay streaming source (SURVEY.md S8): the ``events`` fixture
+replayed as a Structured Streaming DataFrame.
+
+Two modes:
+- ``events_stream(spark, sf_dir)``: stream the fixture parquet directly
+  (single micro-batch under ``availableNow`` — fine for stateless tests);
+- ``split_events_for_replay`` then ``events_stream(spark, replay_dir)``:
+  time-sliced files + ``maxFilesPerTrigger=1`` => multiple ordered
+  micro-batches, which stateful/watermark tests need to exercise
+  cross-batch state.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def _events_glob(source: str) -> str:
+    return f"{source}/slice-*.parquet" if source.endswith("_replay") else f"{source}/events.parquet"
+
+
+def events_stream(
+    spark: SparkSession, source: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events parquet (file source).
+
+    ``source`` is a fixture dir (``.../sf0.001``) or a ``*_replay`` dir from
+    :func:`split_events_for_replay`. The nanosecond ``ts`` is normalized to
+    TimestampType exactly like the batch catalog.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _events_glob(source)
+    # schema pinned from a batch read: streaming file sources require an
+    # explicit schema (inference at scale = an extra full footer pass)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def split_events_for_replay(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_slices: int = 3
+) -> str:
+    """Write events as ``n_slices`` time-ordered single parquet files named
+    ``slice-<i>.parquet`` under ``out_dir`` (must end with ``_replay``)."""
+    assert out_dir.endswith("_replay"), "replay dirs are suffixed _replay"
+    os.makedirs(out_dir, exist_ok=True)
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.select(
+        F.percentile_approx(
+            F.col("ts").cast("double"), [i / n_slices for i in range(1, n_slices)], 10_000
+        ).alias("bs")
+    ).collect()[0]["bs"]
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        sl = e
+        if lo is not None:
+            sl = sl.where(F.col("ts").cast("double") >= lo)
+        if hi is not None:
+            sl = sl.where(F.col("ts").cast("double") < hi)
+        tmp = f"{out_dir}/_tmp-slice-{i}"
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{out_dir}/slice-{i}.parquet")
+        shutil.rmtree(tmp)
+        lo = hi
+    return out_dir

@@ -1,0 +1,105 @@
+"""Invariant tests for the non-oracle LLM operators (SURVEY.md SS5.2.4):
+planted-duplicate recall for MinHash/SimHash/LSH, sketch-accuracy bounds for
+approx aggregates, dedup idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+from custom_python_etl_data_connector_rohitharumugams_spark.operators import dedup as D
+from custom_python_etl_data_connector_rohitharumugams_spark.operators import similarity as S
+
+SMOKE_SF = "/root/testdata/sf0.001"
+OFFSET = 100_000
+
+
+@pytest.fixture(scope="module")
+def docs_with_twins(spark):
+    """documents unioned with an id-shifted copy of itself: every doc has an
+    exact duplicate at doc_id + OFFSET."""
+    d = load_table(spark, SMOKE_SF, "documents")
+    twin = d.withColumn("doc_id", F.col("doc_id") + OFFSET)
+    return d.unionByName(twin)
+
+
+def test_minhash_finds_planted_duplicates(spark, docs_with_twins):
+    n_docs = docs_with_twins.count() // 2
+    sigs = D.minhash_signatures(docs_with_twins)
+    cands = D.lsh_candidate_pairs(sigs)
+    verified = D.jaccard_verify(cands, sigs, threshold=0.99).toPandas()
+    planted = set(zip(verified.doc_id_1, verified.doc_id_2))
+    # identical docs have identical signatures => collide in every band
+    missing = [
+        (i, i + OFFSET) for i in range(n_docs) if (i, i + OFFSET) not in planted
+    ]
+    assert not missing, f"planted duplicates missed: {missing[:5]}"
+    assert (verified.jaccard >= 0.99).all()
+
+
+def test_exact_dedup_idempotent_and_collapses_twins(spark, docs_with_twins):
+    once = D.exact_dedup(docs_with_twins)
+    twice = D.exact_dedup(once)
+    n = docs_with_twins.count()
+    assert once.count() == n // 2  # every twin collapsed
+    assert twice.count() == once.count()  # idempotent
+    # keeper is the smallest id: no kept id should be in the twin range
+    assert once.where(F.col("doc_id") >= OFFSET).count() == 0
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs_with_twins):
+    sh = D.simhash(docs_with_twins)
+    blocking = docs_with_twins.select("doc_id", F.col("source").alias("block"))
+    pairs = D.simhash_near_pairs(sh, blocking, max_hamming=0).toPandas()
+    found = set(zip(pairs.doc_id_1, pairs.doc_id_2))
+    n_docs = docs_with_twins.count() // 2
+    missing = [(i, i + OFFSET) for i in range(n_docs) if (i, i + OFFSET) not in found]
+    assert not missing, f"identical docs not at hamming 0: {missing[:5]}"
+
+
+def test_lsh_retrieves_identical_vector_at_rank1(spark):
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    twins = e.withColumn("vec_id", F.col("vec_id") + OFFSET)
+    corpus = e.unionByName(twins)
+    queries = e.where(F.col("vec_id") < 20)
+    res = S.lsh_topk(queries, corpus, k=1).toPandas()
+    # an identical vector matches every hyperplane sign => always a candidate,
+    # and cosine 1.0 beats every other neighbor
+    by_query = {int(r.query_id): (int(r.neighbor_id), float(r.sim)) for r in res.itertuples()}
+    for qid in range(20):
+        nid, sim = by_query[qid]
+        assert nid == qid + OFFSET, f"query {qid}: expected twin, got {nid} (sim {sim})"
+        assert sim == pytest.approx(1.0, abs=1e-4)
+
+
+def test_lsh_topk_approximates_brute_force(spark):
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    bf = S.cosine_topk(q, e, k=5).toPandas()
+    ap = S.lsh_topk(q, e, k=5).toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ap_set = set(zip(ap.query_id, ap.neighbor_id))
+    recall = len(bf_set & ap_set) / len(bf_set)
+    # random vectors: structureless worst case; measured ~0.45 at 8x4 bands
+    assert recall >= 0.3, f"LSH recall degraded: {recall:.2f}"
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    row = (
+        l.agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        ).collect()[0]
+    )
+    assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def test_id_generation_unique(spark, sf_dir):
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.registry import all_queries
+
+    df = all_queries()["scalar_id_generation"].fn(spark, sf_dir)
+    n = df.count()
+    assert df.select("row_id").distinct().count() == n
+    assert df.select("name_xxhash").distinct().count() == df.select("c_custkey").distinct().count()
