@@ -1,0 +1,67 @@
+"""Normalization helpers for document-store compatibility (SURVEY.md P3-P5;
+reference: "clean or reformat the data for MongoDB compatibility",
+/root/reference/README.md:23): field-name sanitization (no dots, no leading
+``$``), recursive through nested structs/arrays, plus typed coercion
+helpers. Pure plan rewrites — a single ``select`` with aliases/casts."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, StructType
+
+
+def sanitize_name(name: str) -> str:
+    """Doc-store-safe field name: dots -> underscores, leading $ stripped."""
+    clean = name.replace(".", "_")
+    if clean.startswith("$"):
+        clean = "_" + clean.lstrip("$")
+    return clean
+
+
+def _rebuild(col: Column, dtype: DataType) -> Column:
+    if isinstance(dtype, StructType):
+        return F.struct(
+            *[
+                _rebuild(col.getField(f.name), f.dataType).alias(sanitize_name(f.name))
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, ArrayType) and isinstance(dtype.elementType, (StructType, ArrayType)):
+        return F.transform(col, lambda x: _rebuild(x, dtype.elementType))
+    return col
+
+
+def sanitize_field_names(df: DataFrame) -> DataFrame:
+    """Rename every field (recursively) to its sanitized form."""
+    return df.select(
+        *[
+            _rebuild(F.col(f"`{f.name}`"), f.dataType).alias(sanitize_name(f.name))
+            for f in df.schema.fields
+        ]
+    )
+
+
+def coerce_timestamps(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """ISO-8601 string columns -> TimestampType (``cols``: name -> format,
+    empty format = default ISO parsing). try_to_timestamp: bad values become
+    NULL instead of failing the job (ANSI-safe ingestion)."""
+    out = df
+    for name, fmt in cols.items():
+        expr = (
+            F.try_to_timestamp(F.col(name), F.lit(fmt))
+            if fmt
+            else F.try_to_timestamp(F.col(name))
+        )
+        out = out.withColumn(name, expr)
+    return out
+
+
+def drop_empty_payloads(df: DataFrame, required: list[str]) -> DataFrame:
+    """Route out rows whose required fields are all null/empty (the spec's
+    empty-payload validation, README.md:32-33)."""
+    cond = None
+    for c in required:
+        this = F.col(c).isNotNull() & (F.col(c).cast("string") != "")
+        cond = this if cond is None else (cond | this)
+    return df.where(cond) if cond is not None else df

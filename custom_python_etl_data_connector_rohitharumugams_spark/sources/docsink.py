@@ -1,0 +1,100 @@
+"""Document-store sink (SURVEY.md S7): the reference loads each connector's
+transformed records into a ``<connector>_raw`` collection with ingestion
+timestamps and supports re-runs ("audits or updates",
+/root/reference/README.md:23-29,97-99). In production this targets the
+MongoDB Spark connector; here a collection is a parquet directory with the
+same contract: ``ingested_at`` stamping + key-based upsert, idempotent
+re-runs.
+
+Scale design — bucket-pruned upsert, not full rewrite:
+rows are hash-bucketed on the upsert key and the collection is partitioned
+by bucket on disk. A merge reads ONLY the buckets present in the incoming
+batch (partition pruning) and dynamic partition overwrite rewrites only
+those buckets. Cost per upsert ~ |touched buckets|, not |collection| — the
+same pattern as a hash-partitioned lakehouse MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+INGESTED_COL = "ingested_at"
+
+
+def _collection_path(base_dir: str, collection: str) -> str:
+    return os.path.join(base_dir, collection)
+
+
+def write_collection(
+    df: DataFrame,
+    base_dir: str,
+    collection: str,
+    key_col: str,
+    n_buckets: int = 16,
+    mode: str = "upsert",
+) -> str:
+    """Land ``df`` into ``<base_dir>/<collection>`` with ``ingested_at``.
+
+    mode="upsert": by-key merge, newest ``ingested_at`` wins, ties broken in
+    favor of the incoming batch. mode="append": blind append (audit log
+    style). Returns the collection path.
+    """
+    spark = df.sparkSession
+    path = _collection_path(base_dir, collection)
+    stamped = df.withColumn(INGESTED_COL, F.current_timestamp()).withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    )
+    if mode != "append":
+        # within-batch dedup: re-paged extracts can repeat keys in one run
+        wb = Window.partitionBy(key_col).orderBy(F.col(INGESTED_COL).desc())
+        stamped = (
+            stamped.withColumn("__rn", F.row_number().over(wb))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    if mode == "append" or not os.path.isdir(path):
+        (
+            stamped.write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+        return path
+
+    if mode != "upsert":
+        raise ValueError(f"unknown docsink mode: {mode}")
+
+    touched = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
+    existing = (
+        spark.read.parquet(path)
+        .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
+        .withColumn("__is_new", F.lit(0))
+    )
+    merged = stamped.withColumn("__is_new", F.lit(1)).unionByName(existing)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(INGESTED_COL).desc(), F.col("__is_new").desc()
+    )
+    deduped = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__is_new")
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            deduped.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return path
+
+
+def read_collection(spark: SparkSession, base_dir: str, collection: str) -> DataFrame:
+    return spark.read.parquet(_collection_path(base_dir, collection)).drop(BUCKET_COL)

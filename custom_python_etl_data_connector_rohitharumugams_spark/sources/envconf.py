@@ -1,0 +1,44 @@
+""".env-style configuration (reference spec: /root/reference/README.md:16-18,
+89-93 — credentials live in KEY=VALUE .env files, loaded into the process
+environment, never committed or logged).
+
+Hand-rolled parser (no python-dotenv dependency): KEY=VALUE lines, optional
+``export`` prefix, ``#`` comments, single/double quote stripping.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def parse_env_file(path: str | Path) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for raw in Path(path).read_text().splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        if line.startswith("export "):
+            line = line[len("export "):]
+        key, _, val = line.partition("=")
+        key, val = key.strip(), val.strip()
+        if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+            val = val[1:-1]
+        if key:
+            out[key] = val
+    return out
+
+
+def load_env(path: str | Path, override: bool = False) -> dict[str, str]:
+    """Parse ``path`` and inject into ``os.environ`` (existing values win
+    unless ``override``). Returns what was parsed."""
+    parsed = parse_env_file(path)
+    for k, v in parsed.items():
+        if override or k not in os.environ:
+            os.environ[k] = v
+    return parsed
+
+
+def redacted(env: dict[str, str]) -> dict[str, str]:
+    """Loggable view: values masked (the spec forbids credential leakage)."""
+    return {k: "****" for k in env}

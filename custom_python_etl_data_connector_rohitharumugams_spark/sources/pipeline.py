@@ -1,0 +1,124 @@
+"""End-to-end connector pipeline (the reference's ``etl_connector.py``
+contract, /root/reference/README.md:21-34, rebuilt Spark-native):
+
+    extract  - REST data source (restapi format, parallel pagination)
+    transform- parse raw JSON -> pinned schema, sanitize field names,
+               coerce timestamps, drop empty payloads
+    load     - document sink: <connector>_raw collection, ingested_at,
+               key-based upsert (idempotent re-runs)
+
+Credentials flow from .env (envconf.load_env) into the source's auth_env
+option — never into code or logs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.json_utils import (
+    coerce_timestamps,
+    drop_empty_payloads,
+    sanitize_field_names,
+)
+from .docsink import write_collection
+from .restapi import RestApiDataSource
+
+
+@dataclass
+class ConnectorConfig:
+    name: str  # collection becomes <name>_raw
+    base_url: str
+    sink_dir: str
+    record_schema: str  # DDL for the parsed record payload
+    key_col: str = "id"
+    timestamp_cols: dict[str, str] = field(default_factory=dict)
+    required_cols: list[str] = field(default_factory=list)
+    source_options: dict[str, str] = field(default_factory=dict)
+
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable in executor-side Python workers.
+
+    The Python DataSource class is cloudpickled BY REFERENCE, so workers must
+    be able to import the package — which fails whenever the driver wasn't
+    launched from the repo root. addPyFile distributes a zip of the package
+    and prepends it to every worker's sys.path (works post-session-start)."""
+    import tempfile
+    import zipfile
+
+    from .. import __version__
+    import custom_python_etl_data_connector_rohitharumugams_spark as pkg
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = Path(pkg.__file__).parent
+    zpath = Path(tempfile.gettempdir()) / f"{pkg_dir.name}-{__version__}.zip"
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for py in pkg_dir.rglob("*.py"):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED.add(app_id)
+
+
+def register_sources(spark: SparkSession) -> None:
+    _ship_package(spark)
+    spark.dataSource.register(RestApiDataSource)
+
+
+def extract(spark: SparkSession, cfg: ConnectorConfig) -> DataFrame:
+    """Raw landing frame: one JSON string per record + corrupt-page capture."""
+    register_sources(spark)
+    reader = (
+        spark.read.format("restapi")
+        .option("base_url", cfg.base_url)
+        .option("schema_ddl", "record string, _corrupt_record string")
+    )
+    opts = dict(cfg.source_options)
+    # resolve credentials HERE (driver process, where .env was loaded):
+    # data-source callbacks run in executor-side Python workers whose
+    # environment predates any driver-side load_env call
+    auth_env = opts.pop("auth_env", None)
+    if auth_env is not None:
+        opts["auth_token"] = os.environ.get(auth_env, "")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def transform(raw: DataFrame, cfg: ConnectorConfig) -> DataFrame:
+    """Parse → sanitize → coerce → validate (all plan-level, no UDFs)."""
+    parsed = (
+        raw.where(F.col("_corrupt_record").isNull())
+        .select(F.from_json("record", cfg.record_schema).alias("r"))
+        .select("r.*")
+    )
+    clean = sanitize_field_names(parsed)
+    clean = coerce_timestamps(clean, cfg.timestamp_cols)
+    return drop_empty_payloads(clean, cfg.required_cols)
+
+
+def load(df: DataFrame, cfg: ConnectorConfig) -> str:
+    return write_collection(
+        df, cfg.sink_dir, f"{cfg.name}_raw", key_col=cfg.key_col, mode="upsert"
+    )
+
+
+def corrupt_pages(raw: DataFrame) -> DataFrame:
+    """The PERMISSIVE-mode reject channel (README.md:32-33 error domain)."""
+    return raw.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+
+
+def run_connector(spark: SparkSession, cfg: ConnectorConfig) -> str:
+    """Full extract→transform→load; returns the collection path."""
+    raw = extract(spark, cfg)
+    return load(transform(raw, cfg), cfg)

@@ -1,0 +1,209 @@
+"""REST API Spark data source (SURVEY.md S1-S4) on the PySpark 4 Python
+Data Source API — the Spark-native form of the reference's extract contract
+(/root/reference/README.md:12-13,22: auth headers, pagination, rate limits,
+retry on connectivity errors).
+
+Usage:
+    spark.dataSource.register(RestApiDataSource)
+    df = (spark.read.format("restapi")
+          .option("base_url", "http://api.example.com/items")
+          .option("mode", "offset")           # or "cursor"
+          .option("num_partitions", "8")
+          .option("schema_ddl", "id bigint, name string")
+          .option("auth_env", "API_TOKEN")    # env var holding the bearer token
+          .load())
+
+Parallelism model: offset pagination splits the page range across N input
+partitions (each fetched by a separate executor-side Python worker — this is
+what makes extract scale); cursor pagination is inherently sequential and
+runs as one partition. Rate limiting, bounded retry with exponential backoff
+and Retry-After honoring live inside the per-partition reader.
+
+Malformed payloads: if the declared schema contains ``_corrupt_record``, an
+unparseable page lands there as raw text (PERMISSIVE semantics, SURVEY.md
+P4); otherwise the reader raises after retries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+RETRIABLE_STATUS = {429, 500, 502, 503, 504}
+CORRUPT_COL = "_corrupt_record"
+
+
+class PageRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def resolve_auth_headers(options: dict) -> dict[str, str]:
+    """Build auth headers from ``auth_token`` (pre-resolved) or ``auth_env``.
+
+    NOTE: every Python DataSource callback — including construction and
+    ``partitions()`` — runs in JVM-spawned Python workers that inherit the
+    executor environment, NOT the driver process where ``.env`` was loaded.
+    Driver-side config (pipeline.extract) therefore resolves the env var
+    itself and passes the token via ``auth_token``; ``auth_env`` here is the
+    fallback for deployments that ship credentials via spark.executorEnv.*.
+    """
+    headers = {"Accept": "application/json"}
+    token = options.get("auth_token")
+    if token is None and options.get("auth_env"):
+        token = os.environ.get(options["auth_env"], "")
+    if token is not None:
+        scheme = options.get("auth_scheme", "Bearer")
+        headers[options.get("auth_header", "Authorization")] = (
+            f"{scheme} {token}" if scheme else token
+        )
+    return headers
+
+
+class _HttpClient:
+    """Per-partition HTTP client: rate limit + bounded retry/backoff."""
+
+    def __init__(self, options: dict, headers: dict[str, str]):
+        self.headers = headers
+        self.max_retries = int(options.get("max_retries", 4))
+        self.backoff_s = float(options.get("backoff_s", 0.2))
+        rps = float(options.get("rate_limit_rps", 0) or 0)
+        self.min_interval = 1.0 / rps if rps > 0 else 0.0
+        self._last_request = 0.0
+
+    def get_json(self, url: str) -> tuple[str, object]:
+        """GET with retries; returns (raw_body, parsed_json_or_None)."""
+        attempt = 0
+        while True:
+            if self.min_interval:
+                wait = self._last_request + self.min_interval - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+            self._last_request = time.monotonic()
+            try:
+                req = urllib.request.Request(url, headers=self.headers)
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    body = resp.read().decode("utf-8")
+                try:
+                    return body, json.loads(body)
+                except (json.JSONDecodeError, ValueError):
+                    return body, None
+            except urllib.error.HTTPError as e:
+                if e.code in RETRIABLE_STATUS and attempt < self.max_retries:
+                    retry_after = e.headers.get("Retry-After")
+                    delay = (
+                        float(retry_after)
+                        if retry_after
+                        else self.backoff_s * (2**attempt)
+                    )
+                    time.sleep(delay)
+                    attempt += 1
+                    continue
+                raise
+            except urllib.error.URLError:
+                if attempt < self.max_retries:
+                    time.sleep(self.backoff_s * (2**attempt))
+                    attempt += 1
+                    continue
+                raise
+
+
+class RestApiReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.mode = options.get("mode", "cursor")
+        self.page_size = int(options.get("page_size", 100))
+        self.max_pages = int(options.get("max_pages", 10_000))
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.base_url = options["base_url"]
+        self.fields = [f.name for f in schema.fields]
+        self.auth_headers = resolve_auth_headers(options)  # driver-side
+
+    # -- planning ----------------------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        if self.mode == "offset":
+            n = min(self.num_partitions, self.max_pages)
+            per = (self.max_pages + n - 1) // n
+            return [PageRange(i * per, min((i + 1) * per, self.max_pages)) for i in range(n)]
+        # cursor chains are sequential by construction: one partition
+        return [PageRange(0, self.max_pages)]
+
+    # -- execution (runs in executor-side Python workers) ------------------
+    def read(self, partition: PageRange) -> Iterator[tuple]:
+        client = _HttpClient(self.options, self.auth_headers)
+        if self.mode == "offset":
+            yield from self._read_offset(client, partition)
+        else:
+            yield from self._read_cursor(client)
+
+    def _url(self, params: dict) -> str:
+        sep = "&" if "?" in self.base_url else "?"
+        return f"{self.base_url}{sep}{urllib.parse.urlencode(params)}"
+
+    def _read_offset(self, client: _HttpClient, pr: PageRange) -> Iterator[tuple]:
+        for page in range(pr.start, pr.end):
+            url = self._url({"page": page, "page_size": self.page_size})
+            body, payload = client.get_json(url)
+            rows, done = self._emit(body, payload)
+            yield from rows
+            if done:
+                break
+
+    def _read_cursor(self, client: _HttpClient) -> Iterator[tuple]:
+        cursor = None
+        for _ in range(self.max_pages):
+            params = {"page_size": self.page_size}
+            if cursor:
+                params["cursor"] = cursor
+            body, payload = client.get_json(self._url(params))
+            rows, done = self._emit(body, payload)
+            yield from rows
+            if done:
+                break
+            cursor = payload.get("next_cursor") if isinstance(payload, dict) else None
+            if not cursor:
+                break
+
+    def _emit(self, body: str, payload: object) -> tuple[list[tuple], bool]:
+        """Map one page to schema-ordered tuples. Returns (rows, exhausted)."""
+        if payload is None:  # malformed JSON body
+            if CORRUPT_COL in self.fields:
+                row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
+                return [row], False
+            raise ValueError(f"malformed JSON page (no {CORRUPT_COL} column declared)")
+        records = payload.get("data", []) if isinstance(payload, dict) else payload
+        rows = [
+            tuple(
+                json.dumps(rec) if f == "record" and f not in rec else rec.get(f)
+                for f in self.fields
+            )
+            for rec in records
+            if isinstance(rec, dict)
+        ]
+        return rows, len(records) == 0
+
+
+class RestApiDataSource(DataSource):
+    """``spark.read.format("restapi")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "restapi"
+
+    def schema(self) -> str | StructType:
+        # user-pinned DDL, else the raw-JSON landing schema (normalize later
+        # with from_json — schema inference over HTTP would re-fetch pages)
+        return self.options.get("schema_ddl", "record string")
+
+    def reader(self, schema: StructType) -> RestApiReader:
+        return RestApiReader(schema, dict(self.options))

@@ -1,0 +1,207 @@
+"""Connector-behavior suite (FIXTURES.md SSB): a local fake HTTP API serving
+the reference's error-domain scenario matrix (/root/reference/README.md:13,
+32-33) — pagination exhaustion, 429 backoff, bounded 5xx retry, empty and
+malformed payloads, env-var auth, sanitization, idempotent upsert."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_rohitharumugams_spark.functions.json_utils import (
+    sanitize_field_names,
+)
+from custom_python_etl_data_connector_rohitharumugams_spark.sources import (
+    docsink,
+    envconf,
+    pipeline,
+)
+from custom_python_etl_data_connector_rohitharumugams_spark.sources.pipeline import (
+    ConnectorConfig,
+)
+
+
+def _record(i: int) -> dict:
+    return {
+        "id": i,
+        "name": f"rec{i}",
+        "nested": {"a": i, "b": [i, i + 1]},
+        "bad.key": "x",
+        "$meta": "m",
+        "when": f"2024-01-{(i % 27) + 1:02d}T00:00:00",
+    }
+
+
+class FakeApi(BaseHTTPRequestHandler):
+    state: dict[str, int] = {}
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def _send(self, code: int, body: str, headers: dict | None = None):
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body.encode())
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        route = url.path
+        st = FakeApi.state
+        st[route] = st.get(route, 0) + 1
+
+        if route == "/cursor":
+            pages = {None: ("c1", range(0, 3)), "c1": ("c2", range(3, 6)), "c2": (None, range(6, 8))}
+            nxt, ids = pages[q.get("cursor")]
+            # id 0 recurs on the last page: duplicate across pages for upsert
+            data = [_record(i) for i in ids] + ([_record(0)] if nxt is None else [])
+            self._send(200, json.dumps({"data": data, "next_cursor": nxt}))
+        elif route == "/offset":
+            page = int(q.get("page", 0))
+            ids = range(page * 4, (page + 1) * 4) if page < 5 else []
+            self._send(200, json.dumps({"data": [_record(i) for i in ids], "next_cursor": None}))
+        elif route == "/ratelimit":
+            if st[route] == 1:
+                self._send(429, "{}", {"Retry-After": "0.05"})
+            else:
+                self._send(200, json.dumps({"data": [_record(1)], "next_cursor": None}))
+        elif route == "/flaky":
+            if st[route] <= 2:
+                self._send(500, "boom")
+            else:
+                self._send(200, json.dumps({"data": [_record(2)], "next_cursor": None}))
+        elif route == "/empty":
+            self._send(200, json.dumps({"data": [], "next_cursor": None}))
+        elif route == "/malformed":
+            self._send(200, "{this is not json")
+        elif route == "/auth":
+            if self.headers.get("Authorization") == "Bearer sekrit-token":
+                self._send(200, json.dumps({"data": [_record(3)], "next_cursor": None}))
+            else:
+                self._send(401, '{"error": "unauthorized"}')
+        else:
+            self._send(404, "{}")
+
+
+@pytest.fixture(scope="module")
+def api_url():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), FakeApi)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+RECORD_DDL = (
+    "id bigint, name string, nested struct<a: bigint, b: array<bigint>>, "
+    "`bad.key` string, `$meta` string, `when` string"
+)
+
+
+def _cfg(api_url: str, route: str, tmpdir: str, **src_opts) -> ConnectorConfig:
+    return ConnectorConfig(
+        name="fake",
+        base_url=f"{api_url}{route}",
+        sink_dir=tmpdir,
+        record_schema=RECORD_DDL,
+        key_col="id",
+        timestamp_cols={"when": ""},
+        required_cols=["id", "name"],
+        source_options={"page_size": "4", "max_pages": "20", **src_opts},
+    )
+
+
+def test_cursor_pagination_exhaustion(spark, api_url, tmp_path):
+    FakeApi.state.clear()
+    raw = pipeline.extract(spark, _cfg(api_url, "/cursor", str(tmp_path)))
+    assert raw.count() == 9  # 3+3+2 records + 1 duplicate
+    assert FakeApi.state["/cursor"] == 3  # stopped at next_cursor null
+
+
+def test_offset_pagination_parallel(spark, api_url, tmp_path):
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/offset", str(tmp_path), mode="offset", num_partitions="4", max_pages="12")
+    raw = pipeline.extract(spark, cfg)
+    df = pipeline.transform(raw, cfg)
+    assert sorted(r.id for r in df.select("id").collect()) == list(range(20))
+
+
+def test_rate_limit_backoff(spark, api_url, tmp_path):
+    FakeApi.state.clear()
+    raw = pipeline.extract(spark, _cfg(api_url, "/ratelimit", str(tmp_path)))
+    assert raw.count() == 1  # first answer was 429; retried after Retry-After
+    assert FakeApi.state["/ratelimit"] >= 2
+
+
+def test_bounded_retry_on_5xx(spark, api_url, tmp_path):
+    FakeApi.state.clear()
+    raw = pipeline.extract(spark, _cfg(api_url, "/flaky", str(tmp_path)))
+    assert raw.count() == 1
+    assert FakeApi.state["/flaky"] == 3  # 2 failures + 1 success
+
+
+def test_empty_payload_yields_zero_rows_not_error(spark, api_url, tmp_path):
+    cfg = _cfg(api_url, "/empty", str(tmp_path))
+    df = pipeline.transform(pipeline.extract(spark, cfg), cfg)
+    assert df.count() == 0
+
+
+def test_malformed_page_routed_to_corrupt_record(spark, api_url, tmp_path):
+    cfg = _cfg(api_url, "/malformed", str(tmp_path), max_pages="1")
+    raw = pipeline.extract(spark, cfg)
+    corrupt = pipeline.corrupt_pages(raw).collect()
+    assert len(corrupt) == 1
+    assert corrupt[0][0].startswith("{this is not")
+    assert pipeline.transform(raw, cfg).count() == 0
+
+
+def test_auth_header_from_env(spark, api_url, tmp_path, monkeypatch):
+    env_file = tmp_path / ".env"
+    env_file.write_text("# credentials\nexport FAKE_API_TOKEN='sekrit-token'\n")
+    parsed = envconf.load_env(env_file, override=True)
+    assert envconf.redacted(parsed) == {"FAKE_API_TOKEN": "****"}
+    cfg = _cfg(api_url, "/auth", str(tmp_path), auth_env="FAKE_API_TOKEN")
+    assert pipeline.extract(spark, cfg).count() == 1
+
+    monkeypatch.setenv("FAKE_API_TOKEN", "wrong")
+    with pytest.raises(Exception):
+        pipeline.extract(spark, _cfg(api_url, "/auth", str(tmp_path), auth_env="FAKE_API_TOKEN",
+                                     max_retries="0")).count()
+
+
+def test_key_sanitization_nested(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 2})],
+        "`bad.key` bigint, `$meta` struct<`a`: bigint>",
+    )
+    out = sanitize_field_names(df)
+    assert out.columns == ["bad_key", "_meta"]
+    assert out.schema["_meta"].dataType.fieldNames() == ["a"]
+
+
+def test_end_to_end_upsert_idempotent(spark, api_url, tmp_path):
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/cursor", str(tmp_path))
+    path1 = pipeline.run_connector(spark, cfg)
+    first = docsink.read_collection(spark, str(tmp_path), "fake_raw")
+    # 9 raw records, id 0 duplicated across pages -> 8 after upsert
+    assert first.count() == 8
+    assert "ingested_at" in first.columns
+    assert first.where(F.col("when").isNull()).count() == 0  # timestamps coerced
+
+    # re-run: same keys upserted, no growth (idempotent re-ingestion)
+    pipeline.run_connector(spark, cfg)
+    second = docsink.read_collection(spark, str(tmp_path), "fake_raw")
+    assert second.count() == 8
+    assert path1.endswith("fake_raw")
+    # field names were sanitized on the way in
+    assert {"bad_key", "_meta"} <= set(second.columns)
