@@ -1,0 +1,152 @@
+"""SQL-string entry point queries (SURVEY.md SS3.2 entry 3): the same engine
+driven through ``spark.sql`` over registered views — parse -> analyze ->
+optimize is identical to the DataFrame path, so these also pick up cube /
+grouping-sets coverage (A4) and window-function SQL syntax."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from .registry import query
+
+
+@query(
+    "sql_grouping_sets_revenue",
+    tags=("A4", "A1"),
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def sql_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (text -> ANTLR -> same Catalyst
+    pipeline as the DataFrame API)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "sql_cube_lineitem_volume",
+    tags=("A4",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping_id(l_returnflag, l_linestatus) AS gid,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def sql_cube_lineitem_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 4 grouping combinations) through the SQL entry point."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+    )
+
+
+@query(
+    "sql_window_distribution",
+    tags=("W1",),
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def sql_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) with a
+    fully deterministic ordering (custkey tiebreak)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey,
+               ntile(4)       OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist()    OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        """
+    )
+
+
+@query(
+    "sql_collect_set_statuses",
+    tags=("A2", "F5"),
+    oracle="""
+    SELECT o_custkey % 100 AS cust_bucket,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), '|')
+               AS statuses,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY cust_bucket
+    """,
+)
+def sql_collect_set_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregated to a canonical string (arrays hash differently
+    across engines; the sorted join-string is engine-neutral)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey % 100 AS cust_bucket,
+               concat_ws('|', sort_array(collect_set(o_orderstatus))) AS statuses,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY cust_bucket
+        """
+    )
+
+
+@query(
+    "sql_first_last_event_values",
+    tags=("W2",),
+    oracle="""
+    SELECT user_id,
+           ROUND(first_value(value) OVER w, 2) AS first_val,
+           ROUND(last_value(value)  OVER w, 2) AS last_val,
+           ROUND(nth_value(value, 2) OVER w, 2) AS second_val,
+           event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def sql_first_last_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth analytic functions over a full-partition frame."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT user_id,
+               ROUND(first_value(value) OVER w, 2) AS first_val,
+               ROUND(last_value(value)  OVER w, 2) AS last_val,
+               ROUND(nth_value(value, 2) OVER w, 2) AS second_val,
+               event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )

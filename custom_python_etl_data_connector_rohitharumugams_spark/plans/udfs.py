@@ -1,0 +1,124 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md SS2.9 U1-U4, A7).
+
+Every Python-executed operator here is deliberately oracle-checked against a
+pure-SQL formulation: the comparison proves the Arrow exchange, batch
+iteration, and group partitioning deliver exactly the rows a JVM plan would.
+UDFs remain the slow path (use built-ins when they exist) — these queries
+exercise the *mechanism* the engine offers for logic built-ins can't cover.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "udf_scalar_name_clean",
+    tags=("U1",),
+    oracle="""
+    SELECT p_partkey, UPPER(REVERSE(p_name)) AS cleaned
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def udf_scalar_name_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF (U1) — the connector-specific-cleaning fallback.
+    Arrow-batched under spark.sql.execution.pythonUDF.arrow.enabled, but
+    still a per-row Python call: keep off the hot path."""
+
+    @udf("string")
+    def clean(name: str) -> str:
+        return name[::-1].upper()
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 10 == 0)
+    return p.select("p_partkey", clean("p_name").alias("cleaned"))
+
+
+@query(
+    "udaf_weighted_avg_price",
+    tags=("A7", "U2"),
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas_udf (A7): quantity-weighted
+    mean price. Arrow ships each group's columns once; numpy does the math."""
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price")
+    )
+
+
+@query(
+    "udf_grouped_zscore",
+    tags=("U3",),
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_extendedprice - AVG(l_extendedprice) OVER w)
+                 / stddev_samp(l_extendedprice) OVER w, 4) AS price_z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (U3): per-group standardization. The oracle
+    is the pure-window formulation — proving the pandas path partitions
+    groups exactly like the JVM plan."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l_extendedprice"].mean()
+        sd = pdf["l_extendedprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "price_z": ((pdf["l_extendedprice"] - mu) / sd).round(4),
+            }
+        )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").applyInPandas(
+        zscore, schema="l_orderkey long, l_linenumber int, price_z double"
+    )
+
+
+@query(
+    "udtf_tokenize_part_names",
+    tags=("U4",),
+    oracle="""
+    SELECT p_partkey,
+           CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(p_name, ' ')) AS tok
+    FROM part
+    """,
+)
+def udtf_tokenize_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (U4): one row in, N rows out — the page->records expansion
+    shape from the connector domain, oracled against unnest."""
+
+    @udtf(returnType="p_partkey bigint, pos int, tok string")
+    class Tokenize:
+        def eval(self, partkey: int, name: str):
+            for pos, tok in enumerate(name.split(" ")):
+                yield partkey, pos, tok
+
+    spark.udtf.register("tokenize_parts", Tokenize)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("__udtf_part")
+    return spark.sql(
+        "SELECT t.* FROM __udtf_part, LATERAL tokenize_parts(p_partkey, p_name) t"
+    )
