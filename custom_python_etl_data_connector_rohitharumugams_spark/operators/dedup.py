@@ -4,10 +4,14 @@ DataFrame ops so the candidate-generation stage is a plain shuffle join.
 
 Scale design (the part that matters at 100 TB):
 - exact dedup is a hash aggregate on a content digest — one shuffle;
+- shingling is ROW-form (posexplode + window lead), never array
+  higher-order functions: windowed lead is whole-stage-codegen'd, while
+  per-array lambda interpretation costs ~10x at corpus scale;
 - MinHash/LSH never compares all pairs: each doc explodes into B band rows,
-  candidates are an equi-join on (band, band_hash) — cost is proportional to
-  the number of colliding pairs, not n^2;
-- verification (exact Jaccard / hamming) runs only on candidates.
+  candidates are an equi-join on (band, band_hash) — cost tracks colliding
+  pairs, not n^2;
+- verification (exact Jaccard) is a posting-list join over candidate docs
+  only — pair cost proportional to true overlap.
 """
 
 from __future__ import annotations
@@ -15,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import tokens
 
 MERSENNE_P = (1 << 61) - 1
 
@@ -33,42 +37,53 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signatures(
+def shingle_postings(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: array<bigint> of length ``num_perm``.
+    """Distinct (doc_id, shingle) postings via posexplode + window lead —
+    one shuffle (by doc), fully codegen'd, no array lambdas."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, shingle_n)]
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    return sh.dropDuplicates(["doc_id", "shingle"])
+
+
+def minhash_signatures(
+    postings: DataFrame,
+    num_perm: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature (array<bigint> length ``num_perm``) from a
+    shingle-postings frame.
 
     Permutation i is the affine family h_i(x) = (a_i*x + b_i) mod p over the
-    64-bit shingle hash (xxhash64). Deterministic coefficients; JVM wrapping
-    multiplication is fine for hashing (no oracle claims exactness here).
+    32-bit-folded shingle hash; every permutation is two integer ops per
+    posting inside ONE partial-aggregating groupBy.
     """
     coeffs = [(2 * i + 1, 104729 * (i + 1) % MERSENNE_P) for i in range(num_perm)]
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
-    shingled = df.select(F.col(id_col).alias("doc_id"), sh.alias("shingle_set"))
-
-    # Explode-then-aggregate, NOT per-permutation array transforms: each
-    # shingle is hashed exactly once, and every permutation is two integer
-    # ops per shingle inside one hash aggregate (map-side partial mins).
-    # The inline-expression variant re-evaluated tokenize+shingle+hash once
-    # per permutation — 32x the work and off codegen.
-    exploded = shingled.select("doc_id", F.explode("shingle_set").alias("shingle"))
     # fold the 64-bit hash to 32 bits: ANSI mode (Spark 4 default) raises on
     # int64 overflow, so a*x must stay below 2^63
     h32 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
-    mins = exploded.groupBy("doc_id").agg(
+    mins = postings.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(a * h32 + b, F.lit(MERSENNE_P))).alias(f"m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    sig = mins.select(
+    return mins.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
     )
-    return shingled.join(sig, "doc_id").select("doc_id", "shingle_set", "signature")
 
 
 def lsh_candidate_pairs(
@@ -104,19 +119,33 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_verify(pairs: DataFrame, sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard on candidate pairs' shingle sets (set semantics)."""
-    s1 = sigs.select(F.col("doc_id").alias("doc_id_1"), F.col("shingle_set").alias("set_1"))
-    s2 = sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("shingle_set").alias("set_2"))
-    inter = F.size(F.array_intersect("set_1", "set_2")).cast("double")
-    union = F.size(F.array_union("set_1", "set_2")).cast("double")
+def jaccard_verify(
+    pairs: DataFrame, postings: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via posting-list join (set
+    semantics): |inter| counted by joining each pair's postings on the
+    shingle, |union| = n1 + n2 - |inter|. Candidate pairs are few, so the
+    pair frame broadcasts and the postings never reshuffle per pair."""
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    p1 = postings.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    p2 = postings.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    inter = (
+        pairs.join(p1, "doc_id_1")
+        .join(p2, ["doc_id_2", "shingle"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_shingles").alias("n2"))
     return (
-        pairs.join(s1, "doc_id_1")
+        inter.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .select(
             "doc_id_1",
             "doc_id_2",
-            F.round(inter / union, 4).alias("jaccard"),
+            F.round(
+                F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

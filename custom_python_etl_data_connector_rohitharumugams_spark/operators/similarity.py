@@ -100,6 +100,61 @@ def cosine_near_pairs(
     return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into inverted
+    lists (here the ``label`` column is the coarse quantizer; production
+    would assign k-means cells the same way), each list summarized by its
+    centroid. A query scores the handful of centroids, probes the top
+    ``nprobe`` lists, and ranks only those lists' vectors — scan cost is
+    nprobe/n_lists of the corpus instead of all of it.
+
+    Everything is DataFrame ops: centroids via posexplode+avg (JVM), probe
+    selection and candidate scoring via broadcast joins + top-k windows.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(list_col).alias("ivf_list")
+    )
+    # centroid per list: mean of each dimension, reassembled in dim order
+    ex = c.select("ivf_list", F.posexplode("c_vec").alias("pos", "v"))
+    cent = (
+        ex.groupBy("ivf_list", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("ivf_list")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+            ).alias("centroid")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("ivf_list"))
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_vec", "ivf_list", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "q_vec", "ivf_list")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        probed.join(c, "ivf_list")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG dependency)."""
     return [

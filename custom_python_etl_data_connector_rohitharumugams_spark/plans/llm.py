@@ -203,13 +203,8 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to actual overlap, which is how this survives at corpus
     scale (hot shingles would additionally be capped by document frequency)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.array_distinct(T.shingles(T.tokens(F.col("text")), 3)).alias("shingle_set"),
-    )
-    sizes = sh.select("doc_id", F.size("shingle_set").alias("n_shingles"))
-    posts = sh.select("doc_id", "source", F.explode("shingle_set").alias("shingle"))
+    posts = D.shingle_postings(d).join(d.select("doc_id", "source"), "doc_id")
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(
@@ -242,9 +237,10 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: banded equi-join, never all-pairs. Recall vs the exact
     Jaccard baseline is asserted in tests/test_llm_ops.py."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(d)
+    posts = D.shingle_postings(d)
+    sigs = D.minhash_signatures(posts)
     cands = D.lsh_candidate_pairs(sigs)
-    return D.jaccard_verify(cands, sigs, threshold=0.5)
+    return D.jaccard_verify(cands, posts, threshold=0.5)
 
 
 @query("llm_simhash_near_dup", tags=("L2",))  # rows-only: xxhash64 is engine-specific
@@ -303,6 +299,14 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force asserted in tests/test_llm_ops.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(e.where(F.col("vec_id") < 20), e, k=5)
+
+
+@query("llm_ann_ivf_topk", tags=("L3",))  # rows-only: approximate by design
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: label-partitioned inverted lists + centroid
+    probing (nprobe=3 of 10 lists => ~30% of the corpus scanned per query)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e.where(F.col("vec_id") < 20), e, k=5, nprobe=3)
 
 
 @query(

@@ -116,6 +116,33 @@ def join_left_outer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "join_right_outer_nation_coverage",
+    tags=("J2", "A1", "F4"),
+    oracle="""
+    SELECT n_name, COUNT(c_custkey) AS cust_cnt,
+           COALESCE(ROUND(SUM(c_acctbal), 2), 0.0) AS total_bal
+    FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+                                   AND c_acctbal > 9000
+    GROUP BY n_name
+    """,
+)
+def join_right_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation preserved even with zero qualifying
+    customers (the join predicate filters the left side, not a WHERE)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cond = (c.c_nationkey == n.n_nationkey) & (c.c_acctbal > 9000)
+    return (
+        c.join(n, cond, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("cust_cnt"),
+            F.coalesce(F.round(F.sum("c_acctbal"), 2), F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "join_full_outer_nation_balance",
     tags=("J2", "A1", "F4"),
     oracle="""

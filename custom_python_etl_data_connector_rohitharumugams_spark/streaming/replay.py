@@ -72,7 +72,14 @@ def split_events_for_replay(
         tmp = f"{out_dir}/_tmp-slice-{i}"
         sl.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.move(part, f"{out_dir}/slice-{i}.parquet")
+        dest = f"{out_dir}/slice-{i}.parquet"
+        shutil.move(part, dest)
+        # spaced mtimes: the file stream source orders by modification time,
+        # and sub-second writes would otherwise make replay order ambiguous
+        import time as _time
+
+        stamp = _time.time() - 100 * (n_slices - i)
+        os.utime(dest, (stamp, stamp))
         shutil.rmtree(tmp)
         lo = hi
     return out_dir

@@ -26,9 +26,10 @@ def docs_with_twins(spark):
 
 def test_minhash_finds_planted_duplicates(spark, docs_with_twins):
     n_docs = docs_with_twins.count() // 2
-    sigs = D.minhash_signatures(docs_with_twins)
+    posts = D.shingle_postings(docs_with_twins)
+    sigs = D.minhash_signatures(posts)
     cands = D.lsh_candidate_pairs(sigs)
-    verified = D.jaccard_verify(cands, sigs, threshold=0.99).toPandas()
+    verified = D.jaccard_verify(cands, posts, threshold=0.99).toPandas()
     planted = set(zip(verified.doc_id_1, verified.doc_id_2))
     # identical docs have identical signatures => collide in every band
     missing = [
@@ -71,6 +72,28 @@ def test_lsh_retrieves_identical_vector_at_rank1(spark):
         nid, sim = by_query[qid]
         assert nid == qid + OFFSET, f"query {qid}: expected twin, got {nid} (sim {sim})"
         assert sim == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    """With nprobe == n_lists the IVF machinery (centroids, probe selection,
+    list union, rescoring) must reproduce brute force exactly; with partial
+    probing it returns a subset of the same scored pairs."""
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    bf = S.cosine_topk(q, e, k=3).toPandas()
+    ivf_all = S.ivf_topk(q, e, k=3, nprobe=10).toPandas()
+    key = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, ivf_all[key].values.tolist())) == sorted(
+        map(tuple, bf[key].values.tolist())
+    )
+    partial = S.ivf_topk(q, e, k=3, nprobe=3).toPandas()
+    bf_sims = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in S.cosine_topk(q, e, k=500).toPandas().itertuples()
+    }
+    for r in partial.itertuples():
+        # every partial-probe result carries the true cosine for that pair
+        assert bf_sims.get((r.query_id, r.neighbor_id)) == pytest.approx(r.sim, abs=1e-4)
 
 
 def test_lsh_topk_approximates_brute_force(spark):

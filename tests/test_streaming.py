@@ -110,6 +110,62 @@ def test_stateful_running_totals(spark, replay_dir, tmp_path):
     assert (got.groupby("user_id").size() > 1).any()
 
 
+def test_watermark_drops_too_late_event(spark, tmp_path):
+    """T4: a late event arriving AFTER its window's state was evicted (the
+    watermark passed the window end and the window was emitted in an earlier
+    batch) is dropped from the streaming append output, while the batch run
+    of the same plan still counts it.
+
+    (Spark evicts/emits closed windows at the END of a batch — a late event
+    landing in the same batch as the eviction still merges. The drop is only
+    observable one batch later, hence the four-slice layout.)"""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    replay = tmp_path / "late_events_replay"
+    replay.mkdir()
+    base_sec = 1_704_067_200  # 2024-01-01T00:00:00Z
+    now = time.time()
+
+    def write_slice(i, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [(base_sec + r[1]) * 1_000_000 for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(['{"k": 1}'] * len(rows)),
+            }
+        )
+        path = str(replay / f"slice-{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (now - 400 + i * 100, now - 400 + i * 100))  # deterministic order
+
+    write_slice(0, [(1, 0), (2, 300), (3, 7200)])  # wm after: 7200-900=6300 > 600
+    write_slice(1, [(5, 7800)])  # batch 1 emits+evicts window [0,600) cnt=2
+    write_slice(2, [(4, 120)])  # late: state gone, ts < wm => dropped
+    write_slice(3, [(6, 30_000)])  # flush: close remaining windows
+
+    sdf = events_stream(spark, str(replay), max_files_per_trigger=1)
+    got = run_to_memory(
+        spark, ops.tumbling_counts(sdf), "t4_out", "append", str(tmp_path / "cp4")
+    )
+    by_win = dict(zip(got.win_start_sec - base_sec, got.cnt))
+    assert by_win[0] == 2  # late event 4 NOT counted
+    # batch over the same files counts all three in [0,600)
+    batch = ops.tumbling_counts(
+        spark.read.parquet(str(replay / "slice-*.parquet"))
+    ).toPandas()
+    b_by_win = dict(zip(batch.win_start_sec - base_sec, batch.cnt))
+    assert b_by_win[0] == 3
+
+
 def test_stream_static_join(spark, replay_dir, tmp_path):
     sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
     cust = load_table(spark, SF, "customer")
