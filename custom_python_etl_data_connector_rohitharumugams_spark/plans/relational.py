@@ -450,13 +450,26 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + dispersion stats (at 100 TB swap percentile ->
     approx_percentile; exact kept here for oracle parity)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    # both quantiles from ONE percentile buffer (one sort per group, not two)
+    pcs = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            pcs.alias("__pcs"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__pcs", 1), 2).alias("median_price"),
+            F.round(F.element_at("__pcs", 2), 2).alias("p90_price"),
+            "sd_price",
+            "qty_price_corr",
+            "min_price",
+            "max_price",
+        )
     )
 
 

@@ -280,6 +280,42 @@ def scalar_hash_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_null_handling_report",
+    tags=("P4", "F4"),
+    oracle="""
+    SELECT bal_bucket,
+           COUNT(*) AS cnt,
+           ROUND(SUM(filled_bal), 2) AS total_filled
+    FROM (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                    ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS bal_bucket,
+               COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END,
+                        0.0) AS filled_bal
+        FROM customer
+    )
+    WHERE bal_bucket IS NOT NULL
+    GROUP BY bal_bucket
+    """,
+)
+def scalar_null_handling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface (P4): synthesize nulls from overdrawn
+    balances, na.fill one column, na.drop on the other — the empty/invalid-
+    payload handling idiom from the reference's validation contract."""
+    c = load_table(spark, sf_dir, "customer")
+    masked = c.select(
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.floor(F.col("c_acctbal") / 1000).cast("bigint"))
+        .alias("bal_bucket"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("filled_bal"),
+    )
+    cleaned = masked.na.fill({"filled_bal": 0.0}).na.drop(subset=["bal_bucket"])
+    return cleaned.groupBy("bal_bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("filled_bal"), 2).alias("total_filled"),
+    )
+
+
 @query("scalar_id_generation", tags=("F8",))  # rows-only: ids are engine-specific
 def scalar_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 + monotonically_increasing_id surface — engine-specific
