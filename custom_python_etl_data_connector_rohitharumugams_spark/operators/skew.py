@@ -1,0 +1,50 @@
+"""Skew-mitigation helpers (SURVEY.md SS4 "skew handling"; DESIGN.md).
+
+AQE's skew-join splitting covers most cases at runtime; explicit salting is
+the escape hatch for pathological keys (one key >> everything else) or for
+skewed AGGREGATION state. Both helpers are pure plan rewrites whose results
+are provably identical to the unsalted form — the oracle checks that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``left`` is large with skewed key distribution and
+    ``right`` is small-ish but not broadcastable: each left row gets a
+    deterministic salt in [0, salt); ``right`` is replicated ``salt`` times.
+    The hot key's rows then spread over ``salt`` reducers instead of one.
+
+    Deterministic salting (hash of the whole row, not rand()) keeps retried
+    tasks and re-runs bit-identical.
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn(SALT_COL, lsalt)
+    r = right.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, [on, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg_sum(
+    df: DataFrame, key: str, value: str, salt: int = 16, out: str = "total"
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: partial sums per
+    (key, salt) spread the hot key across reducers, then a tiny final
+    aggregate merges the partials. (Spark's hash aggregate already does
+    map-side partials; explicit salting additionally splits the REDUCE-side
+    state of a single hot key.)"""
+    salted = df.withColumn(SALT_COL, F.pmod(F.xxhash64(F.col(value).cast("string")), F.lit(salt)))
+    partial = salted.groupBy(key, SALT_COL).agg(F.sum(value).alias("__part"))
+    return partial.groupBy(key).agg(F.sum("__part").alias(out))

@@ -1,0 +1,291 @@
+"""Composite analytics queries in classic decision-support shapes (TPC-H
+style, adapted to the fixture schema): multi-join + aggregate + top-k
+pipelines that exercise the operator families together the way real
+workloads do. All joins follow the DESIGN.md broadcast/star discipline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.skew import salted_join
+from .registry import query
+
+_TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+
+@query(
+    "analytics_unshipped_revenue_top10",
+    tags=("J1", "J3", "A1", "O2", "W4"),
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_sec
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def analytics_unshipped_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): segment filter pushed to the
+    customer scan, broadcast to orders, revenue top-10 without global sort."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < _TS("1998-03-15"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _TS("1998-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            # NTZ -> LTZ -> epoch (NTZ has no direct bigint cast; session TZ
+            # is pinned UTC so the conversion is the identity)
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_sec"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "analytics_nation_trade_volume",
+    tags=("J1", "J3", "A1", "F2"),
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def analytics_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 shape): fact joined to two
+    differently-filtered copies of the nation dim."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+    )
+
+
+@query(
+    "analytics_region_market_share",
+    tags=("J3", "A5", "F2"),
+    oracle="""
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS asia_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               r_name AS supp_region,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        JOIN orders   ON l_orderkey = o_orderkey
+    )
+    GROUP BY order_year
+    """,
+)
+def analytics_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shape (TPC-H Q8): conditional share of one supplier
+    region per order year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("r_name") == "ASIA", vol).otherwise(0.0)) / F.sum(vol), 6
+            ).alias("asia_share")
+        )
+    )
+
+
+@query(
+    "analytics_returned_item_losses",
+    tags=("J1", "J3", "A1", "O2"),
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def analytics_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-items shape (TPC-H Q10): revenue at risk per customer,
+    top 20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "analytics_promo_revenue_share",
+    tags=("J3", "A5", "F2"),
+    oracle="""
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_month
+    """,
+)
+def analytics_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect shape (TPC-H Q14): promo revenue percentage per
+    ship month (broadcast part dim)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "skew_salted_join_enrichment",
+    tags=("J1", "A1"),
+    oracle="""
+    SELECT label, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM (SELECT user_id % 3 AS hot_key, value FROM events) e
+    JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high')) AS dim(hot_key, label)
+      ON e.hot_key = dim.hot_key
+    GROUP BY label
+    """,
+)
+def skew_salted_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically hot key (3 distinct values across the
+    whole fact side): each left row is deterministically salted, the dim is
+    replicated per salt, so the hot key spreads over `salt` reducers. The
+    oracle is the plain unsalted join — salting must be result-invariant."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).alias("hot_key"), "value"
+    )
+    dim = spark.createDataFrame(
+        [(0, "low"), (1, "mid"), (2, "high")], "hot_key bigint, label string"
+    ).hint("shuffle_hash")  # keep it off the broadcast path so salting matters
+    return (
+        salted_join(e, dim, on="hot_key", salt=8)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "skew_salted_aggregation",
+    tags=("A1",),
+    oracle="""
+    SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over 3 hot group keys; exact because
+    l_quantity is integer-valued (double addition stays associative below
+    2^53), so the re-grouped sum is bit-identical to the direct one."""
+    from ..operators.skew import salted_agg_sum
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return salted_agg_sum(l, key="l_returnflag", value="l_quantity", salt=16, out="__sum").select(
+        "l_returnflag", F.round("__sum", 2).alias("total")
+    )
+
+
+@query(
+    "analytics_brand_quantity_bands",
+    tags=("J3", "P2", "A1"),
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS line_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """,
+)
+def analytics_brand_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive predicate join (TPC-H Q19 shape): OR-of-conjunctions
+    across both sides — Catalyst extracts the common join key and keeps the
+    residual disjunction as a post-join filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (p.p_brand == "Brand#1") & p.p_size.between(1, 15) & (l.l_quantity >= 10)
+    ) | (
+        (p.p_brand == "Brand#3") & p.p_size.between(10, 30) & (l.l_quantity >= 20)
+    ) | (
+        (p.p_brand == "Brand#5") & p.p_size.between(20, 50) & (l.l_quantity >= 30)
+    )
+    return (
+        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )

@@ -58,7 +58,16 @@ def _load_all() -> None:
     """Import every query module (registration side effects)."""
     from . import relational  # noqa: F401
 
-    for mod in ("scalar", "composed", "llm", "stream_batch", "connector_queries", "udfs", "sqlapi"):
+    for mod in (
+        "scalar",
+        "composed",
+        "llm",
+        "stream_batch",
+        "connector_queries",
+        "udfs",
+        "sqlapi",
+        "analytics",
+    ):
         try:
             __import__(f"{__package__}.{mod}")
         except ImportError:

@@ -1,0 +1,108 @@
+"""Scale-pattern evidence tests (DESIGN.md claims, checked against real
+plans): bucketed co-located joins eliminate the join shuffle; salting is
+result-invariant; streaming lands into the doc sink via foreachBatch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import (
+    salted_join,
+)
+from custom_python_etl_data_connector_rohitharumugams_spark.sources import docsink
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables on the join key => SortMergeJoin with ZERO
+    Exchange operators (the 100 TB fact-fact join strategy in DESIGN.md)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}/wh'")
+    try:
+        orders = load_table(spark, SF, "orders")
+        lineitem = load_table(spark, SF, "lineitem")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("bucketdemo.orders_b")
+        )
+        (
+            lineitem.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("bucketdemo.lineitem_b")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                spark.table("bucketdemo.lineitem_b")
+                .join(
+                    spark.table("bucketdemo.orders_b"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            plan = _physical_plan(joined)
+            assert "SortMergeJoin" in plan
+            # the only exchange allowed is the final tiny aggregate shuffle;
+            # the join itself must read co-located buckets directly
+            join_part = plan.split("SortMergeJoin", 1)[1]
+            assert "Exchange" not in join_part, f"join side shuffled:\n{join_part[:800]}"
+            # results still correct
+            direct = (
+                lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, direct.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+
+
+def test_salted_join_matches_plain_join(spark):
+    e = load_table(spark, SF, "events").select((F.col("user_id") % 3).alias("k"), "event_id")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k bigint, lab string")
+    salted = salted_join(e, dim, on="k", salt=8).select("event_id", "lab")
+    plain = e.join(dim, "k").select("event_id", "lab")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_streaming_foreachbatch_into_docsink(spark, tmp_path):
+    """Stream -> foreachBatch -> document collection: the streaming side of
+    the reference's load contract (collection + ingested_at)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.streaming.replay import (
+        events_stream,
+        split_events_for_replay,
+    )
+
+    replay = split_events_for_replay(
+        spark, SF, str(tmp_path / "events_replay"), n_slices=2
+    )
+    sdf = events_stream(spark, replay, max_files_per_trigger=1)
+
+    def land(batch_df, batch_id: int):
+        docsink.write_collection(
+            batch_df, str(tmp_path / "sink"), "events_raw", key_col="event_id", mode="upsert"
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = docsink.read_collection(spark, str(tmp_path / "sink"), "events_raw")
+    assert landed.count() == load_table(spark, SF, "events").count()
+    assert "ingested_at" in landed.columns
