@@ -122,6 +122,88 @@ def sql_collect_set_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_correlated_small_quantity_revenue",
+    tags=("A1", "J1"),
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def sql_correlated_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): Catalyst decorrelates
+    it into an aggregate + join — no per-row re-execution."""
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@query(
+    "sql_pivot_status_by_priority",
+    tags=("A1", "A4"),
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: priorities become columns (compiled to the same conditional
+    aggregation the oracle spells out)."""
+    from ..catalog import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .withColumnRenamed("5-LOW", "low")
+    )
+
+
+@query(
+    "sql_unpivot_customer_metrics",
+    tags=("F6", "O3"),
+    oracle="""
+    SELECT metric, ROUND(SUM(v), 2) AS total, COUNT(*) AS cnt
+    FROM (
+        SELECT 'acctbal' AS metric, c_acctbal AS v FROM customer
+        UNION ALL
+        SELECT 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS v FROM customer
+    )
+    GROUP BY metric
+    """,
+)
+def sql_unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide numeric columns to (metric, value) rows."""
+    from ..catalog import load_table
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal"), F.col("c_nationkey").cast("double").alias("nationkey")
+    )
+    melted = c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "v")
+    return melted.groupBy("metric").agg(
+        F.round(F.sum("v"), 2).alias("total"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
     "sql_first_last_event_values",
     tags=("W2",),
     oracle="""
