@@ -4,7 +4,6 @@ result-invariant; streaming lands into the doc sink via foreachBatch."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
