@@ -156,8 +156,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     computed as 64 conditional aggregates after an explode (single shuffle).
     """
     toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
-    votes = toks.groupBy("doc_id").agg(
+    # materialize the hash ONCE per token: referencing xxhash64(tok) inside
+    # each of the 64 vote aggregates would re-evaluate it 64x per row
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = F.col("h")
+    votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

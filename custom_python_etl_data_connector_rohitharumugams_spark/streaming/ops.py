@@ -112,3 +112,45 @@ def running_purchase_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_purchase_totals_tws(events: DataFrame) -> DataFrame:
+    """T6 on the Spark 4 ``transformWithStateInPandas`` API: same running
+    per-user purchase totals, expressed as a StatefulProcessor with typed
+    ValueState (the RocksDB-backed successor to applyInPandasWithState).
+
+    NOTE: this API's state server needs a working ``google.protobuf``
+    runtime; environments without it should use
+    :func:`running_purchase_totals` (identical semantics) — the test suite
+    skips accordingly.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id", "value")
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_purchases": [n], "total_spend": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return purchases.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

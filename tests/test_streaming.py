@@ -166,6 +166,40 @@ def test_watermark_drops_too_late_event(spark, tmp_path):
     assert b_by_win[0] == 3
 
 
+def test_stateful_running_totals_transformwithstate(spark, replay_dir, tmp_path):
+    """T6 via the Spark 4 transformWithStateInPandas API: final running
+    totals must equal both the batch aggregate and the
+    applyInPandasWithState implementation."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs google.protobuf (absent here)")
+    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    got = run_to_memory(
+        spark,
+        ops.running_purchase_totals_tws(sdf),
+        "t6b_out",
+        "update",
+        str(tmp_path / "cp"),
+    )
+    final = got.loc[got.groupby("user_id")["n_purchases"].idxmax()]
+    batch = (
+        load_table(spark, SF, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_spend"),
+        )
+        .toPandas()
+    )
+    f = final.set_index("user_id").sort_index()
+    b = batch.set_index("user_id").sort_index()
+    assert list(f.index) == list(b.index)
+    assert (f["n_purchases"] == b["n_purchases"]).all()
+    assert (abs(f["total_spend"] - b["total_spend"]) < 0.02).all()
+
+
 def test_stream_static_join(spark, replay_dir, tmp_path):
     sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
     cust = load_table(spark, SF, "customer")
