@@ -209,6 +209,83 @@ def analytics_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "analytics_daily_order_gapfill",
+    tags=("F5", "F2", "J2", "F4"),
+    oracle="""
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           COALESCE(oc.cnt, 0) AS order_cnt
+    FROM (SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                                             DATE '1996-03-31',
+                                             INTERVAL 1 DAY)) AS DATE) AS day) d
+    LEFT JOIN (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY day
+    ) oc ON d.day = oc.day
+    """,
+)
+def analytics_daily_order_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated calendar (sequence + explode)
+    left-joined to daily order counts, missing days filled with zero — the
+    standard densification step before any rolling/seasonal analysis."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1996-04-01"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    calendar = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return (
+        calendar.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("order_cnt"),
+        )
+    )
+
+
+@query(
+    "window_rolling_30d_spend",
+    tags=("W3", "F2"),
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY day_no
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no
+        FROM orders
+    )
+    """,
+)
+def window_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: rolling 30-day spend per customer — the frame is
+    value-based (days), not row-based, so same-day orders share a frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@query(
     "skew_salted_join_enrichment",
     tags=("J1", "A1"),
     oracle="""

@@ -69,6 +69,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
 
 
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The 100 TB layout claim (DESIGN.md): date-partitioned tables serve
+    year-filtered queries by reading ONLY matching partitions — asserted via
+    PartitionFilters in the physical plan and partition count on disk."""
+    orders = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(path)
+
+    df = spark.read.parquet(path).where(F.col("order_year") == 1996)
+    plan = _physical_plan(df)
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters", 1)[1][:200]
+    import glob
+
+    years = len(glob.glob(f"{path}/order_year=*"))
+    assert years >= 5  # multiple partitions exist...
+    expected = orders.where(F.col("order_year") == 1996).count()
+    assert df.count() == expected  # ...and the filtered read is correct
+
+
 def test_salted_join_matches_plain_join(spark):
     e = load_table(spark, SF, "events").select((F.col("user_id") % 3).alias("k"), "event_id")
     dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k bigint, lab string")
