@@ -21,12 +21,15 @@ def sanitize_name(name: str) -> str:
 
 def _rebuild(col: Column, dtype: DataType) -> Column:
     if isinstance(dtype, StructType):
-        return F.struct(
+        rebuilt = F.struct(
             *[
                 _rebuild(col.getField(f.name), f.dataType).alias(sanitize_name(f.name))
                 for f in dtype.fields
             ]
         )
+        # guard: F.struct over a NULL struct would materialize a non-null
+        # struct of all-null fields, silently un-nulling nested objects
+        return F.when(col.isNotNull(), rebuilt)
     if isinstance(dtype, ArrayType) and isinstance(dtype.elementType, (StructType, ArrayType)):
         return F.transform(col, lambda x: _rebuild(x, dtype.elementType))
     return col

@@ -31,11 +31,17 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """n-gram shingles as space-joined strings (Spark arrays are 0-indexed
-    with ``arr[i]``; the DuckDB oracle's lists are 1-indexed)."""
+    with ``arr[i]``; the DuckDB oracle's lists are 1-indexed).
+
+    Documents shorter than ``n`` tokens yield an empty array — without the
+    guard, sequence(0, size-n) would run DESCENDING into negative indices
+    and element_at would throw under ANSI mode (Spark 4 default).
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.transform(
+    grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
     )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def distinct_ratio(toks: Column) -> Column:

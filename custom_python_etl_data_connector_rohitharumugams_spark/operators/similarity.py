@@ -175,19 +175,25 @@ def lsh_bucket_keys(
 
     All projections are one float64 GEMM per Arrow batch (mapInPandas):
     per-plane higher-order-function dot products leave codegen and cost
-    ~10x at corpus scale for exactly the same signs."""
+    ~10x at corpus scale for exactly the same signs.
+
+    ``dim`` is only a default: the actual hyperplane dimension is derived
+    from the data per batch (the planes are a pure function of dim, so
+    every task derives identical planes)."""
     import numpy as np
 
-    planes = np.array(_hyperplanes(bands * bits_per_band, dim))
     weights = 1 << np.arange(bits_per_band - 1, -1, -1)  # first plane = MSB
 
     def run(batches):
         import pandas as pd
 
+        planes = None
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            if planes is None or planes.shape[1] != mat.shape[1]:
+                planes = np.array(_hyperplanes(bands * bits_per_band, mat.shape[1]))
             bits = (mat @ planes.T) > 0  # (n, bands*bits)
             buckets = bits.reshape(len(pdf), bands, bits_per_band) @ weights
             n = len(pdf)

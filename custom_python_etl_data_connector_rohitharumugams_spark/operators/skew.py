@@ -28,7 +28,13 @@ def salted_join(
 
     Deterministic salting (hash of the whole row, not rand()) keeps retried
     tasks and re-runs bit-identical.
+
+    Only inner and left joins are supported: the right side is replicated
+    ``salt`` times, so right/full outer would emit each unmatched right row
+    once per replica instead of once.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l = left.withColumn(SALT_COL, lsalt)
     r = right.withColumn(

@@ -55,20 +55,17 @@ def oracle_map() -> dict[str, str]:
 
 
 def _load_all() -> None:
-    """Import every query module (registration side effects)."""
-    from . import relational  # noqa: F401
-
-    for mod in (
-        "scalar",
-        "composed",
-        "llm",
-        "stream_batch",
-        "connector_queries",
-        "udfs",
-        "sqlapi",
-        "analytics",
-    ):
-        try:
-            __import__(f"{__package__}.{mod}")
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+    """Import every query module (registration side effects). Imports are
+    unconditional: a swallowed ImportError would silently drop whole query
+    families from the driver's correctness run."""
+    from . import (  # noqa: F401
+        analytics,
+        composed,
+        connector_queries,
+        llm,
+        relational,
+        scalar,
+        sqlapi,
+        stream_batch,
+        udfs,
+    )

@@ -16,6 +16,7 @@ same pattern as a hash-partitioned lakehouse MERGE.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,10 +24,24 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
 INGESTED_COL = "ingested_at"
+_META_FILE = "_docsink_meta.json"
 
 
 def _collection_path(base_dir: str, collection: str) -> str:
     return os.path.join(base_dir, collection)
+
+
+def _read_meta(path: str) -> dict | None:
+    meta_path = os.path.join(path, _META_FILE)
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            return json.load(fh)
+    return None
+
+
+def _write_meta(path: str, n_buckets: int, key_col: str) -> None:
+    with open(os.path.join(path, _META_FILE), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "key_col": key_col}, fh)
 
 
 def write_collection(
@@ -45,9 +60,18 @@ def write_collection(
     """
     spark = df.sparkSession
     path = _collection_path(base_dir, collection)
-    stamped = df.withColumn(INGESTED_COL, F.current_timestamp()).withColumn(
-        BUCKET_COL, F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    meta = _read_meta(path) if os.path.isdir(path) else None
+    if meta is not None:
+        # the on-disk bucket count is authoritative: a caller-supplied value
+        # that differs would hash keys into the wrong partitions and break
+        # the upsert invariant silently
+        n_buckets = int(meta["n_buckets"])
+    # NULL keys hash to NULL: pin them to bucket 0 so they live in a real
+    # partition and participate in the pruned merge like any other key
+    bucket = F.coalesce(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)), F.lit(0)
     )
+    stamped = df.withColumn(INGESTED_COL, F.current_timestamp()).withColumn(BUCKET_COL, bucket)
     if mode != "append":
         # within-batch dedup: re-paged extracts can repeat keys in one run
         wb = Window.partitionBy(key_col).orderBy(F.col(INGESTED_COL).desc())
@@ -63,36 +87,47 @@ def write_collection(
             .partitionBy(BUCKET_COL)
             .parquet(path)
         )
+        _write_meta(path, n_buckets, key_col)
         return path
 
     if mode != "upsert":
         raise ValueError(f"unknown docsink mode: {mode}")
 
-    touched = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
-    existing = (
-        spark.read.parquet(path)
-        .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
-        .withColumn("__is_new", F.lit(0))
-    )
-    merged = stamped.withColumn("__is_new", F.lit(1)).unionByName(existing)
-    w = Window.partitionBy(key_col).orderBy(
-        F.col(INGESTED_COL).desc(), F.col("__is_new").desc()
-    )
-    deduped = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__is_new")
-    )
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # persist: the batch is consumed twice (touched-bucket collect + final
+    # write); without it a non-deterministic source (live REST extract) could
+    # surface a bucket in the write that wasn't in `touched`, making dynamic
+    # overwrite replace that partition WITHOUT merging its existing rows —
+    # and even deterministic extracts would re-run the full HTTP fetch
+    stamped = stamped.persist()
     try:
-        (
-            deduped.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(path)
+        touched = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
+        existing = (
+            spark.read.parquet(path)
+            .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
+            .withColumn("__is_new", F.lit(0))
         )
+        merged = stamped.withColumn("__is_new", F.lit(1)).unionByName(existing)
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(INGESTED_COL).desc(), F.col("__is_new").desc()
+        )
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__is_new")
+        )
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                deduped.write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        stamped.unpersist()
+    _write_meta(path, n_buckets, key_col)
     return path
 
 

@@ -61,10 +61,18 @@ def _ship_package(spark: SparkSession) -> None:
     if app_id in _SHIPPED:
         return
     pkg_dir = Path(pkg.__file__).parent
-    zpath = Path(tempfile.gettempdir()) / f"{pkg_dir.name}-{__version__}.zip"
+    sources = sorted(pkg_dir.rglob("*.py"))
+    # content-derived cache key: a version-only key would keep shipping a
+    # stale zip after source edits (executors would import old code)
+    import hashlib
+
+    digest = hashlib.sha256(
+        "".join(f"{p.relative_to(pkg_dir)}:{p.stat().st_mtime_ns}:{p.stat().st_size};" for p in sources).encode()
+    ).hexdigest()[:16]
+    zpath = Path(tempfile.gettempdir()) / f"{pkg_dir.name}-{__version__}-{digest}.zip"
     if not zpath.exists():
         with zipfile.ZipFile(zpath, "w") as zf:
-            for py in pkg_dir.rglob("*.py"):
+            for py in sources:
                 zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
     spark.sparkContext.addPyFile(str(zpath))
     _SHIPPED.add(app_id)

@@ -41,6 +41,23 @@ RETRIABLE_STATUS = {429, 500, 502, 503, 504}
 CORRUPT_COL = "_corrupt_record"
 
 
+def _retry_after_seconds(value: str | None) -> float | None:
+    """RFC 7231 Retry-After: delta-seconds OR an HTTP-date."""
+    if not value:
+        return None
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return max(0.0, dt.timestamp() - time.time())
+    except (TypeError, ValueError):
+        return None
+
+
 class PageRange(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
@@ -99,13 +116,10 @@ class _HttpClient:
                     return body, None
             except urllib.error.HTTPError as e:
                 if e.code in RETRIABLE_STATUS and attempt < self.max_retries:
-                    retry_after = e.headers.get("Retry-After")
-                    delay = (
-                        float(retry_after)
-                        if retry_after
-                        else self.backoff_s * (2**attempt)
-                    )
-                    time.sleep(delay)
+                    delay = _retry_after_seconds(e.headers.get("Retry-After"))
+                    if delay is None:
+                        delay = self.backoff_s * (2**attempt)
+                    time.sleep(min(delay, 60.0))
                     attempt += 1
                     continue
                 raise

@@ -1,0 +1,81 @@
+"""Regression tests for defects found in the package-wide code review:
+null-struct sanitization, short-document shingles under ANSI mode, doc-sink
+null keys / bucket-count drift, RFC 7231 Retry-After dates, non-64-dim LSH.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_rohitharumugams_spark.functions.json_utils import (
+    sanitize_field_names,
+)
+from custom_python_etl_data_connector_rohitharumugams_spark.functions.text import shingles, tokens
+from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import lsh_topk
+from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import salted_join
+from custom_python_etl_data_connector_rohitharumugams_spark.sources import docsink
+from custom_python_etl_data_connector_rohitharumugams_spark.sources.restapi import (
+    _retry_after_seconds,
+)
+
+
+def test_sanitize_preserves_null_structs(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 2}), (2, None)], "id bigint, `bad.key` struct<a: bigint>"
+    )
+    out = sanitize_field_names(df)
+    nulls = out.where(F.col("bad_key").isNull()).count()
+    assert nulls == 1  # the NULL struct must stay NULL, not become Row(a=None)
+
+
+def test_shingles_short_documents_yield_empty_not_error(spark):
+    df = spark.createDataFrame([("one two",), ("a",), ("",), ("x y z w",)], "text string")
+    out = df.select(F.size(shingles(tokens(F.col("text")), 3)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 0, 0, 2]
+
+
+def test_docsink_null_keys_survive_upsert(spark, tmp_path):
+    base = str(tmp_path)
+    b1 = spark.createDataFrame([(None, "n1"), (1, "a")], "id bigint, v string")
+    docsink.write_collection(b1, base, "c", key_col="id")
+    b2 = spark.createDataFrame([(None, "n2"), (2, "b")], "id bigint, v string")
+    docsink.write_collection(b2, base, "c", key_col="id")
+    out = docsink.read_collection(spark, base, "c")
+    # null keys dedupe like any key (single row, latest value wins)
+    null_rows = out.where(F.col("id").isNull()).collect()
+    assert len(null_rows) == 1 and null_rows[0].v == "n2"
+    assert out.count() == 3
+
+
+def test_docsink_bucket_count_is_sticky(spark, tmp_path):
+    base = str(tmp_path)
+    b1 = spark.createDataFrame([(3, "c3")], "id bigint, v string")
+    docsink.write_collection(b1, base, "c", key_col="id", n_buckets=16)
+    # caller passes a DIFFERENT n_buckets: the on-disk meta must win, so the
+    # upsert still finds the existing row in its original bucket
+    b2 = spark.createDataFrame([(3, "c3-updated")], "id bigint, v string")
+    docsink.write_collection(b2, base, "c", key_col="id", n_buckets=4)
+    out = docsink.read_collection(spark, base, "c")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].v == "c3-updated"
+
+
+def test_retry_after_accepts_http_date():
+    assert _retry_after_seconds("2.5") == 2.5
+    assert _retry_after_seconds(None) is None
+    assert _retry_after_seconds("not-a-date") is None
+    # an HTTP-date in the past clamps to 0 rather than raising
+    assert _retry_after_seconds("Wed, 21 Oct 2015 07:28:00 GMT") == 0.0
+
+
+def test_lsh_topk_handles_non_64_dim_vectors(spark):
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = lsh_topk(df.where(F.col("vec_id") < 3), df, k=2).toPandas()
+    assert len(res) > 0  # 8-dim vectors: planes derived from data, no crash
+
+
+def test_salted_join_rejects_right_outer():
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(None, None, on="k", how="full")
