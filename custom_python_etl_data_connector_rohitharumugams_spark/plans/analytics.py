@@ -335,6 +335,112 @@ def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analytics_large_volume_customers",
+    tags=("J1", "A1", "J4"),
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_custkey, o_orderkey
+    """,
+)
+def analytics_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): IN over a HAVING-filtered
+    aggregate subquery => left-semi join against the pre-aggregated keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "__big_key"),
+               F.col("l_orderkey") == F.col("__big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "analytics_idle_supplier_parts",
+    tags=("J4", "A2"),
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT s_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_suppkey NOT IN (
+        SELECT s2.s_suppkey FROM supplier s2 WHERE s2.s_acctbal < 0
+    )
+    GROUP BY p_brand, p_type
+    """,
+)
+def analytics_idle_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-part distribution excluding a NOT-IN subquery set (TPC-H Q16
+    shape) => null-aware anti join on the excluded suppliers."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.where(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("__bad"))
+    good = s.join(bad, s.s_suppkey == F.col("__bad"), "left_anti")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(good), l.l_suppkey == good.s_suppkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("s_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "analytics_rich_inactive_customers",
+    tags=("J4", "A1", "A6"),
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS cust_cnt, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def analytics_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average balances with no recent orders (TPC-H Q22 shape):
+    uncorrelated scalar subquery threshold + anti join on recent activity."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _TS("2000-01-01")
+    )
+    # scalar threshold as a broadcast 1-row crossJoin: stays lazy (no
+    # driver-side collect at plan-build time), same plan Spark SQL produces
+    # for an uncorrelated scalar subquery
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .drop("__avg")
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cust_cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "analytics_brand_quantity_bands",
     tags=("J3", "P2", "A1"),
     oracle="""

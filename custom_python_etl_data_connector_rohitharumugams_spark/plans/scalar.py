@@ -316,6 +316,33 @@ def scalar_null_handling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_variant_event_payloads",
+    tags=("F7",),
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_total,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+    GROUP BY event_type
+    """,
+)
+def scalar_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for open JSON payloads: parse_json once,
+    typed variant_get extraction — the schemaless-document alternative to
+    from_json when a connector's payload shape is not pinned yet."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .where(F.col("k") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("k_total"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @query("scalar_id_generation", tags=("F8",))  # rows-only: ids are engine-specific
 def scalar_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 + monotonically_increasing_id surface — engine-specific
