@@ -8,6 +8,7 @@ driver collect). Env knobs: $SPARK_GRAFT_SF_DIR, $SPARK_GRAFT_CPUS.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -44,17 +45,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # JSON from that tail (round 1: an ~2.9 KB line with full query names
+    # overflowed it -> "parsed": null). So stdout gets ONE compact line with
+    # short stable keys (md5(name)[:5] — stable under query additions), and
+    # the full name->sec map goes to BENCH_DETAIL.json next to this script.
+    def short_key(name: str) -> str:
+        return "q" + hashlib.md5(name.encode()).hexdigest()[:5]
+
+    keymap = {short_key(n): n for n in timings}
+    if len(keymap) != len(timings):  # hash collision: fall back to indices
+        keymap = {f"q{i:02d}": n for i, n in enumerate(sorted(timings))}
+    detail = {
+        "metric": "total wall-clock over all named queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "keymap": keymap,
+    }
+    (_REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1, sort_keys=True))
+
+    line = json.dumps(
+        {
+            "metric": "total sec over all named queries (keymap: BENCH_DETAIL.json)",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: timings[n] for k, n in sorted(keymap.items())},
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1900:  # belt-and-braces: never overflow the driver tail
+        line = json.dumps(
             {
-                "metric": "total wall-clock over all named queries",
+                "metric": "total sec over all named queries (per-query: BENCH_DETAIL.json)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": {},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
-    )
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

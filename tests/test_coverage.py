@@ -18,3 +18,25 @@ def test_every_oracle_query_has_fn_and_every_tag_is_known():
     for name, qd in all_queries().items():
         unknown = [t for t in qd.tags if t not in known]
         assert not unknown, f"{name}: unknown SS2 tags {unknown}"
+
+
+def test_driver_window_prefix_covers_every_checkable_operator():
+    """The driver's correctness gate records only the first ~50 registered
+    queries (round 1 captured exactly 50 of 84). The priority prefix must
+    therefore cover the full tag union, or operators silently lose their
+    driver CORRECTNESS row."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.registry import priority_names
+
+    qs = all_queries()
+    names = list(qs)
+    assert names[: len(priority_names())] == list(priority_names())
+    assert len(priority_names()) <= 50
+
+    window_tags: set[str] = set()
+    for n in names[:50]:
+        window_tags.update(qs[n].tags)
+    all_tags: set[str] = set()
+    for qd in qs.values():
+        all_tags.update(qd.tags)
+    assert window_tags == all_tags, f"operators outside driver window: {sorted(all_tags - window_tags)}"
