@@ -60,6 +60,29 @@ def shingle_postings(
     return sh.dropDuplicates(["doc_id", "shingle"])
 
 
+def df_capped_postings(
+    postings: DataFrame, max_df_num: int = 1, max_df_den: int = 10
+) -> DataFrame:
+    """Drop hot shingles: postings whose shingle appears in more than
+    ``max_df_num/max_df_den`` of all posted documents are removed.
+
+    This is the stop-shingle cap that keeps an inverted-index join from
+    degenerating: a boilerplate shingle present in every document otherwise
+    connects all docs pairwise and the candidate join emits n^2 rows. With
+    the cap, any single shingle contributes at most (n * num/den)^2 / 2
+    pairs. The comparison is pure integer arithmetic (df * den <= n * num)
+    so an oracle in another engine reproduces the cutoff bit-exactly; the
+    corpus size is a 1-row broadcast, not a driver-side count."""
+    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ndocs = postings.agg(F.count_distinct("doc_id").alias("__n"))
+    cold = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .where(F.col("__df") * max_df_den <= F.col("__n") * max_df_num)
+        .select("shingle")
+    )
+    return postings.join(cold, "shingle", "semi")
+
+
 def minhash_signatures(
     postings: DataFrame,
     num_perm: int = 32,
@@ -179,11 +202,60 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return votes.select("doc_id", acc.alias("simhash"))
 
 
+def simhash_banded_pairs(
+    sh: DataFrame, bands: int = 7, max_hamming: int = 3
+) -> DataFrame:
+    """Full-corpus SimHash near-dup pairs — no caller-provided blocking.
+
+    The 63 materialized simhash bits split into ``bands`` equal segments;
+    candidate pairs are an equi-join on (band, segment) — the same
+    bucket-join shape as MinHash-LSH, so comparisons track segment
+    collisions, never n^2. Pigeonhole guarantee: two hashes within
+    ``max_hamming`` differing bits agree exactly on >=1 whole band whenever
+    ``max_hamming < bands``, so in that regime (the near-dup regime) recall
+    is exact; beyond it banding is approximate. The join carries only doc
+    ids; simhash values are re-attached afterwards for the Hamming filter.
+    """
+    bits_per = 63 // bands
+    mask = (1 << bits_per) - 1
+    segs = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "segment"),
+    )
+    a = segs.select(F.col("doc_id").alias("doc_id_1"), "band", "segment")
+    b = segs.select(F.col("doc_id").alias("doc_id_2"), "band", "segment")
+    cand = (
+        a.join(b, ["band", "segment"])
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .dropDuplicates()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh_1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh_2"))
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     sh: DataFrame, blocking: DataFrame, max_hamming: int = 28
 ) -> DataFrame:
     """Hamming-close pairs among docs sharing a blocking key (bounded
-    comparison set; full-corpus variant would band the simhash bits)."""
+    comparison set; ``simhash_banded_pairs`` is the full-corpus variant)."""
     a = sh.join(blocking, "doc_id").select(
         F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh_1"), "block"
     )

@@ -53,51 +53,75 @@ def cosine_near_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 4,
 ) -> DataFrame:
     """All vector pairs (id1 < id2) with rounded cosine above ``threshold``.
 
-    Executed as block-wise GEMM: the corpus matrix (normalized, float64) is
-    broadcast to every task; each Arrow batch of rows multiplies against it
-    with BLAS and emits only above-threshold pairs. Pairwise HOF dot products
-    would leave codegen and cost ~50us/pair; the matrix product is ~ns/pair.
+    Tiled block-GEMM, fully distributed (nothing touches the driver):
 
-    100 TB note: a corpus too large to broadcast gets tiled — crossJoin of
-    row-blocks against column-blocks (each block a few hundred MB), same
-    per-block GEMM. The fixture corpus fits in one block.
+    1. every vector hashes to one of ``n_blocks`` blocks;
+    2. each row is replicated to the ``n_blocks`` unordered block pairs
+       ``(min(b, p), max(b, p))`` it participates in — one shuffle whose
+       volume is ``n_blocks x input``;
+    3. each block-pair group builds its (normalized, float64) matrices
+       executor-side and runs one BLAS GEMM, emitting only above-threshold
+       pairs. Pairwise HOF dot products would leave codegen and cost
+       ~50us/pair; the matrix product is ~ns/pair.
+
+    100 TB sizing: pick ``n_blocks ~= corpus_bytes / target_block_bytes``
+    (a few hundred MB per block) so a pair group (two blocks) fits an
+    executor; total compute is the unavoidable all-pairs N^2/2 regardless
+    of tiling, and each block is read n_blocks times. No driver collect,
+    no broadcast: the corpus never has to fit on any single node.
     """
     import numpy as np
 
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    keyed = d.select(
+        "__id",
+        "__vec",
+        "__blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__p"),
+    ).select(
+        "__id",
+        "__vec",
+        "__blk",
+        F.least("__blk", "__p").alias("__b1"),
+        F.greatest("__blk", "__p").alias("__b2"),
+    )
 
     out_schema = f"{id_col}_1 long, {id_col}_2 long, cos_sim double"
 
-    def run(batches):
+    def gemm(key, pdf):
         import pandas as pd
 
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ c_mat.T, 4)
-            li, ri = np.nonzero((sims > threshold) & (q_ids[:, None] < c_ids[None, :]))
-            if len(li):
-                yield pd.DataFrame(
-                    {
-                        f"{id_col}_1": q_ids[li],
-                        f"{id_col}_2": c_ids[ri],
-                        "cos_sim": sims[li, ri],
-                    }
-                )
+        b1, b2 = key
+        empty = pd.DataFrame({f"{id_col}_1": [], f"{id_col}_2": [], "cos_sim": []})
+        if not len(pdf):
+            return empty
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if b1 == b2:  # diagonal tile: strict upper triangle by id
+            sims = np.round(mat @ mat.T, 4)
+            li, ri = np.nonzero((sims > threshold) & (ids[:, None] < ids[None, :]))
+            id1, id2, s = ids[li], ids[ri], sims[li, ri]
+        else:  # off-diagonal tile: A x B, then orient each pair as (lo, hi)
+            a_mask = pdf["__blk"].to_numpy() == b1
+            a_ids, b_ids = ids[a_mask], ids[~a_mask]
+            if not len(a_ids) or not len(b_ids):
+                return empty
+            sims = np.round(mat[a_mask] @ mat[~a_mask].T, 4)
+            li, ri = np.nonzero(sims > threshold)
+            a, b = a_ids[li], b_ids[ri]
+            id1, id2, s = np.minimum(a, b), np.maximum(a, b), sims[li, ri]
+        return pd.DataFrame({f"{id_col}_1": id1, f"{id_col}_2": id2, "cos_sim": s})
 
-    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+    return keyed.groupBy("__b1", "__b2").applyInPandas(gemm, schema=out_schema)
 
 
 def ivf_topk(
@@ -227,17 +251,29 @@ def lsh_topk(
     of the corpus; identical/near-identical vectors collide in every band
     (recall ~1), which is the regime near-dup retrieval cares about.
     """
+    # Candidate generation and dedup carry ONLY ids through the bucket-join
+    # and dropDuplicates exchanges (a vector is ~100x an id pair; hauling
+    # both vectors through every shuffle was the widest exchange in the r01
+    # plan). Vectors are re-attached by two narrow equi-joins afterwards,
+    # when at most one row per surviving (query, neighbor) pair remains.
     qb = lsh_bucket_keys(queries, id_col, vec_col, bands, bits_per_band).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "band", "bucket"
+        F.col("vec_id").alias("query_id"), "band", "bucket"
     )
     cb = lsh_bucket_keys(corpus, id_col, vec_col, bands, bits_per_band).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "band", "bucket"
+        F.col("vec_id").alias("neighbor_id"), "band", "bucket"
     )
-    cand = (
+    cand_ids = (
         qb.join(cb, ["band", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = cand_ids.join(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+    ).join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

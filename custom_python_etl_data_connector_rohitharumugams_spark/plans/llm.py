@@ -177,33 +177,52 @@ def llm_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_ngram_jaccard_pairs",
     tags=("L2", "J1", "F5"),
     oracle="""
-    WITH sh AS (
+    WITH toks AS (
         SELECT doc_id, source,
-               list_distinct(list_transform(
+               unnest(list_distinct(list_transform(
                    range(1, len(string_split(text, ' ')) - 1),
                    i -> concat_ws(' ', string_split(text, ' ')[i],
                                        string_split(text, ' ')[i + 1],
-                                       string_split(text, ' ')[i + 2])))
-                   AS shingle_set
+                                       string_split(text, ' ')[i + 2]))))
+                   AS shingle
         FROM documents
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    cold AS (
+        SELECT t.doc_id, t.source, t.shingle
+        FROM toks t
+        JOIN (SELECT shingle, COUNT(*) AS dfc FROM toks GROUP BY shingle) d
+          USING (shingle)
+        WHERE d.dfc * 10 <= (SELECT n FROM nd)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM cold GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS inter
+        FROM cold a
+        JOIN cold b ON a.source = b.source AND a.shingle = b.shingle
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           ROUND(CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))), 4)
-               AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingle_set, b.shingle_set)) > 0
+    SELECT doc_id_1, doc_id_2,
+           ROUND(CAST(inter AS DOUBLE) / (s1.ns + s2.ns - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = inter.doc_id_1
+    JOIN sizes s2 ON s2.doc_id = inter.doc_id_2
     """,
 )
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index join: explode shingles into
-    postings, equi-join postings on (source, shingle) to count intersections,
-    then |union| = n1 + n2 - inter. No per-pair array ops — pair cost is
-    proportional to actual overlap, which is how this survives at corpus
-    scale (hot shingles would additionally be capped by document frequency)."""
+    postings, DF-cap hot shingles (a shingle in >10% of docs is boilerplate
+    — and would otherwise connect O(n^2) candidate pairs on its own), then
+    equi-join postings on (source, shingle) to count intersections;
+    |union| = n1 + n2 - inter. No per-pair array ops — pair cost is
+    proportional to actual overlap among informative shingles, which is how
+    this survives at corpus scale. The oracle reproduces the identical
+    integer-arithmetic cutoff (df * 10 <= n_docs)."""
     d = load_table(spark, sf_dir, "documents")
-    posts = D.shingle_postings(d).join(d.select("doc_id", "source"), "doc_id")
+    posts = D.df_capped_postings(D.shingle_postings(d)).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
@@ -250,6 +269,15 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.simhash(d)
     blocking = d.select("doc_id", F.col("source").alias("block"))
     return D.simhash_near_pairs(sh, blocking, max_hamming=16)
+
+
+@query("llm_simhash_banded_near_dup", tags=("L2",))  # rows-only: xxhash64-based
+def llm_simhash_banded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SimHash near-dup via bit-segment banding (no blocking
+    key): candidates from a (band, segment) equi-join — exact recall for
+    hamming <= 3 with 7 bands (pigeonhole), never an all-pairs compare."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_banded_pairs(D.simhash(d), bands=7, max_hamming=3)
 
 
 # --------------------------------------------------------------------------

@@ -79,7 +79,7 @@ def stream_sliding_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("T3", "W2"),
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                -- >= not >: Spark's session ends at last_event + gap exclusive,
                -- so an event exactly `gap` later opens a NEW session
                CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 300
@@ -88,7 +88,10 @@ def stream_sliding_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               -- same (ts, event_id) tiebreak as the flagged CTE: with ts-only
+               -- ordering, equal-timestamp rows have unspecified frame order
+               -- and a session could split nondeterministically
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )
@@ -136,21 +139,22 @@ def stream_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("T7", "J1"),
     oracle="""
     SELECT c_mktsegment, e.event_type, COUNT(*) AS cnt
-    FROM events e JOIN customer c ON e.user_id % 1500 = c.c_custkey
+    FROM events e JOIN customer c ON e.user_id % 150 = c.c_custkey
     GROUP BY c_mktsegment, e.event_type
     """,
 )
 def stream_static_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static join shape: events enriched against the customer dim
-    (modulo mapping: fixture user ids exceed the customer key range).
+    """Stream-static join shape: events enriched against the customer dim.
 
-    NOTE: the modulus is the sf0.01 customer count — the oracle comparison
-    runs at sf0.01 (driver contract); other sfs still execute fine.
+    The key mapping ``user_id % 150`` is a fixed constant (150 = the
+    smallest fixture's customer count, sf0.001; keys are 0-based), NOT the per-sf table size:
+    the query has ONE semantics at every scale factor, every event matches
+    exactly one customer, and the oracle mirrors the identical arithmetic.
     """
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
     return (
-        e.join(F.broadcast(c), e.user_id % 1500 == c.c_custkey)
+        e.join(F.broadcast(c), e.user_id % 150 == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

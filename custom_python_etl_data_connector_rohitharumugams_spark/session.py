@@ -25,6 +25,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # let Python data sources (restapi) receive pushFilters() — off by
+    # default in Spark 4; the REST source turns equality predicates into
+    # API query params so filtered extracts fetch fewer pages
+    "spark.sql.python.filterPushdown.enabled": "true",
     # events.parquet is TIMESTAMP(NANOS); read as long then convert (catalog).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }

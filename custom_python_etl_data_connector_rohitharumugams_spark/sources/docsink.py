@@ -73,8 +73,15 @@ def write_collection(
     )
     stamped = df.withColumn(INGESTED_COL, F.current_timestamp()).withColumn(BUCKET_COL, bucket)
     if mode != "append":
-        # within-batch dedup: re-paged extracts can repeat keys in one run
-        wb = Window.partitionBy(key_col).orderBy(F.col(INGESTED_COL).desc())
+        # within-batch dedup: re-paged extracts can repeat keys in one run.
+        # ingested_at is query-constant (current_timestamp), so every row in
+        # the batch ties — a content-hash tiebreak makes the winner a pure
+        # function of the data, so re-running the same batch keeps the same
+        # row instead of picking one arbitrarily per shuffle order
+        content_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        wb = Window.partitionBy(key_col).orderBy(
+            F.col(INGESTED_COL).desc(), content_hash.desc()
+        )
         stamped = (
             stamped.withColumn("__rn", F.row_number().over(wb))
             .where(F.col("__rn") == 1)

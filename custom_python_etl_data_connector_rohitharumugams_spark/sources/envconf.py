@@ -22,8 +22,19 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
             line = line[len("export "):]
         key, _, val = line.partition("=")
         key, val = key.strip(), val.strip()
-        if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
-            val = val[1:-1]
+        if val[:1] in ("'", '"') and val.find(val[0], 1) != -1:
+            # quoted value: take up to the matching close quote; anything
+            # after (e.g. an inline comment) is discarded. Quoting protects
+            # a literal '#'.
+            val = val[1 : val.find(val[0], 1)]
+        else:
+            # dotenv semantics: an unquoted value ends at a whitespace-led
+            # '#' (inline comment)
+            hash_at = val.find(" #")
+            if hash_at != -1:
+                val = val[:hash_at].rstrip()
+            elif val.startswith("#"):
+                val = ""
         if key:
             out[key] = val
     return out

@@ -34,7 +34,13 @@ import urllib.parse
 import urllib.request
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 RETRIABLE_STATUS = {429, 500, 502, 503, 504}
@@ -142,8 +148,33 @@ class RestApiReader(DataSourceReader):
         self.base_url = options["base_url"]
         self.fields = [f.name for f in schema.fields]
         self.auth_headers = resolve_auth_headers(options)  # driver-side
+        # columns the API is declared to filter server-side (option
+        # ``pushable_params``, comma-separated); only these are pushed
+        self.pushable = {
+            c.strip() for c in options.get("pushable_params", "").split(",") if c.strip()
+        }
+        self.pushed_params: dict[str, object] = {}
 
     # -- planning ----------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Translate simple equality predicates into API query params
+        (SURVEY.md SS4 source pushdown): ``df.filter(col == lit)`` on a
+        declared pushable column becomes ``?col=lit`` on every page fetch, so
+        the API returns (and the connector transfers) only matching records.
+        Anything else is returned to Spark to evaluate post-scan. Spark
+        treats accepted filters as fully applied — hence the explicit
+        ``pushable_params`` contract rather than guessing."""
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in self.pushable
+                and isinstance(f.value, (str, int, float, bool))
+            ):
+                self.pushed_params[f.attribute[0]] = f.value
+            else:
+                yield f
+
     def partitions(self) -> Sequence[InputPartition]:
         if self.mode == "offset":
             n = min(self.num_partitions, self.max_pages)
@@ -162,7 +193,8 @@ class RestApiReader(DataSourceReader):
 
     def _url(self, params: dict) -> str:
         sep = "&" if "?" in self.base_url else "?"
-        return f"{self.base_url}{sep}{urllib.parse.urlencode(params)}"
+        merged = {**self.pushed_params, **params}
+        return f"{self.base_url}{sep}{urllib.parse.urlencode(merged)}"
 
     def _read_offset(self, client: _HttpClient, pr: PageRange) -> Iterator[tuple]:
         for page in range(pr.start, pr.end):
@@ -195,7 +227,15 @@ class RestApiReader(DataSourceReader):
                 row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
                 return [row], False
             raise ValueError(f"malformed JSON page (no {CORRUPT_COL} column declared)")
-        records = payload.get("data", []) if isinstance(payload, dict) else payload
+        if isinstance(payload, dict) and "data" not in payload:
+            # An error-shaped 200 body ({"error": ...}) is NOT an exhausted
+            # page: treating it as one would silently truncate the extract.
+            # Only 'data present and empty' means done.
+            if CORRUPT_COL in self.fields:
+                row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
+                return [row], False
+            raise ValueError(f"page payload has no 'data' field: {body[:200]!r}")
+        records = payload["data"] if isinstance(payload, dict) else payload
         rows = [
             tuple(
                 json.dumps(rec) if f == "record" and f not in rec else rec.get(f)

@@ -81,6 +81,23 @@ class FakeApi(BaseHTTPRequestHandler):
                 self._send(200, json.dumps({"data": [_record(2)], "next_cursor": None}))
         elif route == "/empty":
             self._send(200, json.dumps({"data": [], "next_cursor": None}))
+        elif route == "/errorbody":
+            # 200 with an error-shaped body (no 'data' key) after one good page
+            if st[route] == 1:
+                self._send(200, json.dumps({"data": [_record(5)], "next_cursor": "e1"}))
+            else:
+                self._send(200, json.dumps({"error": "quota exceeded"}))
+        elif route == "/filterable":
+            page = int(q.get("page", 0))
+            if "name" in q:  # server-side equality filter
+                recs = (
+                    [_record(i) for i in range(20) if _record(i)["name"] == q["name"]]
+                    if page == 0
+                    else []
+                )
+            else:
+                recs = [_record(i) for i in range(page * 4, (page + 1) * 4)] if page < 5 else []
+            self._send(200, json.dumps({"data": recs, "next_cursor": None}))
         elif route == "/malformed":
             self._send(200, "{this is not json")
         elif route == "/auth":
@@ -178,6 +195,63 @@ def test_auth_header_from_env(spark, api_url, tmp_path, monkeypatch):
                                      max_retries="0")).count()
 
 
+def test_error_shaped_page_lands_in_corrupt_record(spark, api_url, tmp_path):
+    """A 200 response whose body lacks 'data' ({"error": ...}) must not be
+    read as pagination exhaustion — it is captured, not silently dropped."""
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/errorbody", str(tmp_path))
+    raw = pipeline.extract(spark, cfg)
+    assert pipeline.transform(raw, cfg).count() == 1  # the one good record
+    corrupt = pipeline.corrupt_pages(raw).collect()
+    assert len(corrupt) == 1 and "quota exceeded" in corrupt[0][0]
+
+
+def test_error_shaped_page_raises_without_corrupt_column(spark, api_url):
+    FakeApi.state.clear()
+    pipeline.register_sources(spark)
+    df = (
+        spark.read.format("restapi")
+        .option("base_url", f"{api_url}/errorbody")
+        .option("schema_ddl", "id bigint, name string")
+        .option("max_pages", "3")
+        .load()
+    )
+    with pytest.raises(Exception, match="no 'data' field"):
+        df.collect()
+
+
+def test_equality_filter_pushdown_fetches_fewer_pages(spark, api_url):
+    """SURVEY.md SS4 source pushdown: an equality predicate on a declared
+    pushable column becomes an API query param, so the filtered extract
+    fetches fewer pages AND transfers only matching records."""
+    pipeline.register_sources(spark)
+
+    def read():
+        return (
+            spark.read.format("restapi")
+            .option("base_url", f"{api_url}/filterable")
+            .option("schema_ddl", "id bigint, name string")
+            .option("mode", "offset")
+            .option("num_partitions", "1")
+            .option("max_pages", "5")
+            .option("pushable_params", "name")
+            .load()
+        )
+
+    FakeApi.state.clear()
+    assert read().count() == 20
+    unfiltered_requests = FakeApi.state["/filterable"]
+    assert unfiltered_requests == 5
+
+    FakeApi.state.clear()
+    got = read().filter(F.col("name") == "rec7").collect()
+    assert [(r.id, r.name) for r in got] == [(7, "rec7")]
+    filtered_requests = FakeApi.state["/filterable"]
+    assert filtered_requests < unfiltered_requests, (
+        f"pushdown did not reduce page fetches: {filtered_requests}"
+    )
+
+
 def test_key_sanitization_nested(spark):
     df = spark.createDataFrame(
         [(1, {"a": 2})],
@@ -186,6 +260,33 @@ def test_key_sanitization_nested(spark):
     out = sanitize_field_names(df)
     assert out.columns == ["bad_key", "_meta"]
     assert out.schema["_meta"].dataType.fieldNames() == ["a"]
+
+
+def test_env_file_inline_comments_stripped(tmp_path):
+    env_file = tmp_path / ".env"
+    env_file.write_text(
+        "A=val # trailing comment\n"
+        "B='val # kept'  # quoted values protect literal #\n"
+        "C=plain#notcomment\n"
+        "D= # only a comment\n"
+    )
+    parsed = envconf.parse_env_file(env_file)
+    assert parsed == {"A": "val", "B": "val # kept", "C": "plain#notcomment", "D": ""}
+
+
+def test_docsink_within_batch_dedup_is_deterministic(spark, tmp_path):
+    """Duplicate keys with different payloads inside ONE batch: the surviving
+    row must be a pure function of the data (content-hash tiebreak), not of
+    shuffle order — re-running the same batch keeps the same row."""
+    rows = [(1, "x"), (1, "y"), (1, "z"), (2, "a")]
+    df = spark.createDataFrame(rows, "id bigint, payload string")
+    winners = []
+    for d in ("s1", "s2"):
+        docsink.write_collection(df, str(tmp_path / d), "c", key_col="id")
+        got = docsink.read_collection(spark, str(tmp_path / d), "c")
+        winners.append(sorted((r.id, r.payload) for r in got.collect()))
+    assert winners[0] == winners[1]
+    assert len(winners[0]) == 2
 
 
 def test_end_to_end_upsert_idempotent(spark, api_url, tmp_path):

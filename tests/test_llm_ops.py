@@ -109,14 +109,18 @@ def test_lsh_topk_approximates_brute_force(spark):
 
 
 def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """A3 accuracy bound: HLL++ at rsd=0.02 must land within 3x the
+    configured relative standard deviation of the exact count (measured
+    error on the fixtures is ~0.5-1%)."""
+    rsd = 0.02
     l = load_table(spark, sf_dir, "lineitem")
     row = (
         l.agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.approx_count_distinct("l_partkey", rsd).alias("approx"),
             F.countDistinct("l_partkey").alias("exact"),
         ).collect()[0]
     )
-    assert abs(row.approx - row.exact) / row.exact < 0.1
+    assert abs(row.approx - row.exact) / row.exact <= 3 * rsd
 
 
 def test_id_generation_unique(spark, sf_dir):
@@ -126,3 +130,67 @@ def test_id_generation_unique(spark, sf_dir):
     n = df.count()
     assert df.select("row_id").distinct().count() == n
     assert df.select("name_xxhash").distinct().count() == df.select("c_custkey").distinct().count()
+
+
+def test_hot_shingle_df_cap_bounds_candidates(spark):
+    """Adversarial: one shingle present in EVERY doc must not connect the
+    corpus pairwise — the DF cap drops it before the postings join, so the
+    candidate count is 0, not n*(n-1)/2."""
+    n = 60
+    rows = [(i, f"common boiler plate unique{i}a unique{i}b unique{i}c") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    posts = D.shingle_postings(df)
+    capped = D.df_capped_postings(posts)
+    assert capped.where(F.col("shingle") == "common boiler plate").count() == 0
+    a, b = capped.alias("a"), capped.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+    )
+    assert cands.count() == 0
+    # and rare shingles survive untouched
+    assert capped.count() == posts.where(F.col("shingle") != "common boiler plate").count()
+
+
+def test_simhash_banding_finds_twins_corpus_wide(spark, docs_with_twins):
+    """The banded variant needs no blocking frame: identical docs agree on
+    every band, so every planted twin is found corpus-wide."""
+    sh = D.simhash(docs_with_twins)
+    pairs = D.simhash_banded_pairs(sh, bands=7, max_hamming=0).toPandas()
+    found = set(zip(pairs.doc_id_1, pairs.doc_id_2))
+    n_docs = docs_with_twins.count() // 2
+    missing = [(i, i + OFFSET) for i in range(n_docs) if (i, i + OFFSET) not in found]
+    assert not missing, f"banded simhash missed twins: {missing[:5]}"
+    # recall >= the blocked variant at the same radius (banding sees the
+    # whole corpus; blocking only within-source pairs)
+    blocking = docs_with_twins.select("doc_id", F.col("source").alias("block"))
+    blocked = D.simhash_near_pairs(sh, blocking, max_hamming=0).toPandas()
+    assert set(zip(blocked.doc_id_1, blocked.doc_id_2)) <= found
+
+
+def test_simhash_banding_exact_within_pigeonhole_radius(spark):
+    """max_hamming < bands => every qualifying pair shares a full band
+    (pigeonhole), so banded output == brute-force hamming join exactly."""
+    d = load_table(spark, SMOKE_SF, "documents")
+    sh = D.simhash(d)
+    banded = D.simhash_banded_pairs(sh, bands=7, max_hamming=3).toPandas()
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh_1"))
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh_2"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .toPandas()
+    )
+    key = lambda p: sorted(map(tuple, p[["doc_id_1", "doc_id_2", "hamming"]].values.tolist()))
+    assert key(banded) == key(brute)

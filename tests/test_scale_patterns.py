@@ -22,30 +22,24 @@ def _physical_plan(df) -> str:
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-bucketed tables on the join key => SortMergeJoin with ZERO
     Exchange operators (the 100 TB fact-fact join strategy in DESIGN.md)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bucketing
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}/wh'")
     try:
         orders = load_table(spark, SF, "orders")
         lineitem = load_table(spark, SF, "lineitem")
-        (
-            orders.write.mode("overwrite")
-            .bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .saveAsTable("bucketdemo.orders_b")
-        )
-        (
-            lineitem.write.mode("overwrite")
-            .bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .saveAsTable("bucketdemo.lineitem_b")
-        )
+        bucketing.write_bucketed(orders, "bucketdemo.orders_b", "o_orderkey", n_buckets=8)
+        bucketing.write_bucketed(lineitem, "bucketdemo.lineitem_b", "l_orderkey", n_buckets=8)
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             joined = (
-                spark.table("bucketdemo.lineitem_b")
-                .join(
-                    spark.table("bucketdemo.orders_b"),
-                    F.col("l_orderkey") == F.col("o_orderkey"),
+                bucketing.bucketed_join(
+                    spark,
+                    "bucketdemo.lineitem_b",
+                    "bucketdemo.orders_b",
+                    "l_orderkey",
+                    "o_orderkey",
                 )
                 .groupBy("o_orderstatus")
                 .agg(F.count(F.lit(1)).alias("cnt"))
@@ -126,3 +120,41 @@ def test_streaming_foreachbatch_into_docsink(spark, tmp_path):
     landed = docsink.read_collection(spark, str(tmp_path / "sink"), "events_raw")
     assert landed.count() == load_table(spark, SF, "events").count()
     assert "ingested_at" in landed.columns
+
+
+def test_cosine_near_pairs_never_collects_corpus(spark, monkeypatch):
+    """The tiled block-GEMM near-dup must be fully distributed: a corpus too
+    big for any single node still runs. Asserted by making every driver-side
+    materialization path (collect / toLocalIterator / broadcast) explode —
+    the operator must build, shuffle, and reduce entirely on executors."""
+    import pyspark.sql
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+        cosine_near_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    expected = cosine_near_pairs(emb, threshold=0.35).count()
+
+    def boom(*a, **kw):
+        raise AssertionError("driver-side corpus materialization")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toLocalIterator", boom)
+    monkeypatch.setattr(spark.sparkContext, "broadcast", boom)
+    got = cosine_near_pairs(emb, threshold=0.35, n_blocks=3)
+    assert got.count() == expected and expected > 0
+
+
+def test_cosine_near_pairs_block_count_invariant(spark):
+    """Tiling is an execution detail: every n_blocks must return the exact
+    same pair set (each unordered id pair lives in exactly one tile)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+        cosine_near_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = sorted(map(tuple, cosine_near_pairs(emb, 0.35, n_blocks=1).collect()))
+    for nb in (2, 5):
+        got = sorted(map(tuple, cosine_near_pairs(emb, 0.35, n_blocks=nb).collect()))
+        assert got == base
