@@ -203,7 +203,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_banded_pairs(
-    sh: DataFrame, bands: int = 7, max_hamming: int = 3
+    sh: DataFrame, bands: int = 4, max_hamming: int = 3, max_bucket: int | None = None
 ) -> DataFrame:
     """Full-corpus SimHash near-dup pairs — no caller-provided blocking.
 
@@ -213,13 +213,30 @@ def simhash_banded_pairs(
     collisions, never n^2. Pigeonhole guarantee: two hashes within
     ``max_hamming`` differing bits agree exactly on >=1 whole band whenever
     ``max_hamming < bands``, so in that regime (the near-dup regime) recall
-    is exact; beyond it banding is approximate. The join carries only doc
-    ids; simhash values are re-attached afterwards for the Hamming filter.
+    is exact; beyond it banding is approximate. Fewer bands = wider
+    segments = sharper buckets (15-bit segments collide ~10x less than
+    9-bit on the fixture corpus), so use the smallest ``bands`` that is
+    still > ``max_hamming``.
+
+    Unlike vectors, a simhash is ONE long — carrying it through the bucket
+    join costs 8 bytes/row, so the join emits (id, hash) pairs directly and
+    nothing is re-joined; the Hamming filter runs BEFORE the pair dedup,
+    shrinking the dropDuplicates input from all bucket collisions to actual
+    near-dups. The upstream simhash aggregation is evaluated once per join
+    side instead of three times.
+
+    ``max_bucket`` is the 100 TB degenerate-bucket guard (same stance as
+    MinHash hot bands, DESIGN.md): a segment value shared by more docs than
+    this cannot discriminate, and its bucket alone would contribute
+    O(bucket^2) candidates. Capped buckets are dropped entirely — recall
+    inside the pigeonhole radius is then no longer exact, which is the
+    documented trade; None (default) keeps exactness.
     """
     bits_per = 63 // bands
     mask = (1 << bits_per) - 1
     segs = sh.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -229,25 +246,30 @@ def simhash_banded_pairs(
             )
         ).alias("band", "segment"),
     )
-    a = segs.select(F.col("doc_id").alias("doc_id_1"), "band", "segment")
-    b = segs.select(F.col("doc_id").alias("doc_id_2"), "band", "segment")
-    cand = (
+    if max_bucket is not None:
+        cold = (
+            segs.groupBy("band", "segment")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band", "segment")
+        )
+        segs = segs.join(cold, ["band", "segment"], "semi")
+    a = segs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh_1"), "band", "segment"
+    )
+    b = segs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh_2"), "band", "segment"
+    )
+    return (
         a.join(b, ["band", "segment"])
         .where(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2")
-        .dropDuplicates()
-    )
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh_1"))
-    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh_2"))
-    return (
-        cand.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
         .select(
             "doc_id_1",
             "doc_id_2",
             F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
 
 

@@ -194,3 +194,19 @@ def test_simhash_banding_exact_within_pigeonhole_radius(spark):
     )
     key = lambda p: sorted(map(tuple, p[["doc_id_1", "doc_id_2", "hamming"]].values.tolist()))
     assert key(banded) == key(brute)
+
+
+def test_simhash_banding_hot_bucket_cap(spark, docs_with_twins):
+    """max_bucket drops degenerate buckets (the 100 TB skew guard) but a
+    generous cap keeps all planted twins: identical docs still collide in
+    every surviving band."""
+    sh = D.simhash(docs_with_twins)
+    n = docs_with_twins.count()
+    capped = D.simhash_banded_pairs(sh, bands=4, max_hamming=0, max_bucket=n).toPandas()
+    found = set(zip(capped.doc_id_1, capped.doc_id_2))
+    n_docs = n // 2
+    missing = [(i, i + OFFSET) for i in range(n_docs) if (i, i + OFFSET) not in found]
+    assert not missing, f"cap at corpus size must change nothing: {missing[:5]}"
+    # a tiny cap must strictly shrink the candidate surface, never grow it
+    tiny = D.simhash_banded_pairs(sh, bands=4, max_hamming=0, max_bucket=2).toPandas()
+    assert set(zip(tiny.doc_id_1, tiny.doc_id_2)) <= found
