@@ -61,7 +61,10 @@ def shingle_postings(
 
 
 def df_capped_postings(
-    postings: DataFrame, max_df_num: int = 1, max_df_den: int = 10
+    postings: DataFrame,
+    max_df_num: int = 1,
+    max_df_den: int = 10,
+    n_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Drop hot shingles: postings whose shingle appears in more than
     ``max_df_num/max_df_den`` of all posted documents are removed.
@@ -72,15 +75,26 @@ def df_capped_postings(
     the cap, any single shingle contributes at most (n * num/den)^2 / 2
     pairs. The comparison is pure integer arithmetic (df * den <= n * num)
     so an oracle in another engine reproduces the cutoff bit-exactly; the
-    corpus size is a 1-row broadcast, not a driver-side count."""
-    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    ndocs = postings.agg(F.count_distinct("doc_id").alias("__n"))
-    cold = (
-        dfreq.crossJoin(F.broadcast(ndocs))
+    corpus size is a 1-row broadcast, not a driver-side count.
+
+    The document frequency comes from a window count over shingle — ONE
+    pass over postings (shingling is an explode + window pipeline; a
+    groupBy + semi-join formulation would re-evaluate that whole subtree
+    two more times). Pass ``n_docs`` (any 1-row frame whose first column is
+    the corpus size — e.g. ``docs.agg(count(*))``, a parquet metadata-only
+    count) to keep the denominator off the postings subtree too; without it
+    the denominator is the count of posted docs, derived from postings."""
+    if n_docs is None:
+        n_docs = postings.agg(F.count_distinct("doc_id").alias("__n"))
+    else:
+        n_docs = n_docs.select(F.col(n_docs.columns[0]).alias("__n"))
+    w = Window.partitionBy("shingle")
+    return (
+        postings.withColumn("__df", F.count(F.lit(1)).over(w))
+        .crossJoin(F.broadcast(n_docs))
         .where(F.col("__df") * max_df_den <= F.col("__n") * max_df_num)
-        .select("shingle")
+        .drop("__df", "__n")
     )
-    return postings.join(cold, "shingle", "semi")
 
 
 def minhash_signatures(
@@ -148,21 +162,26 @@ def jaccard_verify(
     """Exact Jaccard on candidate pairs via posting-list join (set
     semantics): |inter| counted by joining each pair's postings on the
     shingle, |union| = n1 + n2 - |inter|. Candidate pairs are few, so the
-    pair frame broadcasts and the postings never reshuffle per pair."""
-    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    p1 = postings.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    p2 = postings.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    inter = (
+    pair frame broadcasts and the postings never reshuffle per pair.
+
+    Set sizes ride along as a window count over doc_id and come out of the
+    intersection aggregate via first() — a separate sizes aggregate plus
+    two re-joins would re-evaluate the whole shingle pipeline (explode +
+    window + dedup) two more times; this shape evaluates postings exactly
+    twice (the unavoidable two sides of the intersection join)."""
+    w = Window.partitionBy("doc_id")
+    p = postings.withColumn("__n", F.count(F.lit(1)).over(w))
+    p1 = p.select(F.col("doc_id").alias("doc_id_1"), "shingle", F.col("__n").alias("n1"))
+    p2 = p.select(F.col("doc_id").alias("doc_id_2"), "shingle", F.col("__n").alias("n2"))
+    return (
         pairs.join(p1, "doc_id_1")
         .join(p2, ["doc_id_2", "shingle"])
         .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_shingles").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_shingles").alias("n2"))
-    return (
-        inter.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
         .select(
             "doc_id_1",
             "doc_id_2",

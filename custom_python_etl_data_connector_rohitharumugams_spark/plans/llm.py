@@ -187,7 +187,7 @@ def llm_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS shingle
         FROM documents
     ),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
     cold AS (
         SELECT t.doc_id, t.source, t.shingle
         FROM toks t
@@ -218,14 +218,21 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |union| = n1 + n2 - inter. No per-pair array ops — pair cost is
     proportional to actual overlap among informative shingles, which is how
     this survives at corpus scale. The oracle reproduces the identical
-    integer-arithmetic cutoff (df * 10 <= n_docs)."""
+    integer-arithmetic cutoff (df * 10 <= n_docs); the denominator is the
+    corpus row count (metadata-only on parquet), keeping the cap from
+    re-evaluating the shingle pipeline."""
     d = load_table(spark, sf_dir, "documents")
-    posts = D.df_capped_postings(D.shingle_postings(d)).join(
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
+    posts = D.df_capped_postings(D.shingle_postings(d), n_docs=n_docs).join(
         d.select("doc_id", "source"), "doc_id"
     )
-    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = posts.alias("a"), posts.alias("b")
-    inter = (
+    # per-doc set size rides along as a window count and is recovered with
+    # first() after the intersection groupBy — a separate sizes aggregate
+    # plus two re-joins would re-evaluate the shingle pipeline twice more
+    w = Window.partitionBy("doc_id")
+    sized = posts.withColumn("__n", F.count(F.lit(1)).over(w))
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
@@ -233,13 +240,11 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_shingles").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_shingles").alias("n2"))
-    return (
-        inter.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.__n")).alias("n1"),
+            F.first(F.col("b.__n")).alias("n2"),
+        )
         .select(
             "doc_id_1",
             "doc_id_2",
