@@ -83,6 +83,11 @@ INVENTORY: dict[str, str] = {
     "L3": "similarity search",
     "L4": "text analysis",
     "L5": "multimodal columns",
+    "L6": "document chunking",
+    "L7": "sequence packing",
+    "L8": "PII scrubbing",
+    "L9": "benchmark decontamination",
+    "L10": "stratified train/val split",
 }
 
 #: operator ids whose primary coverage is the pytest suite (non-query

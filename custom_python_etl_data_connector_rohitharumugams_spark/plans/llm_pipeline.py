@@ -1,0 +1,291 @@
+"""Training-data pipeline extensions (SURVEY.md SS2.10 L6-L10): the
+operations a 100 TB LLM-corpus build needs between raw documents and
+training shards — chunking, sequence packing, PII scrubbing, benchmark
+decontamination, and deterministic train/val splitting.
+
+All five are pure JVM DataFrame compositions (no Python in the data path)
+with exact DuckDB oracles. Cross-engine determinism notes:
+
+- random assignment is NEVER used: splits and benchmark membership derive
+  from md5(doc_id) — `conv(substr(md5(x),1,8),16,10)` in Spark equals
+  `CAST('0x' || substr(md5(x),1,8) AS BIGINT)` in DuckDB, so the oracle
+  reproduces the split bit-exactly (xxhash64 would be engine-specific);
+- regexes stay inside the RE2 AND java.util.regex common subset (character
+  classes, bounded repetition, \\b) — no lookaround, no backrefs;
+- packing is per-source contiguous fill, not global greedy: a global pack
+  is a sequential chain (one partition at 100 TB), while per-shard packing
+  is how real corpus builds parallelize — each source packs independently
+  under one window, so the plan is one shuffle on source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+PACK_BUDGET = 2048
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{3}-[0-9]{4}\b"
+
+
+def _md5_bucket(col, mod: int):
+    """Engine-portable integer hash in [0, mod): first 8 md5 hex digits."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % mod
+
+
+@query(
+    "llm_chunk_documents",
+    tags=("L6", "F5"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, k.k AS chunk_id,
+               array_to_string(list_slice(t, k.k * {CHUNK_STRIDE} + 1,
+                                             k.k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ') AS chunk
+        FROM toks, LATERAL (
+            SELECT unnest(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS k
+        ) k
+    )
+    SELECT doc_id, chunk_id,
+           len(string_split(chunk, ' ')) AS n_tokens,
+           md5(chunk) AS chunk_md5
+    FROM chunks
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 64-token chunks every 48 tokens
+    (16-token overlap), the standard pre-training/RAG shaping step. One
+    narrow projection + posexplode — no shuffle at all until a consumer
+    aggregates; chunk identity is md5(chunk text) so the oracle compares
+    content without hauling chunk bodies through the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ks = F.sequence(F.lit(0), ((F.size(toks) - 1) / CHUNK_STRIDE).cast("bigint"))
+    chunked = d.select(
+        "doc_id",
+        F.explode(ks).alias("chunk_id"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice(F.col("t"), (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), CHUNK_SIZE)
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split(F.col("chunk"), " ")).alias("n_tokens"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "llm_sequence_packing",
+    tags=("L7", "W3"),
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // {PACK_BUDGET} AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill_ratio
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing into {PACK_BUDGET}-token training bins,
+    per source shard: a doc's bin is the exclusive running token total
+    integer-divided by the budget. Per-shard (not global) packing is the
+    distributed design — each source packs under one window partition, so
+    the whole operator is one shuffle on source; a global greedy pack would
+    serialize the corpus through one partition."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "source",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET).alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / PACK_BUDGET, 4).alias("fill_ratio"),
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    tags=("L8", "F1"),
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id, source,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+                   AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, source, text,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM enriched
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS docs_redacted,
+           SUM(n_emails) AS total_emails,
+           SUM(n_phones) AS total_phones,
+           SUM(len(text) - len(clean)) AS chars_removed
+    FROM scrubbed
+    GROUP BY source
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing report: redact emails and phone numbers, count
+    redactions per source shard. The fixture corpus carries no PII, so a
+    deterministic injection (derived from doc_id, mirrored in the oracle)
+    makes the redaction path observable end to end. Regexes are in the
+    RE2/Java common subset; all scanning is JVM regexp — no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = enriched.select(
+        "source",
+        "text",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("n_emails") + F.col("n_phones")) > 0).cast("bigint")).alias("docs_redacted"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(F.length("text") - F.length("clean")).alias("chars_removed"),
+    )
+
+
+@query(
+    "llm_benchmark_overlap",
+    tags=("L9", "J4"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2]))))
+                   AS shingle
+        FROM documents
+    ),
+    bench AS (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+           COUNT(*) AS shared_shingles
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def llm_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >= 2 distinct
+    3-gram shingles with any held-out benchmark document (membership is
+    doc_id % 97 = 0 — deterministic, oracle-reproducible). Inverted-index
+    join on the shingle — candidate cost tracks real shingle collisions,
+    never corpus x benchmark. At 100 TB the benchmark side is tiny and its
+    postings broadcast; flagged docs are then dropped or quarantined."""
+    from ..operators.dedup import shingle_postings
+
+    d = load_table(spark, sf_dir, "documents")
+    posts = shingle_postings(d, shingle_n=3)
+    bench = posts.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("benchmark_id"), "shingle"
+    )
+    corpus = posts.where(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= 2)
+    )
+
+
+@query(
+    "llm_stratified_split",
+    tags=("L10", "F8"),
+    oracle="""
+    WITH tagged AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM tagged
+    GROUP BY source, split
+    """,
+)
+def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split, stratified per source shard:
+    membership is a pure function of doc_id (md5 prefix mod 100), so the
+    split is reproducible across runs, engines, and scale factors — never
+    rand(). Re-running the pipeline yields byte-identical shard rosters,
+    which is what makes corpus builds auditable."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.when(_md5_bucket(F.col("doc_id"), 100) < 90, "train").otherwise("val").alias("split"),
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -56,7 +56,6 @@ _PRIORITY: tuple[str, ...] = (
     # core scan/projection/filter/agg/sort + connector landings
     "pricing_summary",              # S5 P1 P2 A1 O1
     "connector_json_landing",       # S6 P4 P5
-    "connector_csv_landing",        # S6 P5
     "analytics_unshipped_revenue_top10",  # J1 J3 A1 O2 W4
     # join family
     "join_full_outer_nation_balance",     # J2 F4
@@ -73,17 +72,14 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_weighted_avg_price",            # A7 U2
     # window family
     "window_rank_customers_by_balance",   # W1
-    "window_event_gaps",                  # W2
     "window_running_revenue",             # W3
     "window_topk_orders_per_segment",     # W4 O2
-    # order/set/dedup family
-    "sort_top100_lineitems",              # O1 O2
+    # order/set/dedup family (W2 rides stream_session_windows; O1 on
+    # pricing_summary — evicted variants stay pytest-parity-covered)
     "setop_union_priority_extremes",      # O3
     "setop_intersect_repeat_customers",   # O4
-    "dedup_exact_status_pairs",           # O5
     # scalar function families
     "scalar_string_part_report",          # F1
-    "scalar_date_order_report",           # F2
     "scalar_math_lineitem_report",        # F3
     "scalar_conditional_customer_report", # F4
     "scalar_array_embedding_report",      # F5
@@ -107,6 +103,12 @@ _PRIORITY: tuple[str, ...] = (
     "llm_ngram_jaccard_pairs",            # L2 J1 F5
     "llm_cosine_topk",                    # L3 J8 W4 F5
     "llm_embedding_near_dup",             # L2 L3
+    # training-data pipeline extensions
+    "llm_chunk_documents",                # L6 F5
+    "llm_sequence_packing",               # L7 W3
+    "llm_pii_scrub",                      # L8 F1
+    "llm_benchmark_overlap",              # L9 J4
+    "llm_stratified_split",               # L10 F8
     # rows-only-by-design runs last inside the window
     "agg_approx_distinct_parts",          # A3
     "llm_minhash_near_dup",               # L2
@@ -146,6 +148,7 @@ def _load_all() -> None:
         composed,
         connector_queries,
         llm,
+        llm_pipeline,
         relational,
         scalar,
         sqlapi,

@@ -1,0 +1,83 @@
+"""Invariant tests for the training-data pipeline extensions (L6-L10).
+Value correctness is the DuckDB parity mirror (test_oracle_parity); these
+assert the structural properties parity cannot see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+from custom_python_etl_data_connector_rohitharumugams_spark.plans.llm_pipeline import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    PACK_BUDGET,
+)
+
+SMOKE_SF = "/root/testdata/sf0.001"
+QS = all_queries()
+
+
+def test_chunking_covers_every_token_without_gaps(spark):
+    """Chunk count per doc must equal floor((n_tokens-1)/stride)+1 — the
+    sliding window reaches the last token — and no chunk exceeds the size."""
+    chunks = QS["llm_chunk_documents"].fn(spark, SMOKE_SF)
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.max("n_tokens").alias("max_chunk")
+    )
+    bad = (
+        per_doc.join(docs, "doc_id")
+        .where(
+            (F.col("n_chunks") != F.floor((F.col("n_tokens") - 1) / CHUNK_STRIDE) + 1)
+            | (F.col("max_chunk") > CHUNK_SIZE)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_packing_bins_are_contiguous_and_bounded(spark):
+    """Every bin holds <= budget + its largest doc (contiguous fill can
+    overflow only by the straddling doc), and bin ids per source are a
+    gapless 0..max sequence."""
+    bins = QS["llm_sequence_packing"].fn(spark, SMOKE_SF).cache()
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet").select(
+        F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    max_doc = docs.agg(F.max("n_tokens")).collect()[0][0]
+    assert bins.where(F.col("total_tokens") > PACK_BUDGET + max_doc).count() == 0
+    seq = bins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"), (F.max("bin_id") + 1).alias("expect")
+    )
+    assert seq.where(F.col("n_bins") != F.col("expect")).count() == 0
+    bins.unpersist()
+
+
+def test_split_is_deterministic_and_roughly_90_10(spark):
+    r1 = QS["llm_stratified_split"].fn(spark, SMOKE_SF).toPandas()
+    r2 = QS["llm_stratified_split"].fn(spark, SMOKE_SF).toPandas()
+    key = lambda p: sorted(map(tuple, p.values.tolist()))
+    assert key(r1) == key(r2)
+    totals = r1.groupby("split")["n_docs"].sum()
+    frac = totals.get("val", 0) / totals.sum()
+    assert 0.03 < frac < 0.20, f"val fraction {frac} implausible for a 90/10 split"
+
+
+def test_benchmark_overlap_never_flags_benchmark_docs(spark):
+    ov = QS["llm_benchmark_overlap"].fn(spark, SMOKE_SF)
+    assert ov.where(F.col("doc_id") % 97 == 0).count() == 0
+    assert ov.where(F.col("benchmark_id") % 97 != 0).count() == 0
+
+
+def test_pii_scrub_counts_reconcile(spark):
+    """Injected PII is fully counted: total emails == docs with id%7==0,
+    phones == id%11==0 (the fixture corpus itself carries none)."""
+    rep = QS["llm_pii_scrub"].fn(spark, SMOKE_SF).toPandas()
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    n7 = docs.where(F.col("doc_id") % 7 == 0).count()
+    n11 = docs.where(F.col("doc_id") % 11 == 0).count()
+    assert rep.total_emails.sum() == n7
+    assert rep.total_phones.sum() == n11
+    assert (rep.chars_removed >= 0).all()
