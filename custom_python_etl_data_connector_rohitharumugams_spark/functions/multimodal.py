@@ -95,3 +95,50 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 yield _fake_decode_batch(pdf)
 
     return src.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Video-style frame sampling over the media convention: each payload
+    splits into ``n_frames`` contiguous byte ranges ("frames"), one output
+    row per frame — a 1->N Arrow batch expansion, the shape a real
+    frame-extractor (ffmpeg/decord) produces. The fake extractor is
+    deterministic byte slicing + md5, so the whole Python path gets a full
+    oracle; payload bytes never leave the executors."""
+    import hashlib
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col("media.data").alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, fids, sizes, digests = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["data"]):
+                n = len(payload)
+                for k in range(n_frames):
+                    lo, hi = k * n // n_frames, (k + 1) * n // n_frames
+                    frame = payload[lo:hi]
+                    ids.append(doc_id)
+                    fids.append(k)
+                    sizes.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_md5": digests,
+                }
+            )
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -72,6 +72,7 @@ INVENTORY: dict[str, str] = {
     "T5": "streaming dedup",
     "T6": "arbitrary stateful op",
     "T7": "stream-static join",
+    "T8": "stream-stream interval join",
     # 2.9 UDF surface
     "U1": "scalar Python UDF",
     "U2": "vectorized (pandas) UDF",

@@ -415,3 +415,32 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison covers the batch plumbing end to end)."""
     d = M.attach_media(load_table(spark, sf_dir, "documents"))
     return M.decode_media(d)
+
+
+@query(
+    "multimodal_frame_sample",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, k.k AS frame_id,
+               substr(text, (k.k * len(text)) // 4 + 1,
+                      ((k.k + 1) * len(text)) // 4 - (k.k * len(text)) // 4)
+                   AS frame
+        FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT doc_id,
+           CAST(frame_id AS INT)   AS frame_id,
+           CAST(len(frame) AS BIGINT) AS n_bytes,
+           md5(frame)              AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: every media payload expands to 4 frame
+    rows inside one Arrow-batched mapInPandas (the 1->N batch shape a real
+    ffmpeg extractor produces). The fake extractor is contiguous byte
+    slicing + md5; the fixture text is ASCII, so the oracle reproduces the
+    byte ranges with substr and the comparison covers the Python expansion
+    path end to end."""
+    d = M.attach_media(load_table(spark, sf_dir, "documents"))
+    return M.sample_frames(d, n_frames=4)

@@ -84,7 +84,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_conditional_customer_report", # F4
     "scalar_array_embedding_report",      # F5
     "scalar_map_event_totals",            # F6 F7
-    "scalar_json_event_stats",            # F7
     "scalar_hash_customer_keys",          # F8
     # streaming batch-equivalents
     "stream_tumbling_event_counts",       # T1
@@ -92,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_windows",             # T3
     "stream_dedup_user_event_types",      # T5
     "stream_static_join_enrichment",      # T7
+    "stream_stream_interval_join",        # T8 J6
     # UDF mechanisms + multimodal
     "udf_scalar_name_clean",              # U1
     "udtf_tokenize_part_names",           # U4

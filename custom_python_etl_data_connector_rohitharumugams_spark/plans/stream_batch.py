@@ -158,3 +158,38 @@ def stream_static_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    tags=("T8", "J6"),
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(*) AS n_clicks,
+           ROUND(SUM(c.value), 2) AS total_click_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1, 2
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 batch form: purchases joined to the same user's clicks in the
+    preceding 30 minutes, aggregated per purchase. The join itself is
+    streaming/ops.click_purchase_join — the identical plan runs under two
+    watermarked readStreams in tests/test_streaming.py, where the
+    event-time range condition is what bounds the join state."""
+    from ..streaming.ops import click_purchase_join
+
+    e = load_table(spark, sf_dir, "events")
+    joined = click_purchase_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("click_value"), 2).alias("total_click_value"),
+    )

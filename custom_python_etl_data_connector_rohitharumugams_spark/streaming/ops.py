@@ -154,3 +154,42 @@ def running_purchase_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def click_purchase_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    watermark: str = "1 hour",
+    lookback: str = "30 minutes",
+) -> DataFrame:
+    """T8 stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback`` window.
+
+    Both sides are watermarked and the join condition carries an explicit
+    event-time range, which is what lets Structured Streaming bound the
+    join state: a buffered click can be dropped once the purchase-side
+    watermark passes click.ts + lookback. Without the range the state
+    grows forever — THE sizing rule for stream-stream joins at 100 TB.
+    On batch frames withWatermark is a no-op and the identical plan is the
+    oracle (tests/test_streaming.py).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select(
+        "purchase_id", "user_id", "p_ts", "purchase_value", "click_id", "c_ts", "click_value"
+    )

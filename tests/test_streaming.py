@@ -218,3 +218,30 @@ def test_stream_static_join(spark, replay_dir, tmp_path):
         .toPandas()
     )
     assert _sorted(got) == _sorted(batch)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, replay_dir, tmp_path):
+    """T8: the watermarked two-stream interval join under availableNow
+    replay emits exactly the batch join's rows (inner join + event-time
+    range => append-safe, no late rows can still qualify after the
+    watermark passes purchase_ts)."""
+    purchases = events_stream(spark, replay_dir, max_files_per_trigger=1).where(
+        F.col("event_type") == "purchase"
+    )
+    clicks = events_stream(spark, replay_dir, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    got = run_to_memory(
+        spark,
+        ops.click_purchase_join(purchases, clicks),
+        "t8_out",
+        "append",
+        str(tmp_path / "cp"),
+    )
+    e = load_table(spark, SF, "events")
+    batch = ops.click_purchase_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+    ).toPandas()
+    assert len(batch) > 0
+    assert _sorted(got) == _sorted(batch)
