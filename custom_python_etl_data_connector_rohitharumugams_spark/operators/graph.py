@@ -1,0 +1,70 @@
+"""Connected components over a pair/edge frame (dedup clustering).
+
+Near-dup detection emits PAIRS; deleting duplicates needs CLUSTERS —
+transitively closed groups with one keeper each (A~B and B~C must collapse
+to one survivor even when A~C was never directly detected). This is the
+standard last step of a corpus dedup pipeline.
+
+Algorithm: iterative minimum-label propagation. Every vertex starts
+labeled with itself; each round every vertex takes the min of its own and
+its neighbors' labels; converged when no label changes. Rounds needed =
+graph diameter, and near-dup clusters are shallow (a handful of hops), so
+3-5 rounds close real corpora. Each round is one shuffle-join + one
+aggregate — all data stays distributed; the driver sees only the one-row
+convergence count per round. Lineage is cut with localCheckpoint between
+rounds (at cluster scale, a checkpoint dir on the DFS does the same job);
+without it the plan doubles every iteration and Catalyst re-plans the
+whole history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex of the undirected ``edges`` graph with the
+    smallest vertex id in its component. Returns (vertex, component).
+
+    Vertices are those appearing in any edge; isolated docs (no near-dup
+    edge) are their own component by definition and never enter the graph,
+    so callers left-join the result back onto the corpus.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select("a").distinct().select(
+        F.col("a").alias("vertex"), F.col("a").alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__improved"),
+            )
+            .localCheckpoint()
+        )
+        changed = proposed.where(F.col("__improved")).limit(1).count()
+        labels = proposed.drop("__improved")
+        if changed == 0:
+            break
+    return labels

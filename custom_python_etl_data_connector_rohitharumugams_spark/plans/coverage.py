@@ -89,6 +89,7 @@ INVENTORY: dict[str, str] = {
     "L8": "PII scrubbing",
     "L9": "benchmark decontamination",
     "L10": "stratified train/val split",
+    "L11": "dedup clustering (connected components)",
 }
 
 #: operator ids whose primary coverage is the pytest suite (non-query

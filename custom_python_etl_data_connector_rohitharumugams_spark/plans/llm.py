@@ -173,10 +173,9 @@ def llm_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "llm_ngram_jaccard_pairs",
-    tags=("L2", "J1", "F5"),
-    oracle="""
+#: DF-capped exact 3-gram Jaccard pairs in DuckDB — also embedded as the
+#: edge set of the dedup-clustering oracle (plans/llm_pipeline.py)
+NGRAM_JACCARD_SQL = """
     WITH toks AS (
         SELECT doc_id, source,
                unnest(list_distinct(list_transform(
@@ -208,8 +207,10 @@ def llm_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes s1 ON s1.doc_id = inter.doc_id_1
     JOIN sizes s2 ON s2.doc_id = inter.doc_id_2
-    """,
-)
+"""
+
+
+@query("llm_ngram_jaccard_pairs", tags=("L2", "J1", "F5"), oracle=NGRAM_JACCARD_SQL)
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index join: explode shingles into
     postings, DF-cap hot shingles (a shingle in >10% of docs is boilerplate

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .llm import NGRAM_JACCARD_SQL
 from .registry import query
 
 CHUNK_SIZE = 64
@@ -289,3 +290,43 @@ def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "llm_dedup_clusters",
+    tags=("L11", "L2"),
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_id_1, doc_id_2 FROM ({NGRAM_JACCARD_SQL}) WHERE jaccard >= 0.6
+    ),
+    sym AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+        UNION ALL
+        SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: transitive closure of the near-dup pair graph
+    (3-gram Jaccard >= 0.6), each doc labeled with its cluster's smallest
+    id — the keeper. Pairs alone cannot drive deletion: A~B and B~C must
+    collapse to ONE survivor even when A~C was never directly compared.
+
+    Distributed iterative min-label propagation (operators/graph.py):
+    rounds = component diameter (shallow for near-dup graphs), one
+    shuffle-join per round, lineage cut between rounds. The oracle is the
+    same closure as a DuckDB recursive CTE — an iterative Spark algorithm
+    checked exactly against a recursive SQL fixpoint."""
+    from ..operators.graph import connected_components
+    from .llm import llm_ngram_jaccard_pairs
+
+    pairs = llm_ngram_jaccard_pairs(spark, sf_dir).where(F.col("jaccard") >= 0.6)
+    comps = connected_components(pairs)
+    return comps.select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))

@@ -81,7 +81,6 @@ _PRIORITY: tuple[str, ...] = (
     # scalar function families
     "scalar_string_part_report",          # F1
     "scalar_math_lineitem_report",        # F3
-    "scalar_conditional_customer_report", # F4
     "scalar_array_embedding_report",      # F5
     "scalar_map_event_totals",            # F6 F7
     "scalar_hash_customer_keys",          # F8
@@ -109,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_pii_scrub",                      # L8 F1
     "llm_benchmark_overlap",              # L9 J4
     "llm_stratified_split",               # L10 F8
+    "llm_dedup_clusters",                 # L11 L2 (F4 rides join_full_outer)
     # rows-only-by-design runs last inside the window
     "agg_approx_distinct_parts",          # A3
     "llm_minhash_near_dup",               # L2

@@ -81,3 +81,45 @@ def test_pii_scrub_counts_reconcile(spark):
     assert rep.total_emails.sum() == n7
     assert rep.total_phones.sum() == n11
     assert (rep.chars_removed >= 0).all()
+
+
+def test_connected_components_chains_and_cycles(spark):
+    """Multi-hop chains collapse to one component (A-B, B-C, C-D => all
+    labeled A) and cycles terminate; two disjoint components stay apart."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain
+         (10, 11), (11, 12), (12, 10),  # cycle
+         (4, 1)],                       # extra cycle edge inside chain
+        "doc_id_1 bigint, doc_id_2 bigint",
+    )
+    got = {
+        (r.vertex, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_dedup_clusters_label_twin_pairs_together(spark):
+    """Every planted exact twin lands in its twin's cluster: run the
+    clustering over near-dup pairs of the twinned corpus."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
+        connected_components,
+    )
+    d = spark.read.parquet(f"{SMOKE_SF}/documents.parquet").select("doc_id", "text")
+    twins = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    # exact-duplicate pairs as edges: same md5 => edge (min_id, other_id)
+    h = twins.select("doc_id", F.md5("text").alias("dig"))
+    e = (
+        h.alias("a")
+        .join(h.alias("b"), (F.col("a.dig") == F.col("b.dig")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+    )
+    comps = connected_components(e).toPandas()
+    by_vertex = dict(zip(comps.vertex, comps.component))
+    n = d.count()
+    for i in range(n):
+        assert by_vertex.get(i + 100_000) == by_vertex.get(i, i), f"twin {i} split"
