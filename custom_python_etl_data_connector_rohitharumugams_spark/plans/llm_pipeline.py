@@ -1,10 +1,12 @@
-"""Training-data pipeline extensions (SURVEY.md SS2.10 L6-L10): the
+"""Training-data pipeline extensions (SURVEY.md SS2.10 L6-L11): the
 operations a 100 TB LLM-corpus build needs between raw documents and
 training shards — chunking, sequence packing, PII scrubbing, benchmark
-decontamination, and deterministic train/val splitting.
+decontamination, deterministic train/val splitting, dedup clustering,
+and the end-to-end corpus-build composition.
 
-All five are pure JVM DataFrame compositions (no Python in the data path)
-with exact DuckDB oracles. Cross-engine determinism notes:
+All are JVM DataFrame compositions (no Python in the data path) with
+exact DuckDB oracles — including the iterative clustering, whose oracle
+is a recursive CTE. Cross-engine determinism notes:
 
 - random assignment is NEVER used: splits and benchmark membership derive
   from md5(doc_id) — `conv(substr(md5(x),1,8),16,10)` in Spark equals
@@ -330,3 +332,90 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = llm_ngram_jaccard_pairs(spark, sf_dir).where(F.col("jaccard") >= 0.6)
     comps = connected_components(pairs)
     return comps.select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@query(
+    "llm_corpus_build",
+    tags=("L1", "L9", "L10"),
+    oracle="""
+    WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2]))))
+                   AS shingle
+        FROM documents
+    ),
+    contaminated AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 <> 0) c
+        JOIN (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 = 0) b
+          USING (shingle)
+        GROUP BY c.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
+    ),
+    clean AS (
+        SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tokens,
+               CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d
+        JOIN keepers k USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM clean
+    GROUP BY source, split
+    """,
+)
+def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build, end to end in ONE declarative plan: exact dedup
+    (keep the smallest doc_id per distinct text), drop held-out benchmark
+    docs and anything contaminated by them (>= 2 shared 3-gram shingles),
+    then report the deterministic 90/10 stratified split. Every stage is a
+    semi/anti join against a small derived frame — Catalyst pipelines the
+    whole thing; nothing is materialized between stages, which is the point
+    of expressing pipeline steps as composable DataFrames rather than
+    imperative passes over files."""
+    from ..operators.dedup import shingle_postings
+
+    d = load_table(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5("text").alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
+    posts = shingle_postings(d, shingle_n=3)
+    bench = posts.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    contaminated = (
+        posts.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .join(keepers.select("doc_id"), "doc_id", "semi")
+        .join(contaminated, "doc_id", "anti")
+        .select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            F.when(_md5_bucket(F.col("doc_id"), 100) < 90, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+    )
+    return clean.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

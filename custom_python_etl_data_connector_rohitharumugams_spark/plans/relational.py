@@ -473,6 +473,27 @@ def agg_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentiles", tags=("A6",))  # rows-only: t-digest sketch
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 scale path: approx_percentile (mergeable t-digest sketch, bounded
+    memory) over the same groups as the exact query. Engine-specific
+    sketch => rows-only here; tests/test_llm_ops.py bounds its error
+    against the exact percentiles within the declared accuracy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pcs = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pcs.alias("__pcs"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__pcs", 1), 2).alias("median_price_approx"),
+            F.round(F.element_at("__pcs", 2), 2).alias("p90_price_approx"),
+        )
+    )
+
+
 @query("agg_approx_distinct_parts", tags=("A3",))  # no oracle: HLL sketches differ per engine
 def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HLL++) — the 100 TB cardinality path.

@@ -210,3 +210,19 @@ def test_simhash_banding_hot_bucket_cap(spark, docs_with_twins):
     # a tiny cap must strictly shrink the candidate surface, never grow it
     tiny = D.simhash_banded_pairs(sh, bands=4, max_hamming=0, max_bucket=2).toPandas()
     assert set(zip(tiny.doc_id_1, tiny.doc_id_2)) <= found
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """A6 accuracy bound: with accuracy=10000 the t-digest percentile must
+    land within 1% relative error of the exact per-group percentile."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    exact = {
+        r.l_returnflag: (r.median_price, r.p90_price)
+        for r in all_queries()["agg_stats_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = all_queries()["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    for r in approx:
+        em, e90 = exact[r.l_returnflag]
+        assert abs(r.median_price_approx - em) / em <= 0.01
+        assert abs(r.p90_price_approx - e90) / e90 <= 0.01

@@ -77,3 +77,48 @@ def test_union_distinct_equals_set_union(spark, vals):
         set(vals[:half] or [0]) | set(vals[half:] or [0])
     )
     assert got == expect
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-99, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@_SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """SURVEY ranks as-of correctness under ties/duplicates as the #2 risk:
+    arbitrary key/ts multisets (including ts ties on BOTH sides) must
+    reproduce pandas merge_asof backward semantics, with the greatest
+    tiebreak winning among simultaneous right rows."""
+    import pandas as pd
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left_rows)], "k int, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v, i) for i, (k, ts, v) in enumerate(right_rows)]
+        or [(99, 0, 0, 0)],  # empty right: key 99 never matches
+        "k int, ts long, val long, rid long",
+    )
+    got = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  value_cols=["val"], tiebreak="rid")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values(["ts", "lid"]).reset_index(drop=True)
+    rp = right.toPandas().sort_values(["ts", "rid"]).reset_index(drop=True)
+    expect = pd.merge_asof(lp, rp[["k", "ts", "val"]], on="ts", by="k",
+                           direction="backward", allow_exact_matches=True)
+    expect = expect.sort_values("lid").reset_index(drop=True)
+    a = [None if pd.isna(v) else int(v) for v in got["asof_val"]]
+    b = [None if pd.isna(v) else int(v) for v in expect["val"]]
+    assert a == b, f"asof mismatch: {list(zip(a, b))[:5]}"
