@@ -122,3 +122,31 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     a = [None if pd.isna(v) else int(v) for v in got["asof_val"]]
     b = [None if pd.isna(v) else int(v) for v in expect["val"]]
     assert a == b, f"asof mismatch: {list(zip(a, b))[:5]}"
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=20),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(1, 8)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@_SETTINGS
+def test_interval_join_equals_naive_filter(spark, lefts, rights):
+    """The equi-prefix + range-residual interval join (SMJ + filter) must
+    equal the brute-force cross-product filter on arbitrary intervals."""
+    l = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k int, t long, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, s, s + w, i) for i, (k, s, w) in enumerate(rights)],
+        "k int, lo long, hi long, rid long",
+    )
+    smart = l.join(r, (l.k == r.k) & (l.t >= r.lo) & (l.t < r.hi)).select("lid", "rid")
+    naive = (
+        l.crossJoin(r.withColumnRenamed("k", "k2"))
+        .where((F.col("k") == F.col("k2")) & (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .select("lid", "rid")
+    )
+    assert sorted(map(tuple, smart.collect())) == sorted(map(tuple, naive.collect()))

@@ -158,3 +158,15 @@ def test_cosine_near_pairs_block_count_invariant(spark):
     for nb in (2, 5):
         got = sorted(map(tuple, cosine_near_pairs(emb, 0.35, n_blocks=nb).collect()))
         assert got == base
+
+
+def test_orc_roundtrip_preserves_table(spark, tmp_path):
+    """S6 breadth: ORC is a first-class landing format alongside
+    parquet/JSON/CSV — write the customer dim as ORC, read it back, and
+    the frame is byte-identical (schema + every row)."""
+    c = load_table(spark, SF, "customer")
+    path = str(tmp_path / "customer_orc")
+    c.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == c.schema
+    assert back.exceptAll(c).count() == 0 and c.exceptAll(back).count() == 0
