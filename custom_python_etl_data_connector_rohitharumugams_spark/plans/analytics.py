@@ -472,3 +472,72 @@ def analytics_brand_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
+
+
+@query(
+    "analytics_conversion_funnel",
+    tags=("A1", "A5", "W2"),
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id % 10 AS cohort,
+           COUNT(*)            AS n_viewed,
+           COUNT(c.user_id)    AS n_clicked,
+           COUNT(p.user_id)    AS n_converted
+    FROM v
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    GROUP BY cohort
+    """,
+)
+def analytics_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: first view -> first LATER click ->
+    first later-still purchase, per user, rolled up into 10 cohorts. Three
+    filtered min-aggregates chained by semi-equi joins on user_id — every
+    stage shuffles on the SAME key, so at cluster scale the exchanges
+    reuse one partitioning (and co-bucketing events by user_id makes the
+    whole funnel shuffle-free; see operators/bucketing.py)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_converted"),
+        )
+    )
