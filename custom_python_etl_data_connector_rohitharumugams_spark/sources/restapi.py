@@ -70,6 +70,15 @@ class PageRange(InputPartition):
         self.end = end
 
 
+class CursorShard(InputPartition):
+    """One independent cursor chain, scoped to a server-side shard value
+    (key range, tenant, date bucket — whatever the API partitions by)."""
+
+    def __init__(self, param: str, value: str):
+        self.param = param
+        self.value = value
+
+
 def resolve_auth_headers(options: dict) -> dict[str, str]:
     """Build auth headers from ``auth_token`` (pre-resolved) or ``auth_env``.
 
@@ -180,14 +189,27 @@ class RestApiReader(DataSourceReader):
             n = min(self.num_partitions, self.max_pages)
             per = (self.max_pages + n - 1) // n
             return [PageRange(i * per, min((i + 1) * per, self.max_pages)) for i in range(n)]
-        # cursor chains are sequential by construction: one partition
+        # A single cursor chain is sequential by protocol. The scale answer
+        # (DESIGN.md S1-S9) is many independent chains: option
+        # ``shard_param=shard`` + ``shard_values=a,b,c`` plans one partition
+        # per shard value, each walking its own cursor chain with
+        # ``?shard=<value>`` on every page — aggregate throughput scales
+        # with the shard count, each shard keeping its own rate limiter.
+        shard_param = self.options.get("shard_param")
+        shard_values = [
+            v.strip() for v in self.options.get("shard_values", "").split(",") if v.strip()
+        ]
+        if shard_param and shard_values:
+            return [CursorShard(shard_param, v) for v in shard_values]
         return [PageRange(0, self.max_pages)]
 
     # -- execution (runs in executor-side Python workers) ------------------
-    def read(self, partition: PageRange) -> Iterator[tuple]:
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
         client = _HttpClient(self.options, self.auth_headers)
         if self.mode == "offset":
             yield from self._read_offset(client, partition)
+        elif isinstance(partition, CursorShard):
+            yield from self._read_cursor(client, {partition.param: partition.value})
         else:
             yield from self._read_cursor(client)
 
@@ -205,10 +227,12 @@ class RestApiReader(DataSourceReader):
             if done:
                 break
 
-    def _read_cursor(self, client: _HttpClient) -> Iterator[tuple]:
+    def _read_cursor(
+        self, client: _HttpClient, extra_params: dict | None = None
+    ) -> Iterator[tuple]:
         cursor = None
         for _ in range(self.max_pages):
-            params = {"page_size": self.page_size}
+            params = {"page_size": self.page_size, **(extra_params or {})}
             if cursor:
                 params["cursor"] = cursor
             body, payload = client.get_json(self._url(params))

@@ -81,6 +81,15 @@ class FakeApi(BaseHTTPRequestHandler):
                 self._send(200, json.dumps({"data": [_record(2)], "next_cursor": None}))
         elif route == "/empty":
             self._send(200, json.dumps({"data": [], "next_cursor": None}))
+        elif route == "/sharded":
+            # independent 2-page cursor chain per shard: shard s serves ids
+            # [s*10, s*10+3) then [s*10+3, s*10+5)
+            s = int(q["shard"])
+            if q.get("cursor"):
+                data, nxt = [_record(i) for i in range(s * 10 + 3, s * 10 + 5)], None
+            else:
+                data, nxt = [_record(i) for i in range(s * 10, s * 10 + 3)], f"s{s}p2"
+            self._send(200, json.dumps({"data": data, "next_cursor": nxt}))
         elif route == "/errorbody":
             # 200 with an error-shaped body (no 'data' key) after one good page
             if st[route] == 1:
@@ -306,3 +315,25 @@ def test_end_to_end_upsert_idempotent(spark, api_url, tmp_path):
     assert path1.endswith("fake_raw")
     # field names were sanitized on the way in
     assert {"bad_key", "_meta"} <= set(second.columns)
+
+
+def test_sharded_cursor_chains_run_in_parallel_partitions(spark, api_url):
+    """S3 at scale: cursor pagination is sequential per chain, so the
+    connector plans one partition per declared shard value, each walking
+    its own chain — the union must be exactly every shard's pages, and the
+    scan must have as many partitions as shards."""
+    FakeApi.state.clear()
+    pipeline.register_sources(spark)
+    df = (
+        spark.read.format("restapi")
+        .option("base_url", f"{api_url}/sharded")
+        .option("schema_ddl", "id bigint, name string")
+        .option("mode", "cursor")
+        .option("shard_param", "shard")
+        .option("shard_values", "0,1,2")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    got = sorted(r.id for r in df.collect())
+    expect = sorted([i for s in (0, 1, 2) for i in range(s * 10, s * 10 + 5)])
+    assert got == expect
