@@ -41,7 +41,15 @@ def bucketed_join(
     With matching bucket counts the physical plan contains NO Exchange on
     either join side (bucket pruning + per-bucket sorted merge); the test
     suite asserts this property rather than trusting it.
+
+    When both tables use the SAME key name (the common co-bucketing case,
+    e.g. events and profiles both on user_id) the join uses the name-list
+    form so the output carries ONE coalesced key column — an expression
+    join would emit two identically-named columns and every downstream
+    name reference would be ambiguous.
     """
     left = spark.table(left_table)
     right = spark.table(right_table)
+    if left_key == right_key:
+        return left.join(right, [left_key])
     return left.join(right, left[left_key] == right[right_key])

@@ -46,6 +46,7 @@ def connected_components(
         F.col("a").alias("vertex"), F.col("a").alias("component")
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.vertex)
@@ -66,5 +67,13 @@ def connected_components(
         changed = proposed.where(F.col("__improved")).limit(1).count()
         labels = proposed.drop("__improved")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning non-minimal labels would silently split one true
+        # cluster into several (dedup then keeps extra copies) — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise it"
+        )
     return labels

@@ -41,6 +41,56 @@ def _md5_bucket(col, mod: int):
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % mod
 
 
+# -- benchmark decontamination: ONE definition of the rule -------------------
+# (benchmark membership, shingle width, and shared-shingle threshold are
+# consumed by llm_benchmark_overlap AND llm_corpus_build, in both the Spark
+# plans and the oracles — a drifted copy would silently desynchronize the
+# corpus build from the overlap report)
+BENCH_MODULUS = 97
+CONTAMINATION_MIN_SHARED = 2
+
+#: DuckDB CTE block ending in contaminated_pairs(doc_id, benchmark_id,
+#: shared_shingles); prepend inside a WITH list.
+CONTAMINATION_CTES = f"""
+    toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2]))))
+                   AS shingle
+        FROM documents
+    ),
+    contaminated_pairs AS (
+        SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+               COUNT(*) AS shared_shingles
+        FROM (SELECT doc_id, shingle FROM toks WHERE doc_id % {BENCH_MODULUS} <> 0) c
+        JOIN (SELECT doc_id, shingle FROM toks WHERE doc_id % {BENCH_MODULUS} = 0) b
+          USING (shingle)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {CONTAMINATION_MIN_SHARED}
+    )
+"""
+
+
+def contamination_pairs(posts: DataFrame) -> DataFrame:
+    """(doc_id, benchmark_id, shared_shingles) for every corpus doc sharing
+    >= CONTAMINATION_MIN_SHARED distinct shingles with a benchmark doc
+    (membership: doc_id % BENCH_MODULUS == 0). The benchmark side is tiny
+    by construction, so its postings broadcast."""
+    bench = posts.where(F.col("doc_id") % BENCH_MODULUS == 0).select(
+        F.col("doc_id").alias("benchmark_id"), "shingle"
+    )
+    corpus = posts.where(F.col("doc_id") % BENCH_MODULUS != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= CONTAMINATION_MIN_SHARED)
+    )
+
+
 @query(
     "llm_chunk_documents",
     tags=("L6", "F5"),
@@ -214,24 +264,9 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_benchmark_overlap",
     tags=("L9", "J4"),
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, len(string_split(text, ' ')) - 1),
-                   i -> concat_ws(' ', string_split(text, ' ')[i],
-                                       string_split(text, ' ')[i + 1],
-                                       string_split(text, ' ')[i + 2]))))
-                   AS shingle
-        FROM documents
-    ),
-    bench AS (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 = 0),
-    corpus AS (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 <> 0)
-    SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
-           COUNT(*) AS shared_shingles
-    FROM corpus c JOIN bench b USING (shingle)
-    GROUP BY 1, 2
-    HAVING COUNT(*) >= 2
+    oracle=f"""
+    WITH {CONTAMINATION_CTES}
+    SELECT doc_id, benchmark_id, shared_shingles FROM contaminated_pairs
     """,
 )
 def llm_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,22 +274,12 @@ def llm_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles with any held-out benchmark document (membership is
     doc_id % 97 = 0 — deterministic, oracle-reproducible). Inverted-index
     join on the shingle — candidate cost tracks real shingle collisions,
-    never corpus x benchmark. At 100 TB the benchmark side is tiny and its
-    postings broadcast; flagged docs are then dropped or quarantined."""
+    never corpus x benchmark; flagged docs are then dropped or
+    quarantined (llm_corpus_build consumes the same rule)."""
     from ..operators.dedup import shingle_postings
 
     d = load_table(spark, sf_dir, "documents")
-    posts = shingle_postings(d, shingle_n=3)
-    bench = posts.where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("benchmark_id"), "shingle"
-    )
-    corpus = posts.where(F.col("doc_id") % 97 != 0)
-    return (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id", "benchmark_id")
-        .agg(F.count(F.lit(1)).alias("shared_shingles"))
-        .where(F.col("shared_shingles") >= 2)
-    )
+    return contamination_pairs(shingle_postings(d, shingle_n=3))
 
 
 @query(
@@ -337,28 +362,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_corpus_build",
     tags=("L1", "L9", "L10"),
-    oracle="""
-    WITH keepers AS (
+    oracle=f"""
+    WITH {CONTAMINATION_CTES},
+    keepers AS (
         SELECT MIN(doc_id) AS doc_id
         FROM documents GROUP BY md5(text)
-    ),
-    toks AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, len(string_split(text, ' ')) - 1),
-                   i -> concat_ws(' ', string_split(text, ' ')[i],
-                                       string_split(text, ' ')[i + 1],
-                                       string_split(text, ' ')[i + 2]))))
-                   AS shingle
-        FROM documents
-    ),
-    contaminated AS (
-        SELECT c.doc_id
-        FROM (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 <> 0) c
-        JOIN (SELECT doc_id, shingle FROM toks WHERE doc_id % 97 = 0) b
-          USING (shingle)
-        GROUP BY c.doc_id, b.doc_id
-        HAVING COUNT(*) >= 2
     ),
     clean AS (
         SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tokens,
@@ -367,8 +375,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'train' ELSE 'val' END AS split
         FROM documents d
         JOIN keepers k USING (doc_id)
-        WHERE d.doc_id % 97 <> 0
-          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        WHERE d.doc_id % {BENCH_MODULUS} <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated_pairs)
     )
     SELECT source, split,
            COUNT(*) AS n_docs,
@@ -390,21 +398,11 @@ def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     keepers = d.groupBy(F.md5("text").alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
-    posts = shingle_postings(d, shingle_n=3)
-    bench = posts.where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
-    )
     contaminated = (
-        posts.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("__shared"))
-        .where(F.col("__shared") >= 2)
-        .select("doc_id")
-        .distinct()
+        contamination_pairs(shingle_postings(d, shingle_n=3)).select("doc_id").distinct()
     )
     clean = (
-        d.where(F.col("doc_id") % 97 != 0)
+        d.where(F.col("doc_id") % BENCH_MODULUS != 0)
         .join(keepers.select("doc_id"), "doc_id", "semi")
         .join(contaminated, "doc_id", "anti")
         .select(

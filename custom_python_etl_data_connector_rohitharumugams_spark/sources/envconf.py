@@ -23,10 +23,18 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
         key, _, val = line.partition("=")
         key, val = key.strip(), val.strip()
         if val[:1] in ("'", '"') and val.find(val[0], 1) != -1:
-            # quoted value: take up to the matching close quote; anything
-            # after (e.g. an inline comment) is discarded. Quoting protects
-            # a literal '#'.
-            val = val[1 : val.find(val[0], 1)]
+            # quoted value: the LAST matching quote closes it (an inner
+            # quote as in PASSWORD='it's-secret' must not truncate the
+            # credential), provided anything after it is only an inline
+            # comment. Quoting protects a literal '#'.
+            close = val.rfind(val[0])
+            trailer = val[close + 1 :].strip()
+            if trailer == "" or trailer.startswith("#"):
+                val = val[1:close]
+            else:  # quote char inside an unquoted-looking value: keep as-is
+                hash_at = val.find(" #")
+                if hash_at != -1:
+                    val = val[:hash_at].rstrip()
         else:
             # dotenv semantics: an unquoted value ends at a whitespace-led
             # '#' (inline comment)

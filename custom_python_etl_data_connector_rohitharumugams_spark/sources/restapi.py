@@ -178,6 +178,10 @@ class RestApiReader(DataSourceReader):
                 isinstance(f, EqualTo)
                 and len(f.attribute) == 1
                 and f.attribute[0] in self.pushable
+                and f.attribute[0] not in self.pushed_params  # two EqualTo on
+                # one column: accepting both would overwrite the first and
+                # Spark would drop BOTH from post-scan evaluation — push the
+                # first, hand the second back to Spark
                 and isinstance(f.value, (str, int, float, bool))
             ):
                 self.pushed_params[f.attribute[0]] = f.value
@@ -252,12 +256,14 @@ class RestApiReader(DataSourceReader):
                 return [row], False
             raise ValueError(f"malformed JSON page (no {CORRUPT_COL} column declared)")
         if isinstance(payload, dict) and "data" not in payload:
-            # An error-shaped 200 body ({"error": ...}) is NOT an exhausted
-            # page: treating it as one would silently truncate the extract.
-            # Only 'data present and empty' means done.
+            # An error-shaped 200 body ({"error": ...}) is NOT silently
+            # swallowed as an exhausted page (that would truncate the
+            # extract with no signal) — but it DOES end this partition's
+            # fetching: record one corrupt row and stop, instead of
+            # hammering an already-erroring API once per remaining page.
             if CORRUPT_COL in self.fields:
                 row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
-                return [row], False
+                return [row], True
             raise ValueError(f"page payload has no 'data' field: {body[:200]!r}")
         records = payload["data"] if isinstance(payload, dict) else payload
         rows = [

@@ -337,3 +337,55 @@ def test_sharded_cursor_chains_run_in_parallel_partitions(spark, api_url):
     got = sorted(r.id for r in df.collect())
     expect = sorted([i for s in (0, 1, 2) for i in range(s * 10, s * 10 + 5)])
     assert got == expect
+
+
+def test_env_value_with_inner_quote_not_truncated(tmp_path):
+    env_file = tmp_path / ".env"
+    env_file.write_text(
+        "A='it's-secret'\n"
+        "B=\"pa\"ss\"\n"
+        "C='val # kept' # trailing comment\n"
+    )
+    parsed = envconf.parse_env_file(env_file)
+    assert parsed == {"A": "it's-secret", "B": 'pa"ss', "C": "val # kept"}
+
+
+def test_conflicting_pushed_filters_return_empty(spark, api_url):
+    """Two EqualTo filters on one pushable column are contradictory; only
+    one can be pushed, the other must stay Spark-side so the conjunction
+    still evaluates to zero rows (not the pushed value's rows)."""
+    FakeApi.state.clear()
+    pipeline.register_sources(spark)
+    df = (
+        spark.read.format("restapi")
+        .option("base_url", f"{api_url}/filterable")
+        .option("schema_ddl", "id bigint, name string")
+        .option("mode", "offset")
+        .option("num_partitions", "1")
+        .option("max_pages", "5")
+        .option("pushable_params", "name")
+        .load()
+    )
+    got = df.filter(F.col("name") == "rec7").filter(F.col("name") == "rec8").collect()
+    assert got == []
+
+
+def test_error_body_in_offset_mode_stops_partition(spark, api_url):
+    """An error-shaped 200 body ends the partition after ONE corrupt row —
+    it must not emit a duplicate per remaining page nor keep hitting the
+    erroring API."""
+    FakeApi.state.clear()
+    pipeline.register_sources(spark)
+    df = (
+        spark.read.format("restapi")
+        .option("base_url", f"{api_url}/errorbody")
+        .option("schema_ddl", "id bigint, name string, _corrupt_record string")
+        .option("mode", "offset")
+        .option("num_partitions", "1")
+        .option("max_pages", "10")
+        .load()
+    )
+    rows = df.collect()
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1
+    assert FakeApi.state["/errorbody"] == 2  # one good page + the error page

@@ -170,3 +170,20 @@ def test_orc_roundtrip_preserves_table(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == c.schema
     assert back.exceptAll(c).count() == 0 and c.exceptAll(back).count() == 0
+
+
+def test_bucketed_join_same_key_name_single_column(spark, tmp_path):
+    """Co-bucketed tables sharing the key NAME must join to one coalesced
+    key column (name-list join) — not two ambiguous ones."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bucketing
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bd2 LOCATION '{tmp_path}/wh2'")
+    try:
+        e = load_table(spark, SF, "events").select("user_id", "value")
+        bucketing.write_bucketed(e, "bd2.a_b", "user_id", n_buckets=4)
+        bucketing.write_bucketed(e, "bd2.b_b", "user_id", n_buckets=4)
+        j = bucketing.bucketed_join(spark, "bd2.a_b", "bd2.b_b", "user_id", "user_id")
+        assert j.columns.count("user_id") == 1
+        j.select("user_id").limit(1).collect()  # would raise on ambiguity
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bd2 CASCADE")
