@@ -81,6 +81,19 @@ class FakeApi(BaseHTTPRequestHandler):
                 self._send(200, json.dumps({"data": [_record(2)], "next_cursor": None}))
         elif route == "/empty":
             self._send(200, json.dumps({"data": [], "next_cursor": None}))
+        elif route == "/growing":
+            # dataset grows between runs: first chain sees 8 records, later
+            # chains see 12; honors ?since= server-side (records strictly
+            # newer) and records the since value it saw for assertions
+            gen_key = "/growing_gens"
+            if not q.get("cursor"):
+                st[gen_key] = st.get(gen_key, 0) + 1
+            n = 8 if st.get(gen_key, 1) == 1 else 12
+            FakeApi.seen_since = q.get("since")
+            recs = [_record(i) for i in range(n)]
+            if q.get("since"):
+                recs = [r for r in recs if r["when"] > q["since"]]
+            self._send(200, json.dumps({"data": recs, "next_cursor": None}))
         elif route == "/sharded":
             # independent 2-page cursor chain per shard: shard s serves ids
             # [s*10, s*10+3) then [s*10+3, s*10+5)
@@ -389,3 +402,22 @@ def test_error_body_in_offset_mode_stops_partition(spark, api_url):
     corrupt = [r for r in rows if r._corrupt_record is not None]
     assert len(corrupt) == 1
     assert FakeApi.state["/errorbody"] == 2  # one good page + the error page
+
+
+def test_incremental_rerun_fetches_only_the_delta(spark, api_url, tmp_path):
+    """Incremental extraction (spec README.md:29 'audits or updates'): the
+    second run passes the landed high-water mark as the API's since param,
+    receives only newer records, and the upsert completes the collection."""
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/growing", str(tmp_path))
+    cfg.since_col = "when"
+    cfg.since_param = "since"
+    pipeline.run_connector(spark, cfg, incremental=True)  # first run: no mark
+    assert FakeApi.seen_since is None
+    first = docsink.read_collection(spark, str(tmp_path), "fake_raw")
+    assert first.count() == 8
+
+    pipeline.run_connector(spark, cfg, incremental=True)  # delta run
+    assert FakeApi.seen_since == "2024-01-08T00:00:00"  # max when of ids 0..7
+    full = docsink.read_collection(spark, str(tmp_path), "fake_raw")
+    assert sorted(r.id for r in full.select("id").collect()) == list(range(12))
