@@ -109,11 +109,16 @@ def write_collection(
     try:
         touched = [r[0] for r in stamped.select(BUCKET_COL).distinct().collect()]
         existing = (
-            spark.read.parquet(path)
+            # mergeSchema: batches may evolve (a connector adds a field);
+            # older files simply lack the column and read as NULL
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
             .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
             .withColumn("__is_new", F.lit(0))
         )
-        merged = stamped.withColumn("__is_new", F.lit(1)).unionByName(existing)
+        merged = stamped.withColumn("__is_new", F.lit(1)).unionByName(
+            existing, allowMissingColumns=True
+        )
         w = Window.partitionBy(key_col).orderBy(
             F.col(INGESTED_COL).desc(), F.col("__is_new").desc()
         )
@@ -139,4 +144,48 @@ def write_collection(
 
 
 def read_collection(spark: SparkSession, base_dir: str, collection: str) -> DataFrame:
-    return spark.read.parquet(_collection_path(base_dir, collection)).drop(BUCKET_COL)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_collection_path(base_dir, collection))
+        .drop(BUCKET_COL)
+    )
+
+
+def compact_collection(spark: SparkSession, base_dir: str, collection: str) -> int:
+    """Rewrite the collection to ~one file per bucket; returns the file count.
+
+    Every upsert leaves one new file per touched bucket, so a frequently
+    re-run connector accumulates small files until scans are dominated by
+    open/seek cost — the classic lakehouse small-file problem. Compaction
+    is the same dynamic-partition-overwrite write the upsert uses, with the
+    rows repartitioned by bucket first so each bucket directory ends up
+    with a single file. Row content (including ``ingested_at``) is
+    preserved exactly; at 100 TB this runs per-bucket-range on a schedule
+    rather than whole-collection."""
+    path = _collection_path(base_dir, collection)
+    meta = _read_meta(path)
+    n_buckets = int(meta["n_buckets"]) if meta else 16
+    # persist before overwrite: the write's input must not re-read the
+    # files it is replacing mid-job
+    rows = spark.read.option("mergeSchema", "true").parquet(path).persist()
+    try:
+        rows.count()  # materialize
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                rows.repartition(n_buckets, F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    finally:
+        rows.unpersist()
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -421,3 +421,49 @@ def test_incremental_rerun_fetches_only_the_delta(spark, api_url, tmp_path):
     assert FakeApi.seen_since == "2024-01-08T00:00:00"  # max when of ids 0..7
     full = docsink.read_collection(spark, str(tmp_path), "fake_raw")
     assert sorted(r.id for r in full.select("id").collect()) == list(range(12))
+
+
+def test_docsink_schema_evolution_upsert(spark, tmp_path):
+    """A later batch may carry a new column: upsert must keep old rows
+    (NULL for the new field) and land the evolved rows, and reads see the
+    union schema."""
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, payload string")
+    docsink.write_collection(d1, str(tmp_path), "c", key_col="id")
+    d2 = spark.createDataFrame([(2, "b2", "extra"), (3, "c", "x")],
+                               "id bigint, payload string, tag string")
+    docsink.write_collection(d2, str(tmp_path), "c", key_col="id")
+    got = docsink.read_collection(spark, str(tmp_path), "c")
+    rows = {r.id: (r.payload, r.tag) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "extra"), 3: ("c", "x")}
+
+
+def test_docsink_compaction_shrinks_files_preserves_rows(spark, tmp_path):
+    """Five append-mode batches accumulate one file per bucket per run
+    (the audit-log path; upserts rewrite whole buckets so they self-compact);
+    compaction rewrites to ~one file per bucket with identical content."""
+    import os as _os
+
+    for batch in range(5):
+        df = spark.createDataFrame(
+            [(i, f"v{batch}") for i in range(batch * 4, batch * 4 + 8)],
+            "id bigint, payload string",
+        )
+        docsink.write_collection(
+            df, str(tmp_path), "c", key_col="id", n_buckets=4, mode="append"
+        )
+    before_rows = sorted(
+        map(tuple, docsink.read_collection(spark, str(tmp_path), "c")
+            .select("id", "payload").collect())
+    )
+    path = str(tmp_path / "c")
+    n_files_before = sum(
+        1 for _, _, fs in _os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    n_files_after = docsink.compact_collection(spark, str(tmp_path), "c")
+    assert n_files_after < n_files_before
+    assert n_files_after <= 8  # ~one per bucket (4 buckets)
+    after_rows = sorted(
+        map(tuple, docsink.read_collection(spark, str(tmp_path), "c")
+            .select("id", "payload").collect())
+    )
+    assert after_rows == before_rows
