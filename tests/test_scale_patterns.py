@@ -187,3 +187,31 @@ def test_bucketed_join_same_key_name_single_column(spark, tmp_path):
         j.select("user_id").limit(1).collect()  # would raise on ambiguity
     finally:
         spark.sql("DROP DATABASE IF EXISTS bd2 CASCADE")
+
+
+def test_no_python_in_unexpected_query_plans(spark):
+    """Global 'stay JVM-side' guardrail: compiling every registered query,
+    only operators whose POINT is the Python mechanism (UDF surface,
+    Arrow-batched GEMM/decode) may contain Python evaluation nodes —
+    a Python node sneaking into any other plan is a 10-100x scan-speed
+    regression at 100 TB and fails here before it ships."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    PYTHON_IS_THE_OPERATOR = {
+        "udf_scalar_name_clean", "udaf_weighted_avg_price", "udf_grouped_zscore",
+        "udtf_tokenize_part_names",              # U1-U4: the UDF mechanism itself
+        "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
+        "llm_ann_lsh_topk",                      # mapInPandas hyperplane GEMM
+        "llm_embedding_near_dup",                # applyInPandas tiled GEMM
+        "connector_json_landing", "connector_csv_landing",  # file-source landings
+    }
+    PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "FlatMapGroupsInPandas", "PythonUDTF", "MapInArrow")
+    offenders = {}
+    for name, qd in all_queries().items():
+        df = qd.fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [n for n in PY_NODES if n in plan]
+        if hits and name not in PYTHON_IS_THE_OPERATOR:
+            offenders[name] = hits
+    assert not offenders, f"Python nodes in JVM-only plans: {offenders}"
