@@ -150,15 +150,15 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
         SELECT source, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   // {PACK_BUDGET} AS bin_id
+                   // {PACK_BUDGET} AS BIGINT) AS bin_id
         FROM sized
     )
     SELECT source, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill_ratio
     FROM packed
     GROUP BY source, bin_id
@@ -216,10 +216,10 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS docs_redacted,
-           SUM(n_emails) AS total_emails,
-           SUM(n_phones) AS total_phones,
-           SUM(len(text) - len(clean)) AS chars_removed
+           CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(len(text) - len(clean)) AS BIGINT) AS chars_removed
     FROM scrubbed
     GROUP BY source
     """,
@@ -296,7 +296,7 @@ def llm_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM tagged
     GROUP BY source, split
     """,
@@ -380,7 +380,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM clean
     GROUP BY source, split
     """,

@@ -15,15 +15,24 @@ import pandas as pd
 
 
 def _canon(v):
-    """Canonicalize one cell to an engine-neutral comparable value."""
+    """Canonicalize one cell to an engine-neutral comparable value.
+
+    Numeric values are TYPE-TAGGED: ints become ("i", v) and floats
+    ("f", v), so 123 (Spark bigint) never compares equal to 123.0 (what
+    pandas makes of a DuckDB HUGEINT). The driver's value hash serializes
+    ints and floats differently, so the mirror must too — Python's
+    `123 == 123.0` equality masked exactly this drift in round 2
+    (llm_sequence_packing / llm_pii_scrub / llm_stratified_split)."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", bool(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         if v == 0.0:
-            return 0.0  # collapse -0.0 / +0.0
-        return v
+            return ("f", 0.0)  # collapse -0.0 / +0.0
+        return ("f", v)
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, _dt.date):
@@ -31,16 +40,16 @@ def _canon(v):
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon(x) for x in v)
     if isinstance(v, (int,)):
-        return int(v)
+        return ("i", int(v))
     try:
         import numpy as np
 
         if isinstance(v, np.integer):
-            return int(v)
+            return ("i", int(v))
         if isinstance(v, np.floating):
             return _canon(float(v))
         if isinstance(v, np.bool_):
-            return bool(v)
+            return ("b", bool(v))
     except ImportError:
         pass
     return v

@@ -79,3 +79,40 @@ def test_lsh_topk_handles_non_64_dim_vectors(spark):
 def test_salted_join_rejects_right_outer():
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(None, None, on="k", how="full")
+
+
+def test_parity_mirror_is_numeric_type_strict(duck):
+    """Round-2 driver gate regression: DuckDB SUM(BIGINT) returns HUGEINT,
+    which pandas renders as float64, and the driver's value hash compares
+    123.0 vs Spark's bigint 123 as DIFFERENT. The local mirror must
+    reproduce that strictness — Python's `123 == 123.0` equality must not
+    mask the drift (it did in round 2 for llm_sequence_packing,
+    llm_pii_scrub, llm_stratified_split)."""
+    import pandas as pd
+
+    from .parity import assert_frames_match
+
+    # a deliberate uncast-HUGEINT oracle: pandas dtype comes back float64
+    hugeint = duck.execute("SELECT SUM(x) AS s FROM (VALUES (1), (2)) t(x)").fetchdf()
+    assert hugeint["s"].dtype.kind == "f", "expected DuckDB HUGEINT -> pandas float64"
+    spark_like = pd.DataFrame({"s": pd.array([3], dtype="int64")})
+    with pytest.raises(AssertionError, match="row mismatches"):
+        assert_frames_match(spark_like, hugeint, "hugeint_drift")
+
+    # the CAST(... AS BIGINT) form must pass
+    cast_ok = duck.execute(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)"
+    ).fetchdf()
+    assert_frames_match(spark_like, cast_ok, "hugeint_cast_fixed")
+
+
+def test_parity_mirror_bool_is_not_int():
+    """Driver hashes booleans distinctly from ints; the mirror must too."""
+    import pandas as pd
+
+    from .parity import assert_frames_match
+
+    a = pd.DataFrame({"flag": pd.array([True], dtype="bool")})
+    b = pd.DataFrame({"flag": pd.array([1], dtype="int64")})
+    with pytest.raises(AssertionError, match="row mismatches"):
+        assert_frames_match(a, b, "bool_vs_int")
