@@ -53,6 +53,10 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # lazy checkpoint + one full-scan aggregate = ONE job per round: the
+        # max(__improved) scan materializes every checkpoint partition AND
+        # returns the convergence bit, where an eager checkpoint followed by
+        # a separate probe action paid two driver round-trips per iteration
         proposed = (
             labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
             .select(
@@ -62,11 +66,11 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("__improved"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = proposed.where(F.col("__improved")).limit(1).count()
+        improved = proposed.agg(F.max("__improved").alias("__i")).first()["__i"]
         labels = proposed.drop("__improved")
-        if changed == 0:
+        if not improved:
             converged = True
             break
     if not converged:

@@ -49,9 +49,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # priority list is a minimal set cover: 50 queries whose tag union equals the
 # tag union of the whole registry, so every SURVEY SS2 operator that is
 # driver-checkable gets a CORRECTNESS row. Cheap, broad-coverage queries come
-# first; the expensive rows-only ANN/near-dup runs close the window; the
+# first; the expensive sketch/ANN invariant runs close the window; the
 # remaining (redundant-coverage) queries register afterwards and stay covered
-# by the pytest parity mirror.
+# by the pytest parity mirror. As of round 3 every window entry carries an
+# oracle — the sketch/ANN queries are invariant-form (planted-dup / exact
+# top-k recall booleans the oracle states a priori), so the window has zero
+# rows-only entries.
 _PRIORITY: tuple[str, ...] = (
     # core scan/projection/filter/agg/sort + connector landings
     "pricing_summary",              # S5 P1 P2 A1 O1
@@ -63,7 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_range_price_bands",             # J5
     "join_interval_ship_window",          # J6 F2
     "asof_purchase_last_click",           # J7
-    "join_cross_region_segment",          # J8
+    # (J8 rides llm_cosine_topk's crossJoin; join_cross_region_segment is
+    # pytest-parity-covered)
     # aggregation family
     "agg_distinct_customers_per_status",  # A2
     "agg_rollup_pricing",                 # A4
@@ -78,10 +82,10 @@ _PRIORITY: tuple[str, ...] = (
     # pricing_summary — evicted variants stay pytest-parity-covered)
     "setop_union_priority_extremes",      # O3
     "setop_intersect_repeat_customers",   # O4
-    # scalar function families
+    # scalar function families (F5 rides llm_token_stats_by_lang /
+    # llm_cosine_topk; scalar_array_embedding_report is pytest-covered)
     "scalar_string_part_report",          # F1
     "scalar_math_lineitem_report",        # F3
-    "scalar_array_embedding_report",      # F5
     "scalar_map_event_totals",            # F6 F7
     "scalar_hash_customer_keys",          # F8
     # streaming batch-equivalents
@@ -91,11 +95,13 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_user_event_types",      # T5
     "stream_static_join_enrichment",      # T7
     "stream_stream_interval_join",        # T8 J6
-    # UDF mechanisms + multimodal
+    "stream_running_totals_update_log",   # T6 W3 (stateful processor's
+                                          # update-mode emission log, batch form)
+    # UDF mechanisms + multimodal (multimodal_media_metadata is
+    # pytest-covered; L5/F8 stay covered below)
     "udf_scalar_name_clean",              # U1
     "udtf_tokenize_part_names",           # U4
     "multimodal_decode_features",         # L5 U3
-    "multimodal_media_metadata",          # L5 F8
     # LLM-data operators (oracled)
     "llm_exact_dedup_documents",          # L1 O5 F8
     "llm_token_stats_by_lang",            # L4 A1 F5
@@ -109,7 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_benchmark_overlap",              # L9 J4
     "llm_stratified_split",               # L10 F8
     "llm_dedup_clusters",                 # L11 L2 (F4 rides join_full_outer)
-    # rows-only-by-design runs last inside the window
+    "llm_corpus_build",                   # L1 L9 L10 (flagship e2e pipeline)
+    "llm_hot_shingle_cap",                # L2 A2 (df-cap semantics pinned)
+    # invariant-form sketch/ANN queries run last inside the window
     "agg_approx_distinct_parts",          # A3
     "llm_minhash_near_dup",               # L2
     "llm_simhash_near_dup",               # L2

@@ -343,13 +343,31 @@ def scalar_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("scalar_id_generation", tags=("F8",))  # rows-only: ids are engine-specific
+@query(
+    "scalar_id_generation",
+    tags=("F8",),
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_name) AS n_distinct_hashes,
+           TRUE AS ids_unique
+    FROM customer
+    """,
+)
 def scalar_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 + monotonically_increasing_id surface — engine-specific
-    values (no oracle); pytest asserts uniqueness and stability."""
+    """xxhash64 + monotonically_increasing_id surface in invariant form:
+    the raw values are engine-specific, but their contracts are not —
+    xxhash64 must be injective on the fixture's distinct names (distinct
+    hash count equals the oracle's distinct name count) and generated row
+    ids must be globally unique (distinct id count equals the row count,
+    folded into the ids_unique boolean). pytest additionally asserts
+    per-value stability across runs."""
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.xxhash64("c_name").alias("name_xxhash"),
-        F.monotonically_increasing_id().alias("row_id"),
+    ids = c.select(
+        F.xxhash64("c_name").alias("__h"),
+        F.monotonically_increasing_id().alias("__id"),
+    )
+    return ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("__h").alias("n_distinct_hashes"),
+        (F.count_distinct("__id") == F.count(F.lit(1))).alias("ids_unique"),
     )

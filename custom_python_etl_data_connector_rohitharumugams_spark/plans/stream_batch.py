@@ -193,3 +193,57 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.round(F.sum("click_value"), 2).alias("total_click_value"),
     )
+
+
+@query(
+    "stream_running_totals_update_log",
+    tags=("T6", "W3"),
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS batch_sec,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_batch AS (
+        SELECT user_id, batch_sec,
+               COUNT(*) AS bn, ROUND(SUM(value), 2) AS bt
+        FROM p GROUP BY user_id, batch_sec
+    )
+    SELECT user_id, batch_sec,
+           CAST(SUM(bn) OVER w AS BIGINT) AS n_purchases,
+           ROUND(SUM(bt) OVER w, 2) AS total_spend
+    FROM per_batch
+    WINDOW w AS (PARTITION BY user_id ORDER BY batch_sec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 batch form: the full update-mode emission log of the stateful
+    running-purchase-totals processor (streaming/ops.running_purchase_totals
+    and its transformWithStateInPandas twin) when events replay in hourly
+    micro-batches. Each (user, batch) with >= 1 purchase emits the running
+    count/spend through that batch — exactly what the ValueState holds at
+    each batch boundary — expressed as a cumulative window over per-batch
+    partial aggregates. Per-batch sums are rounded before cumulating so
+    both engines cumulate identical values in the same batch order."""
+    e = load_table(spark, sf_dir, "events")
+    per_batch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("batch_sec"),
+        )
+        .agg(F.count(F.lit(1)).alias("bn"), F.round(F.sum("value"), 2).alias("bt"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("batch_sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_batch.select(
+        "user_id",
+        "batch_sec",
+        F.sum("bn").over(w).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("bt").over(w), 2).alias("total_spend"),
+    )

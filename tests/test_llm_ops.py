@@ -124,12 +124,18 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
 
 
 def test_id_generation_unique(spark, sf_dir):
-    from custom_python_etl_data_connector_rohitharumugams_spark.plans.registry import all_queries
-
-    df = all_queries()["scalar_id_generation"].fn(spark, sf_dir)
+    """Raw id-generation contracts behind the scalar_id_generation
+    invariant query: generated row ids are globally unique and xxhash64 is
+    injective on the fixture's distinct names."""
+    c = load_table(spark, sf_dir, "customer")
+    df = c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xxhash"),
+        F.monotonically_increasing_id().alias("row_id"),
+    )
     n = df.count()
     assert df.select("row_id").distinct().count() == n
-    assert df.select("name_xxhash").distinct().count() == df.select("c_custkey").distinct().count()
+    assert df.select("name_xxhash").distinct().count() == c.select("c_name").distinct().count()
 
 
 def test_hot_shingle_df_cap_bounds_candidates(spark):
@@ -221,8 +227,22 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         r.l_returnflag: (r.median_price, r.p90_price)
         for r in all_queries()["agg_stats_percentiles"].fn(spark, sf_dir).collect()
     }
-    approx = all_queries()["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    l = load_table(spark, sf_dir, "lineitem")
+    apx = F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000))
+    approx = (
+        l.groupBy("l_returnflag")
+        .agg(apx.alias("__a"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__a", 1), 2).alias("median_approx"),
+            F.round(F.element_at("__a", 2), 2).alias("p90_approx"),
+        )
+        .collect()
+    )
     for r in approx:
         em, e90 = exact[r.l_returnflag]
-        assert abs(r.median_price_approx - em) / em <= 0.01
-        assert abs(r.p90_price_approx - e90) / e90 <= 0.01
+        assert abs(r.median_approx - em) / em <= 0.01
+        assert abs(r.p90_approx - e90) / e90 <= 0.01
+    # and the invariant query's self-check booleans must all be true
+    inv = all_queries()["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    assert all(r.approx_ok for r in inv)
