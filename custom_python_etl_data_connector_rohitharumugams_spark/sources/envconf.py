@@ -9,6 +9,7 @@ Hand-rolled parser (no python-dotenv dependency): KEY=VALUE lines, optional
 from __future__ import annotations
 
 import os
+import warnings
 from pathlib import Path
 
 
@@ -31,10 +32,18 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
             trailer = val[close + 1 :].strip()
             if trailer == "" or trailer.startswith("#"):
                 val = val[1:close]
-            else:  # quote char inside an unquoted-looking value: keep as-is
-                hash_at = val.find(" #")
-                if hash_at != -1:
-                    val = val[:hash_at].rstrip()
+            else:
+                # malformed: non-comment text after the closing quote
+                # (KEY='a' 'b', KEY="x" y). Take the FIRST quoted span —
+                # dotenv's behavior — and warn; keeping the quotes and
+                # trailer verbatim would silently hand the API a credential
+                # with quote characters embedded in it.
+                first_close = val.find(val[0], 1)
+                warnings.warn(
+                    f"malformed .env line for key {key!r}: "
+                    "text after the closing quote was ignored"
+                )
+                val = val[1:first_close]
         else:
             # dotenv semantics: an unquoted value ends at a whitespace-led
             # '#' (inline comment)

@@ -151,13 +151,34 @@ def incremental_watermark(spark: SparkSession, cfg: ConnectorConfig) -> str | No
     return wm.isoformat() if hasattr(wm, "isoformat") else str(wm)
 
 
+def _ge_boundary(wm: str) -> str:
+    """Nudge an ISO-8601 watermark back one microsecond so a server with
+    strictly-greater ``since`` semantics re-delivers boundary records.
+
+    A record carrying a timestamp EQUAL to the landed high-water mark that
+    lands upstream after a run would otherwise be skipped forever (the next
+    run asks for ``> wm``). Re-fetching the boundary instant is strictly
+    safer: the key-based upsert makes re-delivery idempotent, so the only
+    cost is the handful of boundary rows on the wire. Unparseable
+    watermarks (opaque server cursors) pass through unchanged — those
+    servers define their own boundary semantics."""
+    import datetime as dt
+
+    try:
+        t = dt.datetime.fromisoformat(wm)
+    except ValueError:
+        return wm
+    return (t - dt.timedelta(microseconds=1)).isoformat()
+
+
 def run_connector(spark: SparkSession, cfg: ConnectorConfig, incremental: bool = False) -> str:
     """Full extract→transform→load; returns the collection path.
 
     ``incremental=True`` (with ``since_col``/``since_param`` configured)
-    asks the API for records strictly newer than the landed high-water
-    mark, so a scheduled re-run transfers only the delta; the key-based
-    upsert keeps re-delivered boundary records idempotent."""
+    asks the API for records newer than the landed high-water mark — with
+    greater-OR-EQUAL boundary semantics (see :func:`_ge_boundary`) — so a
+    scheduled re-run transfers only the delta; the key-based upsert keeps
+    re-delivered boundary records idempotent."""
     if incremental and cfg.since_col and cfg.since_param:
         wm = incremental_watermark(spark, cfg)
         if wm is not None:
@@ -165,7 +186,7 @@ def run_connector(spark: SparkSession, cfg: ConnectorConfig, incremental: bool =
             from dataclasses import replace
 
             sep = "&" if "?" in cfg.base_url else "?"
-            suffix = urllib.parse.urlencode({cfg.since_param: wm})
+            suffix = urllib.parse.urlencode({cfg.since_param: _ge_boundary(wm)})
             cfg = replace(cfg, base_url=f"{cfg.base_url}{sep}{suffix}")
     raw = extract(spark, cfg)
     return load(transform(raw, cfg), cfg)

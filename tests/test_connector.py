@@ -363,6 +363,23 @@ def test_env_value_with_inner_quote_not_truncated(tmp_path):
     assert parsed == {"A": "it's-secret", "B": 'pa"ss', "C": "val # kept"}
 
 
+def test_env_quoted_value_with_noncomment_trailer_takes_first_span(tmp_path):
+    """Malformed-but-common lines with non-comment text after the closing
+    quote (KEY="x" y): the first quoted span wins (dotenv behavior) with a
+    warning — never the quotes and trailer verbatim, which would embed
+    quote chars in a credential. A line that ENDS in a matching quote
+    (A='a' 'b') is indistinguishable from the protected inner-quote case
+    (PASSWORD='it's-secret'), so the last-quote-closes rule keeps it whole."""
+    env_file = tmp_path / ".env"
+    env_file.write_text("B=\"x\" y\nC='tok' extra junk\n")
+    with pytest.warns(UserWarning, match="malformed .env line"):
+        parsed = envconf.parse_env_file(env_file)
+    assert parsed == {"B": "x", "C": "tok"}
+    # the inner-quote rule still wins when the line ends in a matching quote
+    env_file.write_text("A='a' 'b'\n")
+    assert envconf.parse_env_file(env_file) == {"A": "a' 'b"}
+
+
 def test_conflicting_pushed_filters_return_empty(spark, api_url):
     """Two EqualTo filters on one pushable column are contradictory; only
     one can be pushed, the other must stay Spark-side so the conjunction
@@ -406,8 +423,12 @@ def test_error_body_in_offset_mode_stops_partition(spark, api_url):
 
 def test_incremental_rerun_fetches_only_the_delta(spark, api_url, tmp_path):
     """Incremental extraction (spec README.md:29 'audits or updates'): the
-    second run passes the landed high-water mark as the API's since param,
-    receives only newer records, and the upsert completes the collection."""
+    second run passes the landed high-water mark — nudged back one
+    microsecond for greater-or-equal boundary semantics — as the API's
+    since param, receives the delta plus the boundary instant (the server
+    filters strictly-greater, so a record timestamped exactly at the mark
+    that lands late would otherwise be skipped forever), and the upsert
+    keeps the re-delivered boundary rows idempotent."""
     FakeApi.state.clear()
     cfg = _cfg(api_url, "/growing", str(tmp_path))
     cfg.since_col = "when"
@@ -418,9 +439,20 @@ def test_incremental_rerun_fetches_only_the_delta(spark, api_url, tmp_path):
     assert first.count() == 8
 
     pipeline.run_connector(spark, cfg, incremental=True)  # delta run
-    assert FakeApi.seen_since == "2024-01-08T00:00:00"  # max when of ids 0..7
+    # landed max is 2024-01-08T00:00:00 (ids 0..7); the sent since sits one
+    # microsecond EARLIER, so the strictly-greater server re-delivers the
+    # boundary record (id 7) alongside the true delta
+    assert FakeApi.seen_since == "2024-01-07T23:59:59.999999"
     full = docsink.read_collection(spark, str(tmp_path), "fake_raw")
     assert sorted(r.id for r in full.select("id").collect()) == list(range(12))
+    # upsert idempotence: the re-delivered boundary row did not duplicate
+    assert full.where(full.id == 7).count() == 1
+
+
+def test_ge_boundary_parses_and_passes_through():
+    assert pipeline._ge_boundary("2024-01-08T00:00:00") == "2024-01-07T23:59:59.999999"
+    # opaque non-ISO cursors pass through untouched
+    assert pipeline._ge_boundary("cursor-xyz") == "cursor-xyz"
 
 
 def test_docsink_schema_evolution_upsert(spark, tmp_path):

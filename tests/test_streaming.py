@@ -245,3 +245,58 @@ def test_stream_stream_interval_join_equals_batch(spark, replay_dir, tmp_path):
     ).toPandas()
     assert len(batch) > 0
     assert _sorted(got) == _sorted(batch)
+
+
+def test_stateful_resume_from_checkpoint_is_batch_deterministic(spark, tmp_path):
+    """S8 resume contract: stop a stateful query after the first
+    micro-batch, add the remaining slices, restart from the SAME
+    checkpoint. The concatenated emission log must be byte-identical to an
+    uninterrupted replay of all three slices — same batch boundaries, same
+    per-batch state emissions — because the file-source checkpoint pins
+    which files each batch consumed. This is what makes the audits/updates
+    story (reference README.md:29) trustworthy at scale: a restarted job
+    neither reprocesses a landed file nor skips one."""
+    import os
+    import shutil
+
+    full = split_events_for_replay(spark, SF, str(tmp_path / "all_replay"), n_slices=3)
+    src = str(tmp_path / "part_replay")
+    os.makedirs(src)
+    shutil.copy2(f"{full}/slice-0.parquet", f"{src}/slice-0.parquet")
+    cp = str(tmp_path / "cp_resume")
+
+    # memory sinks can't recover from a checkpoint; foreachBatch can, and
+    # also exposes the batch ids so boundary continuity is assertable
+    def run_foreach(source_dir, checkpoint):
+        batches = []
+        q = (
+            ops.running_purchase_totals(
+                events_stream(spark, source_dir, max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append((bid, df.toPandas()))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return batches
+
+    run1 = run_foreach(src, cp)  # only slice-0 exists
+    # slices 1 and 2 land; run 2 resumes from the same checkpoint
+    shutil.copy2(f"{full}/slice-1.parquet", f"{src}/slice-1.parquet")
+    shutil.copy2(f"{full}/slice-2.parquet", f"{src}/slice-2.parquet")
+    run2 = run_foreach(src, cp)
+    # uninterrupted 3-slice replay, fresh checkpoint
+    ref = run_foreach(full, str(tmp_path / "cp_ref"))
+
+    # batch-id continuity: the resumed run picks up at the next batch id —
+    # slice-0's batch is neither reprocessed nor skipped
+    assert [b for b, _ in run1] == [0]
+    assert [b for b, _ in run2] == [1, 2]
+    assert [b for b, _ in ref] == [0, 1, 2]
+    # and the emission log is byte-identical batch by batch
+    for (_, got), (_, want) in zip(run1 + run2, ref):
+        assert _sorted(got) == _sorted(want)
