@@ -17,7 +17,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -31,10 +31,22 @@ def cosine_topk(
 
     Output: query_id, neighbor_id, rank, sim (rounded; ranking is computed on
     the rounded value with id tiebreak so it is engine-reproducible).
+
+    Norms are hoisted to per-row columns BEFORE the join: each vector's
+    norm is one HOF evaluation instead of one per pair (2*Q*N -> Q+N),
+    ~3x less expression work for bit-identical results — the dot product
+    keeps the same sequential double-precision accumulation the oracle's
+    list_reduce performs.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("__qn", norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("__cn", norm(F.col("c_vec")))
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -145,7 +157,7 @@ def ivf_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(list_col).alias("ivf_list")
-    )
+    ).withColumn("__cn", norm(F.col("c_vec")))
     # centroid per list: mean of each dimension, reassembled in dim order
     ex = c.select("ivf_list", F.posexplode("c_vec").alias("pos", "v"))
     cent = (
@@ -158,16 +170,24 @@ def ivf_topk(
             ).alias("centroid")
         )
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # norms hoisted pre-join (see cosine_topk): Q+N HOF evaluations, not 2QN
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("__qn", norm(F.col("q_vec")))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("ivf_list"))
     probed = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "q_vec", "ivf_list", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"))
+        .select(
+            "query_id", "q_vec", "__qn", "ivf_list",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+        )
         .withColumn("__pr", F.row_number().over(probe_w))
         .where(F.col("__pr") <= nprobe)
-        .select("query_id", "q_vec", "ivf_list")
+        .select("query_id", "q_vec", "__qn", "ivf_list")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         probed.join(c, "ivf_list")
@@ -268,14 +288,21 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # norms computed once per re-attached vector row, not per pair
     cand = cand_ids.join(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).withColumn("__qn", norm(F.col("q_vec"))),
         "query_id",
     ).join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ).withColumn("__cn", norm(F.col("c_vec"))),
         "neighbor_id",
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", sim.alias("sim"))

@@ -586,40 +586,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     df AS (SELECT shingle, COUNT(*) AS df FROM posts GROUP BY shingle)
-    SELECT (SELECT COUNT(*) FROM posts)      AS n_postings,
-           (SELECT COUNT(*) FROM df)         AS n_shingles,
-           (SELECT COUNT(*) FROM df, n
-             WHERE df * 100 > n_docs)        AS n_hot_shingles,
-           (SELECT CAST(COALESCE(SUM(df), 0) AS BIGINT) FROM df, n
-             WHERE df * 100 > n_docs)        AS n_postings_dropped
+    SELECT CAST(SUM(df) AS BIGINT) AS n_postings_kept,
+           COUNT(*)                AS n_shingles_kept
+    FROM df, n WHERE df * 100 <= n_docs
     """,
 )
 def llm_hot_shingle_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pins the hot-shingle document-frequency cap — the safety valve that
-    keeps an inverted-index near-dup join from degenerating to n^2 on
-    boilerplate shingles — with an aggressive 1% threshold that actually
-    drops shingles on the fixture corpus (the default 10% cap in
-    llm_ngram_jaccard_pairs rarely fires there). Output: posting/shingle
-    totals plus how many shingles and postings the cap removed, each
-    reproduced by the oracle from the same integer-arithmetic cutoff
-    (df * 100 > n_docs <=> dropped). The before/after stats evaluate the
-    shingle subtree twice — acceptable for an audit report; the production
-    path (df_capped_postings inside a dedup pipeline) is single-pass."""
+    """Pins the hot-shingle document-frequency cap (operators/dedup.py
+    df_capped_postings) — the safety valve that keeps an inverted-index
+    near-dup join from degenerating to n^2 on boilerplate shingles — with
+    an aggressive 1% threshold that actually drops shingles on the fixture
+    corpus (the default 10% cap in llm_ngram_jaccard_pairs rarely fires
+    there). The operator's surviving postings aggregate to kept-side
+    totals the oracle reproduces from the identical integer-arithmetic
+    cutoff (df * 100 <= n_docs): any off-by-one in the cap shifts both
+    numbers and fails the hash. Single evaluation of the shingle subtree;
+    the per-shingle regroup avoids a distinct-aggregate Expand."""
     d = load_table(spark, sf_dir, "documents")
     posts = D.shingle_postings(d)
     n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
     capped = D.df_capped_postings(posts, max_df_num=1, max_df_den=100, n_docs=n_docs)
-    before = posts.agg(
-        F.count(F.lit(1)).alias("n_postings"),
-        F.count_distinct("shingle").alias("n_shingles"),
-    )
-    after = capped.agg(
-        F.count(F.lit(1)).alias("__kept_postings"),
-        F.count_distinct("shingle").alias("__kept_shingles"),
-    )
-    return before.crossJoin(after).select(
-        "n_postings",
-        "n_shingles",
-        (F.col("n_shingles") - F.col("__kept_shingles")).alias("n_hot_shingles"),
-        (F.col("n_postings") - F.col("__kept_postings")).alias("n_postings_dropped"),
+    return (
+        capped.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(
+            F.sum("__df").cast("bigint").alias("n_postings_kept"),
+            F.count(F.lit(1)).alias("n_shingles_kept"),
+        )
     )
