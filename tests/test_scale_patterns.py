@@ -215,3 +215,27 @@ def test_no_python_in_unexpected_query_plans(spark):
         if hits and name not in PYTHON_IS_THE_OPERATOR:
             offenders[name] = hits
     assert not offenders, f"Python nodes in JVM-only plans: {offenders}"
+
+
+def test_invariant_queries_avoid_expand_and_stay_single_pass(spark):
+    """Plan-shape guards for the round-3 invariant queries:
+
+    - agg_approx_distinct_parts must NOT plan an Expand node — mixing the
+      HLL sketch with count_distinct in one aggregate triples scan rows
+      (measured ~3x at sf0.1); the exact side runs as distinct -> count
+      joined back by broadcast;
+    - llm_hot_shingle_cap must evaluate the shingle explode exactly once
+      (one Generate node) — the audit formerly re-ran the whole subtree
+      for before/after stats.
+    """
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    qs = all_queries()
+    a3 = _physical_plan(qs["agg_approx_distinct_parts"].fn(spark, SF))
+    assert "Expand" not in a3, "A3 regressed to the Expand-planning aggregate"
+    assert "BroadcastHashJoin" in a3
+
+    cap = _physical_plan(qs["llm_hot_shingle_cap"].fn(spark, SF))
+    assert cap.count("Generate explode") + cap.count("Generate posexplode") == 1, (
+        "hot-shingle cap should evaluate the shingle explode exactly once"
+    )
