@@ -417,3 +417,201 @@ def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# -- corpus quality / mixing extensions --------------------------------------
+# (the filter & mixing stages a production pre-training build runs between
+# dedup and packing; all JVM expressions with exact DuckDB oracles)
+
+MIN_TOKENS = 50
+MAX_TOKENS = 200
+MIN_AVG_TOKLEN = 3.0
+MAX_AVG_TOKLEN = 10.0
+MIN_DISTINCT_RATIO = 0.5
+
+
+@query(
+    "llm_quality_filter_report",
+    tags=("L4", "A5"),
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_toklen,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens < {MIN_TOKENS} OR n_tokens > {MAX_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
+           CAST(SUM(CASE WHEN n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                          AND (avg_toklen < {MIN_AVG_TOKLEN} OR avg_toklen > {MAX_AVG_TOKLEN})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_toklen_fail,
+           CAST(SUM(CASE WHEN n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                          AND avg_toklen BETWEEN {MIN_AVG_TOKLEN} AND {MAX_AVG_TOKLEN}
+                          AND distinct_ratio < {MIN_DISTINCT_RATIO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lowdiv_fail,
+           CAST(SUM(CASE WHEN n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+                          AND avg_toklen BETWEEN {MIN_AVG_TOKLEN} AND {MAX_AVG_TOKLEN}
+                          AND distinct_ratio >= {MIN_DISTINCT_RATIO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored
+    GROUP BY source
+    """,
+)
+def llm_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gate: token-count bounds, mean token length
+    bounds, vocabulary-diversity floor — each doc attributed to its FIRST
+    failing rule (mutually exclusive counts sum to n_docs), per source
+    shard. All signals are integer-derived doubles computed with the
+    identical expression in both engines, so no rounding is needed for the
+    cutoffs; one projection + one hash aggregate, no shuffle beyond the
+    groupBy. avg token length is derived as (n_chars_of_words / n_tokens)
+    via len(text) - (n_tokens - 1) separators, staying whole-stage-codegen
+    (no second explode of the token array)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    avg_toklen = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_ok = (n_tokens >= MIN_TOKENS) & (n_tokens <= MAX_TOKENS)
+    toklen_ok = (avg_toklen >= MIN_AVG_TOKLEN) & (avg_toklen <= MAX_AVG_TOKLEN)
+    div_ok = distinct_ratio >= MIN_DISTINCT_RATIO
+    scored = d.select(
+        "source",
+        (~len_ok).cast("bigint").alias("__len_fail"),
+        (len_ok & ~toklen_ok).cast("bigint").alias("__toklen_fail"),
+        (len_ok & toklen_ok & ~div_ok).cast("bigint").alias("__lowdiv_fail"),
+        (len_ok & toklen_ok & div_ok).cast("bigint").alias("__kept"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__len_fail").cast("bigint").alias("n_len_fail"),
+        F.sum("__toklen_fail").cast("bigint").alias("n_toklen_fail"),
+        F.sum("__lowdiv_fail").cast("bigint").alias("n_lowdiv_fail"),
+        F.sum("__kept").cast("bigint").alias("n_kept"),
+    )
+
+
+MIXTURE_TOKENS_PER_SOURCE = 1000
+MIXTURE_BUCKETS = 10_000
+
+
+@query(
+    "llm_domain_mixture_plan",
+    tags=("L10", "A1"),
+    oracle=f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    rated AS (
+        SELECT source, avail_tokens,
+               LEAST({MIXTURE_BUCKETS},
+                     {MIXTURE_TOKENS_PER_SOURCE} * {MIXTURE_BUCKETS} // avail_tokens)
+                   AS cutoff
+        FROM avail
+    )
+    SELECT d.source,
+           MIN(r.avail_tokens) AS avail_tokens,
+           CAST(MIN(r.cutoff) AS BIGINT) AS cutoff,
+           CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                              % {MIXTURE_BUCKETS} < r.cutoff
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                              % {MIXTURE_BUCKETS} < r.cutoff
+                         THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+               AS selected_tokens
+    FROM documents d JOIN rated r USING (source)
+    GROUP BY d.source
+    """,
+)
+def llm_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling plan (the Pile/Dolma-style source mixing
+    step): each source gets a token budget; its sampling rate is the
+    integer cutoff budget*BUCKETS // available_tokens over md5(doc_id)
+    buckets, so selection is a pure function of doc_id — reproducible
+    across runs, engines, and scale factors, exactly like the stratified
+    split. Per-source availability is one hash aggregate; the cutoff rides
+    back on a broadcast join (20 rows); selection + the report is a second
+    aggregate. Pure integer arithmetic end to end — no floats anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    avail = d.groupBy("source").agg(F.sum(n_tokens).cast("bigint").alias("avail_tokens"))
+    rated = avail.select(
+        "source",
+        "avail_tokens",
+        F.least(
+            F.lit(MIXTURE_BUCKETS),
+            F.floor(F.lit(MIXTURE_TOKENS_PER_SOURCE * MIXTURE_BUCKETS) / F.col("avail_tokens")),
+        ).cast("bigint").alias("cutoff"),
+    )
+    sel = _md5_bucket(F.col("doc_id"), MIXTURE_BUCKETS) < F.col("cutoff")
+    return (
+        d.join(F.broadcast(rated), "source")
+        .groupBy("source")
+        .agg(
+            F.min("avail_tokens").alias("avail_tokens"),
+            F.min("cutoff").alias("cutoff"),
+            F.sum(sel.cast("bigint")).cast("bigint").alias("n_selected"),
+            F.sum(F.when(sel, n_tokens).otherwise(F.lit(0))).cast("bigint").alias("selected_tokens"),
+        )
+    )
+
+
+REPETITION_MAX_RATIO = 0.2
+
+
+@query(
+    "llm_repetition_filter",
+    tags=("L4", "F5"),
+    oracle=f"""
+    WITH grams AS (
+        SELECT source,
+               len(string_split(text, ' ')) - 1 AS n_bigrams,
+               len(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1]))))
+                   AS n_distinct_bigrams
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN (1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams)
+                              > {REPETITION_MAX_RATIO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           ROUND(AVG(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams), 4)
+               AS avg_rep_ratio
+    FROM grams
+    GROUP BY source
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate (Gopher's duplicated-n-gram rule):
+    a doc whose bigram repetition ratio 1 - |distinct bigrams|/|bigrams|
+    exceeds the threshold is boilerplate/spam-shaped and dropped. Bigrams
+    via one sliding zip of the token array against itself (array HOFs on a
+    ~60-element array — bounded per row, no explode, no shuffle before the
+    per-source aggregate). The per-doc ratio is the identical
+    integer-derived double expression in both engines; only the group AVG
+    is rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bigrams = F.size(toks) - 1
+    rep_ratio = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bigrams
+    grams = d.select("source", rep_ratio.alias("__rep"))
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("__rep") > REPETITION_MAX_RATIO).cast("bigint")).cast("bigint").alias("n_repetitive"),
+        F.round(F.avg("__rep"), 4).alias("avg_rep_ratio"),
+    )
