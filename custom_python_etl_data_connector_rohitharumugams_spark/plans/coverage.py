@@ -90,6 +90,9 @@ INVENTORY: dict[str, str] = {
     "L9": "benchmark decontamination",
     "L10": "stratified train/val split",
     "L11": "dedup clustering (connected components)",
+    "L12": "quality filtering (Gopher/C4-style gate)",
+    "L13": "domain mixture sampling",
+    "L14": "repetition filtering (duplicated n-grams)",
 }
 
 #: operator ids whose primary coverage is the pytest suite (non-query

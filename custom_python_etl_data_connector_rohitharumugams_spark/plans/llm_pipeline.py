@@ -432,7 +432,7 @@ MIN_DISTINCT_RATIO = 0.5
 
 @query(
     "llm_quality_filter_report",
-    tags=("L4", "A5"),
+    tags=("L12", "A5"),
     oracle=f"""
     WITH scored AS (
         SELECT source,
@@ -502,7 +502,7 @@ MIXTURE_BUCKETS = 10_000
 
 @query(
     "llm_domain_mixture_plan",
-    tags=("L10", "A1"),
+    tags=("L13", "A1"),
     oracle=f"""
     WITH avail AS (
         SELECT source,
@@ -568,7 +568,7 @@ REPETITION_MAX_RATIO = 0.2
 
 @query(
     "llm_repetition_filter",
-    tags=("L4", "F5"),
+    tags=("L14", "F5"),
     oracle=f"""
     WITH grams AS (
         SELECT source,

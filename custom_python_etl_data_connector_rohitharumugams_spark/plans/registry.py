@@ -68,16 +68,15 @@ _PRIORITY: tuple[str, ...] = (
     "asof_purchase_last_click",           # J7
     # (J8 rides llm_cosine_topk's crossJoin; join_cross_region_segment is
     # pytest-parity-covered)
-    # aggregation family
-    "agg_distinct_customers_per_status",  # A2
+    # aggregation family (A2 rides llm_hot_shingle_cap, A5 rides
+    # llm_quality_filter_report; evicted variants stay pytest-covered)
     "agg_rollup_pricing",                 # A4
-    "agg_conditional_revenue",            # A5
     "agg_stats_percentiles",              # A6
     "udaf_weighted_avg_price",            # A7 U2
-    # window family
+    # window family (W4/O2 ride llm_cosine_topk and
+    # analytics_unshipped_revenue_top10)
     "window_rank_customers_by_balance",   # W1
     "window_running_revenue",             # W3
-    "window_topk_orders_per_segment",     # W4 O2
     # order/set/dedup family (W2 rides stream_session_windows; O1 on
     # pricing_summary — evicted variants stay pytest-parity-covered)
     "setop_union_priority_extremes",      # O3
@@ -117,6 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_clusters",                 # L11 L2 (F4 rides join_full_outer)
     "llm_corpus_build",                   # L1 L9 L10 (flagship e2e pipeline)
     "llm_hot_shingle_cap",                # L2 A2 (df-cap semantics pinned)
+    "llm_quality_filter_report",          # L12 A5
+    "llm_domain_mixture_plan",            # L13 A1
+    "llm_repetition_filter",              # L14 F5
     # invariant-form sketch/ANN queries run last inside the window
     "agg_approx_distinct_parts",          # A3
     "llm_minhash_near_dup",               # L2
