@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: edges per propagation partition — sized so one partition's join state
+#: (edge rows + the matching label rows) stays comfortably inside a few
+#: hundred MB of executor memory at cluster scale
+_EDGES_PER_PARTITION = 2_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -42,6 +47,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Right-size the iterative phase's parallelism from the measured edge
+    # count. AQE re-plans shuffle widths *within* one job but every
+    # propagation round below is its own action, so the session-wide width
+    # (32 in tests, thousands on a cluster) would be re-paid ~diameter
+    # times even when the near-dup graph is tiny — and it usually is: edges
+    # are the OUTPUT of near-dup detection, orders of magnitude smaller
+    # than the corpus. The count is cheap (sym is already materialized).
+    n_edges = sym.count()
+    n_part = max(1, min(sym.rdd.getNumPartitions(), n_edges // _EDGES_PER_PARTITION + 1))
+    sym = sym.repartition(n_part, "b").localCheckpoint()
     labels = sym.select("a").distinct().select(
         F.col("a").alias("vertex"), F.col("a").alias("component")
     ).localCheckpoint()
