@@ -412,22 +412,31 @@ def _ann_recall_report(exact: DataFrame, ann: DataFrame) -> DataFrame:
     oracle-reproducible) plus recall_ok = |ANN hits in exact top-k| >= 25%
     of the exact set. Measured recall on the driver fixture is ~0.43 (LSH)
     / ~0.42 (IVF, nprobe=3/10), so 0.25 is margin, not tuning. Integer
-    arithmetic (hits * 4 >= n_exact) keeps the cutoff engine-exact."""
-    stats = exact.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum(F.col("neighbor_id") * F.col("rank")).cast("bigint").alias("truth_checksum"),
+    arithmetic (hits * 4 >= n_exact) keeps the cutoff engine-exact.
+
+    Single pass over the exact baseline: the ANN pair set (<= Q*k rows)
+    broadcasts onto a left join and the hit count rides the same aggregate
+    as the stats — a separate stats agg + semi join would evaluate the
+    brute-force Q x N topk subtree twice."""
+    hits = F.broadcast(
+        ann.select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        exact.join(
-            ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "semi"
-        ).agg(F.count(F.lit(1)).alias("__hits"))
-    )
-    return stats.crossJoin(hits).select(
-        "n_queries",
-        "n_exact",
-        "truth_checksum",
-        (F.col("__hits") * 4 >= F.col("n_exact")).alias("recall_ok"),
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.col("neighbor_id") * F.col("rank")).cast("bigint").alias("truth_checksum"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"),
+        )
+        .select(
+            "n_queries",
+            "n_exact",
+            "truth_checksum",
+            (F.col("__hits") * 4 >= F.col("n_exact")).alias("recall_ok"),
+        )
     )
 
 

@@ -13,6 +13,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Static conf — only applies when THIS process launches the JVM (bench,
+#: pytest, CLI). Spark's local-mode default is a 1 GiB driver heap, which on
+#: a 32-thread local[32] run means every shuffle, window buffer, broadcast,
+#: and Arrow batch contends for the same ~1 GiB — measured here as multi-
+#: second GC stalls that turned 2-s queries into 26-s outliers. A real
+#: cluster sizes executor memory explicitly; this is the local-mode
+#: equivalent. Kept separate from ENGINE_CONF because it cannot be applied
+#: to a live session (builder-time only).
+STATIC_CONF: dict[str, str] = {
+    "spark.driver.memory": "64g",
+    "spark.driver.maxResultSize": "4g",
+}
+
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # local[32] stand-in for a multi-executor cluster: one shuffle partition
@@ -41,7 +54,7 @@ def get_spark(app_name: str = "etl-connector-spark", cpus: int | str | None = No
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
-    for k, v in ENGINE_CONF.items():
+    for k, v in {**STATIC_CONF, **ENGINE_CONF}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # If an existing session was reused, re-assert runtime-settable confs.
