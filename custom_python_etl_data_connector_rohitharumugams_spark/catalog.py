@@ -32,10 +32,14 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-standard typing.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it (only) as a
-    nanosecond long under ``legacy.parquet.nanosAsLong``. We convert to
-    TimestampType by integer floor-division to microseconds, which matches
-    DuckDB's ns->us truncation exactly (oracle parity).
+    ``events.ts`` has shipped in two physical shapes across fixture
+    generations: parquet TIMESTAMP(NANOS) (Spark reads it only as a
+    nanosecond long under ``legacy.parquet.nanosAsLong``) and
+    ``timestamp[us]`` with isAdjustedToUTC=false (Spark 4 reads it as
+    TIMESTAMP_NTZ). Both are normalized here — and only here — to
+    TimestampType so every downstream plan sees one type. With the session
+    pinned to UTC, NTZ->TimestampType reinterpretation and ns->us integer
+    truncation both match DuckDB ``epoch()`` exactly (oracle parity).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,6 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div` (not `/`): the ns value exceeds double's 53-bit
             # mantissa, so float division would corrupt low-order digits.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            # timestamp_ntz (or any future variant): session TZ is UTC, so a
+            # plain cast is a pure reinterpretation with no wall-clock shift.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

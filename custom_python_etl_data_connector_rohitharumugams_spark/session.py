@@ -2,9 +2,9 @@
 
 Every knob here is scale-motivated (see SURVEY.md SS4): AQE for runtime
 re-planning/skew handling, Arrow for any Python exchange, UTC pinned for
-cross-engine (DuckDB-oracle) timestamp parity, and nanosAsLong because the
-``events`` fixture carries parquet TIMESTAMP(NANOS) which Spark's vectorized
-reader otherwise rejects (catalog.py converts back to TimestampType).
+cross-engine (DuckDB-oracle) timestamp parity, and nanosAsLong so that a
+TIMESTAMP(NANOS) ``events`` fixture (one of its historical shapes) reads as a
+long instead of erroring (catalog.py normalizes every shape to TimestampType).
 """
 
 from __future__ import annotations
@@ -42,7 +42,9 @@ ENGINE_CONF: dict[str, str] = {
     # default in Spark 4; the REST source turns equality predicates into
     # API query params so filtered extracts fetch fewer pages
     "spark.sql.python.filterPushdown.enabled": "true",
-    # events.parquet is TIMESTAMP(NANOS); read as long then convert (catalog).
+    # events.parquet has shipped as TIMESTAMP(NANOS) in some fixture
+    # generations; read nanos as long then convert (catalog normalizes both
+    # the nanos-long and timestamp_ntz shapes to TimestampType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

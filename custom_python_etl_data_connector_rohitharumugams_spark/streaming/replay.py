@@ -44,8 +44,12 @@ def events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type not in (None, "timestamp"):
+        # timestamp_ntz fixture shape: pure reinterpretation under UTC session
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
