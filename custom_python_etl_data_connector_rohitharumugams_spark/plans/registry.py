@@ -76,9 +76,12 @@ _PRIORITY: tuple[str, ...] = (
     # window family (W4/O2 ride llm_cosine_topk and
     # analytics_unshipped_revenue_top10)
     "window_rank_customers_by_balance",   # W1
+    "window_event_gaps",                  # W2 F2 (dedicated analytic-window
+                                          # row: decouples W2's correctness
+                                          # signal from the streaming family)
     "window_running_revenue",             # W3
-    # order/set/dedup family (W2 rides stream_session_windows; O1 on
-    # pricing_summary — evicted variants stay pytest-parity-covered)
+    # order/set/dedup family (O1 on pricing_summary — evicted variants stay
+    # pytest-parity-covered)
     "setop_union_priority_extremes",      # O3
     "setop_intersect_repeat_customers",   # O4
     # scalar function families (F5 rides llm_token_stats_by_lang /
@@ -106,7 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_token_stats_by_lang",            # L4 A1 F5
     "llm_ngram_jaccard_pairs",            # L2 J1 F5
     "llm_cosine_topk",                    # L3 J8 W4 F5
-    "llm_embedding_near_dup",             # L2 L3
+    # (llm_embedding_near_dup left the window for window_event_gaps: its L2/L3
+    # tags are each carried by 3+ other in-window queries; it stays registered
+    # and pytest-parity-covered)
     # training-data pipeline extensions
     "llm_chunk_documents",                # L6 F5
     "llm_sequence_packing",               # L7 W3

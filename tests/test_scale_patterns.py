@@ -239,3 +239,111 @@ def test_invariant_queries_avoid_expand_and_stay_single_pass(spark):
     assert cap.count("Generate explode") + cap.count("Generate posexplode") == 1, (
         "hot-shingle cap should evaluate the shingle explode exactly once"
     )
+
+
+def test_heavy_neardup_plans_stay_bucketed(spark):
+    """Plan-shape pins for the bench's heaviest queries (VERDICT r3 task 7):
+    the banded/bucketed near-dup family must never plan an all-pairs
+    CartesianProduct — candidate generation is an equi-join on (band, hash)
+    buckets, which at 100 TB is the difference between O(collisions) and
+    O(n^2). llm_cosine_topk is the one documented exact-baseline crossJoin
+    and is excluded deliberately (DESIGN.md; similarity.py)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    qs = all_queries()
+    # near-dup family: zero row-level cross joins allowed anywhere.
+    # ANN recall queries: exactly ONE allowed — the embedded exact Q x N
+    # baseline (bounded query side, broadcast) that the recall invariant is
+    # measured against; their LSH/IVF candidate side must stay bucketed.
+    BUCKETED = {
+        "llm_minhash_near_dup": 0,
+        "llm_simhash_near_dup": 0,
+        "llm_simhash_banded_near_dup": 0,
+        "llm_dedup_clusters": 0,
+        "llm_ngram_jaccard_pairs": 0,
+        "llm_ann_lsh_topk": 1,
+        # IVF: baseline cross + the queries x centroids probe (n_lists rows,
+        # broadcast — the standard IVF structure; Q x n_lists, not Q x N)
+        "llm_ann_ivf_topk": 2,
+    }
+    def _scalar_children_only(plan: str) -> list[str]:
+        """Return offending BNLJ sites whose children are NOT both scalar
+        (keys=[]) aggregates. A scalar x scalar nested loop is a 1x1 row
+        join (the invariant-form recall checks); anything else is a real
+        row-level nested loop."""
+        import re
+
+        bad: list[str] = []
+        lines = plan.splitlines()
+
+        def depth(line: str) -> int:
+            # tree printer uses 3-char units of ':  '/'   ' padding then an
+            # optional ':- '/'+- ' branch marker before the node name
+            m = re.match(r"^((?:[: ]  )*)([:+]- )?", line)
+            return len(m.group(1)) + (3 if m.group(2) else 0)
+
+        for i, ln in enumerate(lines):
+            if "BroadcastNestedLoopJoin" not in ln:
+                continue
+            d = depth(ln)
+            child_idx = []
+            for j in range(i + 1, len(lines)):
+                dj = depth(lines[j])
+                if dj <= d:
+                    break
+                if dj == d + 3:
+                    child_idx.append(j)
+            child_idx = child_idx[:2]
+
+            WRAPPERS = (
+                "BroadcastExchange",
+                "ReusedExchange",
+                "WholeStageCodegen",
+                "InputAdapter",
+                "Project",
+                "ColumnarToRow",
+            )
+
+            def _scalar(j: int) -> bool:
+                # unwrap single-child wrappers until a real node; a 1-row
+                # side is a keys=[] aggregate (or a reused broadcast of one)
+                k = j
+                for _ in range(8):
+                    node = re.sub(r"^[: +\-]*", "", lines[k])
+                    if node.startswith("HashAggregate(keys=[]") or node.startswith(
+                        "SortAggregate(key=[]"
+                    ):
+                        return True
+                    if not node.startswith(WRAPPERS):
+                        return False
+                    dk = depth(lines[k])
+                    nxt = [
+                        m
+                        for m in range(k + 1, len(lines))
+                        if depth(lines[m]) == dk + 3
+                    ]
+                    if not nxt:
+                        # ReusedExchange prints with no child; it only ever
+                        # reuses a broadcast built elsewhere — treat the
+                        # reference as scalar iff it mentions a 1-col output
+                        return node.startswith("ReusedExchange")
+                    k = nxt[0]
+                return False
+
+            # quadratic only when NEITHER side is a 1-row scalar
+            if not any(_scalar(j) for j in child_idx):
+                bad.append("\n".join([ln] + [lines[j] for j in child_idx]))
+        return bad
+
+    for name, allowed in BUCKETED.items():
+        plan = _physical_plan(qs[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, (
+            f"{name} planned an all-pairs CartesianProduct — the bucketed "
+            f"candidate join regressed to O(n^2)"
+        )
+        offenders = _scalar_children_only(plan)
+        assert len(offenders) <= allowed, (
+            f"{name}: {len(offenders)} row-level nested-loop join(s), "
+            f"{allowed} allowed — candidate generation must stay an "
+            f"equi-join on bucket keys:\n" + "\n".join(offenders)
+        )
