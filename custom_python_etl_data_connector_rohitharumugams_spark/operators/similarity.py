@@ -310,3 +310,77 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means over an embedding column — the coarse-quantizer
+    training step that turns :func:`ivf_topk`'s inverted lists from a given
+    label into a learned partition.
+
+    Returns ``(assignments, inertias)``: the final (vec_id, cid, __d2)
+    assignment frame and the per-iteration inertia sequence (computed at
+    each assignment step, so Lloyd's guarantees it non-increasing).
+
+    Scale contract: every data-sized operation is a DataFrame op — the
+    assignment step is a corpus x k broadcast join (k rows), the update
+    step a posexplode + per-(cid, dim) average. Only the k centroid rows
+    and the 1-row inertia scalar ever reach the driver per iteration —
+    the same driver-resident-centers contract as Spark MLlib's KMeans.
+    Deterministic: init is the k lowest-id vectors, ties in assignment
+    break toward the lower cluster id.
+    """
+    spark = vectors.sparkSession
+    e = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    init = e.orderBy("vec_id").limit(k).collect()
+    cents = [(i, [float(x) for x in row["vec"]]) for i, row in enumerate(init)]
+
+    inertias: list[float] = []
+    assign = None
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cid int, cvec array<double>")
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.col("cvec"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assign = (
+            e.crossJoin(cdf)
+            .select("vec_id", "vec", "cid", d2.alias("__d2"))
+            .groupBy("vec_id", "vec")
+            .agg(F.min(F.struct("__d2", "cid")).alias("__best"))
+            .select(
+                "vec_id",
+                "vec",
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.__d2").alias("__d2"),
+            )
+        )
+        inertias.append(float(assign.agg(F.sum("__d2")).first()[0]))
+        new_cents = (
+            assign.select("cid", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s.mv,
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cents = [(r["cid"], list(r["cvec"])) for r in new_cents]
+
+    return assign.drop("vec"), inertias

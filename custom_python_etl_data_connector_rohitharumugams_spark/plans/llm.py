@@ -478,6 +478,38 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ivf_train_kmeans",
+    tags=("L3",),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(10 AS BIGINT) AS n_lists,
+           TRUE AS inertia_monotone
+    FROM embeddings
+    """,
+)
+def llm_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer training for IVF: 3 Lloyd's iterations, k=10, over
+    the embedding corpus (operators/similarity.kmeans_train). Invariant
+    form, like the ANN recall queries: the oracle states a priori that
+    every vector is assigned, no inverted list ends up empty, and the
+    inertia sequence is non-increasing (Lloyd's guarantee) — all properties
+    an engine must deliver regardless of float rounding, so the check is
+    engine-exact without comparing raw centroids."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign, inertias = S.kmeans_train(e, k=10, iters=3)
+    monotone = all(
+        b <= a * (1 + 1e-9) + 1e-6 for a, b in zip(inertias, inertias[1:])
+    )
+    return assign.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.count_distinct("cid").cast("bigint").alias("n_lists"),
+        (F.lit(monotone) & (F.count(F.lit(1)) == F.count_distinct("vec_id"))).alias(
+            "inertia_monotone"
+        ),
+    )
+
+
+@query(
     "llm_embedding_near_dup",
     tags=("L2", "L3"),
     oracle="""

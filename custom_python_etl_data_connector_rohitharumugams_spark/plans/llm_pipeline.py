@@ -615,3 +615,130 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("__rep") > REPETITION_MAX_RATIO).cast("bigint")).cast("bigint").alias("n_repetitive"),
         F.round(F.avg("__rep"), 4).alias("avg_rep_ratio"),
     )
+
+
+PARA_TOKENS = 10
+BOILER_GRAM = 3
+BOILER_MIN_DF = 5
+
+
+@query(
+    "llm_paragraph_dedup",
+    tags=("L1", "L2", "F5"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    paras AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, k.k * {PARA_TOKENS} + 1,
+                                             k.k * {PARA_TOKENS} + {PARA_TOKENS}), ' ') AS para
+        FROM toks, LATERAL (
+            SELECT unnest(range(0, ((len(t) - 1) // {PARA_TOKENS}) + 1)) AS k
+        ) k
+    ),
+    freq AS (
+        SELECT para, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+        FROM paras GROUP BY para
+    )
+    SELECT CAST(SUM(occ) AS BIGINT) AS n_paragraph_instances,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_paragraphs,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_paragraphs,
+           CAST(SUM(CASE WHEN nd > 1 THEN occ - 1 ELSE 0 END) AS BIGINT) AS n_removable_instances
+    FROM freq
+    """,
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/RefinedWeb pre-step to
+    document near-dup): hash-group every paragraph across the corpus and
+    plan removal of repeated instances, keeping one keeper each. The
+    fixture's texts carry no newlines, so paragraphs are deterministic
+    10-token windows (same convention as llm_chunk_documents). One
+    narrow projection + posexplode, one hash aggregate on the paragraph
+    text (at 100 TB: on md5(para) — ids-only through the shuffle), then a
+    single-row report; no joins, no driver data."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ks = F.sequence(F.lit(0), ((F.size(toks) - 1) / PARA_TOKENS).cast("bigint"))
+    paras = d.select(
+        "doc_id", F.explode(ks).alias("pi"), toks.alias("t")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("t"), (F.col("pi") * PARA_TOKENS + 1).cast("int"), PARA_TOKENS),
+        ).alias("para"),
+    )
+    freq = paras.groupBy("para").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    shared = F.col("nd") > 1
+    return freq.agg(
+        F.sum("occ").cast("bigint").alias("n_paragraph_instances"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_paragraphs"),
+        F.sum(shared.cast("bigint")).cast("bigint").alias("n_shared_paragraphs"),
+        F.sum(F.when(shared, F.col("occ") - 1).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_removable_instances"),
+    )
+
+
+@query(
+    "llm_boilerplate_ngrams",
+    tags=("L12", "L14", "F5"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, g.g + 1, g.g + {BOILER_GRAM}), ' ') AS gram
+        FROM toks, LATERAL (
+            SELECT unnest(range(0, len(t) - {BOILER_GRAM} + 1)) AS g
+        ) g
+    ),
+    df AS (
+        SELECT gram, COUNT(*) AS nd FROM grams GROUP BY gram
+    ),
+    boiler AS (
+        SELECT gram, nd FROM df WHERE nd >= {BOILER_MIN_DF}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM boiler) AS BIGINT) AS n_boilerplate_grams,
+           CAST((SELECT COALESCE(MAX(nd), 0) FROM boiler) AS BIGINT) AS max_doc_frequency,
+           CAST((SELECT COUNT(DISTINCT g.doc_id)
+                 FROM grams g JOIN boiler b ON g.gram = b.gram) AS BIGINT)
+               AS n_docs_with_boilerplate
+    """,
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4 'repeated spans' gate):
+    an n-gram present in >= BOILER_MIN_DF distinct documents is boilerplate
+    (headers, footers, license blurbs at web scale). Per-doc DISTINCT
+    grams feed one document-frequency aggregate; the boilerplate set is
+    tiny by construction, so flagging affected docs is a broadcast semi
+    join back onto the doc-gram pairs — never a shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (BOILER_GRAM - 1), F.lit(0)))
+    gram_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + F.lit(1)),
+            F.element_at(t, i + F.lit(2)),
+        ),
+    )
+    grams = d.select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gram"))
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    boiler = df_counts.where(F.col("nd") >= BOILER_MIN_DF)
+    stats = boiler.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boilerplate_grams"),
+        F.coalesce(F.max("nd"), F.lit(0)).cast("bigint").alias("max_doc_frequency"),
+    )
+    docs_hit = (
+        grams.join(F.broadcast(boiler.select("gram")), "gram", "left_semi")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs_with_boilerplate"))
+    )
+    return stats.crossJoin(docs_hit)
