@@ -142,3 +142,67 @@ def test_connected_components_raises_when_not_converged(spark):
     # and with enough rounds the same chain converges to one component
     full = connected_components(chain, max_iter=10)
     assert full.select("component").distinct().count() == 1
+
+
+class TestShardSink:
+    """Training-shard sink (sources/shardsink.py): deterministic layout,
+    manifest integrity, and input-partitioning invariance."""
+
+    def _splits(self, spark, sf_dir):
+        from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+        from custom_python_etl_data_connector_rohitharumugams_spark.sources.shardsink import (
+            shard_assignment,
+        )
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, sf_dir, "documents")
+        return d.withColumn(
+            "split",
+            F.when(shard_assignment(F.col("doc_id"), 10) < 9, "train").otherwise("val"),
+        )
+
+    def test_write_read_roundtrip_and_manifest(self, spark, tmp_path):
+        from custom_python_etl_data_connector_rohitharumugams_spark.sources import shardsink
+
+        df = self._splits(spark, "/root/testdata/sf0.001")
+        out = str(tmp_path / "shards")
+        manifest = shardsink.write_training_shards(df, out, n_shards=4)
+        assert sum(m["rows"] for m in manifest.values()) == df.count()
+        # every (split, shard) dir exists exactly as the manifest says
+        import glob
+
+        dirs = {
+            p.split("shards/")[1].replace("split=", "").replace("shard=", "").rstrip("/")
+            for p in glob.glob(f"{out}/split=*/shard=*/")
+        }
+        assert dirs == set(manifest)
+        back = shardsink.read_training_shards(spark, out)
+        assert back.count() == df.count()
+        assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+            r["doc_id"] for r in df.select("doc_id").collect()
+        )
+        assert shardsink.verify_training_shards(spark, out)["ok"]
+
+    def test_shard_membership_invariant_to_input_partitioning(self, spark, tmp_path):
+        from custom_python_etl_data_connector_rohitharumugams_spark.sources import shardsink
+
+        df = self._splits(spark, "/root/testdata/sf0.001")
+        a = shardsink.write_training_shards(df, str(tmp_path / "a"), n_shards=4)
+        b = shardsink.write_training_shards(
+            df.repartition(17), str(tmp_path / "b"), n_shards=4
+        )
+        assert a == b
+
+    def test_verify_detects_tamper(self, spark, tmp_path):
+        import glob
+        import os
+
+        from custom_python_etl_data_connector_rohitharumugams_spark.sources import shardsink
+
+        df = self._splits(spark, "/root/testdata/sf0.001")
+        out = str(tmp_path / "shards")
+        shardsink.write_training_shards(df, out, n_shards=4)
+        victim = sorted(glob.glob(f"{out}/split=train/shard=0/*.parquet"))[0]
+        os.remove(victim)
+        res = shardsink.verify_training_shards(spark, out)
+        assert not res["ok"] and any(k.startswith("train/0") for k in res["mismatched"])
