@@ -312,6 +312,11 @@ def lsh_topk(
     )
 
 
+#: above this k, literal center arrays bloat the plan (k x dim literals);
+#: assignment falls back to the broadcast-join form
+_KMEANS_LITERAL_MAX_K = 256
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int = 10,
@@ -327,37 +332,61 @@ def kmeans_train(
     assignment frame and the per-iteration inertia sequence (computed at
     each assignment step, so Lloyd's guarantees it non-increasing).
 
-    Scale contract: every data-sized operation is a DataFrame op — the
-    assignment step is a corpus x k broadcast join (k rows), the update
-    step a posexplode + per-(cid, dim) average. Only the k centroid rows
-    and the 1-row inertia scalar ever reach the driver per iteration —
-    the same driver-resident-centers contract as Spark MLlib's KMeans.
-    Deterministic: init is the k lowest-id vectors, ties in assignment
-    break toward the lower cluster id.
+    Scale contract: every data-sized operation is a DataFrame op. For small
+    k (<= _KMEANS_LITERAL_MAX_K) the centers ship as a literal
+    array-of-structs and assignment is a SHUFFLE-FREE narrow projection
+    (per-row argmin over the array); for large k it falls back to a corpus
+    x k broadcast join. The update step is a posexplode + per-(cid, dim)
+    average — one shuffle per iteration either way. Only the k centroid
+    rows (carrying the per-cluster inertia contribution) reach the driver
+    per iteration — the same driver-resident-centers contract as Spark
+    MLlib's KMeans. Deterministic: init is the k lowest-id vectors, ties
+    in assignment break toward the lower cluster id (struct min orders by
+    (d2, cid)).
     """
     spark = vectors.sparkSession
     e = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     init = e.orderBy("vec_id").limit(k).collect()
     cents = [(i, [float(x) for x in row["vec"]]) for i, row in enumerate(init)]
 
-    inertias: list[float] = []
-    assign = None
-    for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(cents, "cid int, cvec array<double>")
-        )
-        d2 = F.aggregate(
+    def d2_to(cvec):
+        return F.aggregate(
             F.zip_with(
                 F.col("vec"),
-                F.col("cvec"),
+                cvec,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        assign = (
+
+    def assign_to(cents_py):
+        if k <= _KMEANS_LITERAL_MAX_K:
+            cent_lit = F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).alias("cid"),
+                        F.array(*[F.lit(v) for v in vec]).alias("cvec"),
+                    )
+                    for cid, vec in cents_py
+                ]
+            )
+            best = F.array_min(
+                F.transform(
+                    cent_lit,
+                    lambda c: F.struct(d2_to(c.cvec).alias("__d2"), c.cid.alias("cid")),
+                )
+            )
+            return e.withColumn("__best", best).select(
+                "vec_id",
+                "vec",
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.__d2").alias("__d2"),
+            )
+        cdf = F.broadcast(spark.createDataFrame(cents_py, "cid int, cvec array<double>"))
+        return (
             e.crossJoin(cdf)
-            .select("vec_id", "vec", "cid", d2.alias("__d2"))
+            .select("vec_id", "vec", "cid", d2_to(F.col("cvec")).alias("__d2"))
             .groupBy("vec_id", "vec")
             .agg(F.min(F.struct("__d2", "cid")).alias("__best"))
             .select(
@@ -367,20 +396,33 @@ def kmeans_train(
                 F.col("__best.__d2").alias("__d2"),
             )
         )
-        inertias.append(float(assign.agg(F.sum("__d2")).first()[0]))
-        new_cents = (
-            assign.select("cid", F.posexplode("vec").alias("pos", "v"))
+
+    inertias: list[float] = []
+    assign = None
+    for _ in range(iters):
+        assign = assign_to(cents)
+        # ONE action per iteration: the k collected centroid rows carry the
+        # per-cluster d2 sum, so total inertia needs no second job (each
+        # exploded (row, pos) pair carries __d2; summing it at pos=0 only
+        # counts it once per source row)
+        stats = (
+            assign.select("cid", "__d2", F.posexplode("vec").alias("pos", "v"))
             .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("mv"))
+            .agg(
+                F.avg("v").alias("mv"),
+                F.sum(F.when(F.col("pos") == 0, F.col("__d2"))).alias("d2p"),
+            )
             .groupBy("cid")
             .agg(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("pos", "mv"))),
                     lambda s: s.mv,
-                ).alias("cvec")
+                ).alias("cvec"),
+                F.sum("d2p").alias("sum_d2"),
             )
             .collect()
         )
-        cents = [(r["cid"], list(r["cvec"])) for r in new_cents]
+        inertias.append(float(sum(r["sum_d2"] for r in stats)))
+        cents = [(r["cid"], list(r["cvec"])) for r in stats]
 
     return assign.drop("vec"), inertias

@@ -720,17 +720,26 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back onto the doc-gram pairs — never a shuffle of the corpus."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (BOILER_GRAM - 1), F.lit(0)))
-    gram_arr = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(t, i),
-            F.element_at(t, i + F.lit(1)),
-            F.element_at(t, i + F.lit(2)),
+    # trigrams as a sliding zip of three shifted slices (the bigram idiom of
+    # llm_repetition_filter, one deeper) — stays inside whole-stage codegen;
+    # the transform + element_at(i) formulation measured 8x slower because
+    # runtime-index element_at falls out of the vectorized path
+    n_grams = F.greatest(F.size(t) - (BOILER_GRAM - 1), F.lit(0))
+    gram_arr = F.zip_with(
+        F.slice(t, 1, n_grams),
+        F.zip_with(
+            F.slice(t, 2, n_grams),
+            F.slice(t, 3, n_grams),
+            lambda b, c: F.concat_ws(" ", b, c),
         ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
     )
-    grams = d.select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gram"))
+    # materialize the doc-gram pairs once: both consumers below (the DF
+    # aggregate and the affected-docs semi join) would otherwise re-run the
+    # split/zip/explode subtree — the dominant cost of this query
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(gram_arr)).alias("gram")
+    ).localCheckpoint()
     df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     boiler = df_counts.where(F.col("nd") >= BOILER_MIN_DF)
     stats = boiler.agg(
