@@ -246,3 +246,48 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     # and the invariant query's self-check booleans must all be true
     inv = all_queries()["agg_approx_percentiles"].fn(spark, sf_dir).collect()
     assert all(r.approx_ok for r in inv)
+
+
+class TestKmeansTrain:
+    """kmeans_train (operators/similarity.py): determinism, monotone
+    inertia, and the shuffle-free small-k assignment plan."""
+
+    def test_invariant_to_input_partitioning(self, spark):
+        from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+            kmeans_train,
+        )
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a_assign, a_inertias = kmeans_train(e, k=5, iters=2)
+        b_assign, b_inertias = kmeans_train(e.repartition(13), k=5, iters=2)
+        assert a_inertias == b_inertias
+        a = {r["vec_id"]: r["cid"] for r in a_assign.collect()}
+        b = {r["vec_id"]: r["cid"] for r in b_assign.collect()}
+        assert a == b
+
+    def test_inertia_non_increasing(self, spark):
+        from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+            kmeans_train,
+        )
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        _, inertias = kmeans_train(e, k=8, iters=3)
+        assert len(inertias) == 3
+        assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+
+    def test_small_k_assignment_plan_is_shuffle_free(self, spark):
+        from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+            kmeans_train,
+        )
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        assign, _ = kmeans_train(e, k=5, iters=1)
+        plan = assign._jdf.queryExecution().executedPlan().toString()
+        for node in ("Exchange", "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, (
+                f"small-k assignment planned a {node} — it must stay a "
+                f"narrow per-row argmin projection:\n{plan[:600]}"
+            )
