@@ -1,5 +1,7 @@
 """As-of join (SURVEY.md J7): for each left row, attach values from the
-latest right row with ``right_ts <= left_ts`` within the same key.
+nearest right row at-or-before (backward) or at-or-after (forward) its
+timestamp within the same key, optionally bounded by a tolerance — pandas
+``merge_asof`` semantics, distributed.
 
 Spark has no native as-of join; a naive range join explodes (every left row
 matches every earlier right row). This composition is the scale path:
@@ -34,14 +36,30 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
-    """Return ``left`` plus, for each ``value_cols`` entry, the value from the
-    latest ``right`` row at-or-before the left row's timestamp (same key).
+    """Return ``left`` plus, for each ``value_cols`` entry, the value from
+    the nearest ``right`` row at-or-before (``direction="backward"``) or
+    at-or-after (``direction="forward"``) the left row's timestamp, within
+    the same key — pandas ``merge_asof`` semantics, distributed.
 
     ``tiebreak``: optional right-side column ordering simultaneous right rows
     (the greatest wins); required for determinism when ``right_ts`` can tie.
+    ``tolerance_sec``: if set, matches farther than this many seconds from
+    the left timestamp are nulled out (the row is kept — merge_asof
+    behavior). Timestamps compare via ``unix_micros``; numeric ts columns
+    compare in their own units.
     Output columns: all of ``left`` + ``asof_<col>`` for each value col.
+
+    Forward direction reuses the same single-shuffle union+window plan with
+    the sort reversed: in (ts DESC, side, tie) order the unbounded-preceding
+    frame holds exactly the rows with ``right_ts >= left_ts``, and
+    ``last(ignoreNulls)`` picks the nearest one. No second shuffle, no plan
+    change — direction is purely a sort-key flip.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     overlap = set(value_cols) & set(left.columns)
     if overlap:
@@ -52,6 +70,7 @@ def asof_join(
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias(_SIDE),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__asof_src_ts"),
         F.lit(None).cast("long").alias("__asof_tie"),
     )
     tie = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
@@ -61,18 +80,44 @@ def asof_join(
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_SIDE),
         *[F.col(c) for c in value_cols],
+        F.col(right_ts).alias("__asof_src_ts"),
         tie.alias("__asof_tie"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    ts_order = F.col("__asof_ts") if direction == "backward" else F.col("__asof_ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__asof_ts", _SIDE, "__asof_tie")
+        .orderBy(ts_order, _SIDE, "__asof_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *[c for c in left.columns],
         F.col(_SIDE).alias(_SIDE),
         *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+        F.last("__asof_src_ts", ignorenulls=True).over(w).alias("__asof_src_ts"),
+        F.col("__asof_ts").alias("__asof_lts"),
     )
-    return carried.where(F.col(_SIDE) == 1).drop(_SIDE)
+    out = carried.where(F.col(_SIDE) == 1).drop(_SIDE)
+    if tolerance_sec is not None:
+        from pyspark.sql.types import TimestampType, TimestampNTZType
+
+        is_ts = isinstance(right.schema[right_ts].dataType, (TimestampType, TimestampNTZType))
+
+        def _num(c):
+            return F.unix_micros(c) / 1e6 if is_ts else c.cast("double")
+
+        delta = (
+            _num(F.col("__asof_lts")) - _num(F.col("__asof_src_ts"))
+            if direction == "backward"
+            else _num(F.col("__asof_src_ts")) - _num(F.col("__asof_lts"))
+        )
+        within = F.col("__asof_src_ts").isNotNull() & (delta <= F.lit(float(tolerance_sec)))
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    return out.drop("__asof_src_ts", "__asof_lts")

@@ -150,3 +150,56 @@ def test_interval_join_equals_naive_filter(spark, lefts, rights):
         .select("lid", "rid")
     )
     assert sorted(map(tuple, smart.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-99, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+    tolerance=st.one_of(st.none(), st.integers(0, 8)),
+)
+@_SETTINGS
+def test_asof_forward_tolerance_matches_pandas(spark, left_rows, right_rows, tolerance):
+    """Forward direction + tolerance must reproduce pandas merge_asof
+    (direction='forward', tolerance=...). Among simultaneous right rows the
+    greatest tiebreak wins, so the pandas right frame is pre-sorted
+    (ts asc, rid desc) — merge_asof forward takes the first of a tie group."""
+    import pandas as pd
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left_rows)], "k int, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v, i) for i, (k, ts, v) in enumerate(right_rows)]
+        or [(99, 0, 0, 0)],
+        "k int, ts long, val long, rid long",
+    )
+    got = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  value_cols=["val"], tiebreak="rid",
+                  direction="forward",
+                  tolerance_sec=tolerance)
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values(["ts", "lid"]).reset_index(drop=True)
+    rp = (
+        right.toPandas()
+        .sort_values(["ts", "rid"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    kwargs = {} if tolerance is None else {"tolerance": tolerance}
+    expect = pd.merge_asof(
+        lp, rp[["k", "ts", "val"]], on="ts", by="k", direction="forward", **kwargs
+    ).sort_values("lid").reset_index(drop=True)
+    a = [None if pd.isna(v) else int(v) for v in got.sort_values("lid")["asof_val"]]
+    b = [None if pd.isna(v) else int(v) for v in expect["val"]]
+    assert a == b, f"asof forward mismatch: {list(zip(a, b))[:5]}"
