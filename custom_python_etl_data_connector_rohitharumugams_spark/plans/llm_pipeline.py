@@ -360,6 +360,42 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_clusters_star",
+    tags=("L11", "L2"),
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_id_1, doc_id_2 FROM ({NGRAM_JACCARD_SQL}) WHERE jaccard >= 0.6
+    ),
+    sym AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+        UNION ALL
+        SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure as llm_dedup_clusters, computed with the
+    alternating large-star/small-star algorithm (O(log n) rounds on ANY
+    graph shape — the unknown-diameter scale path; see
+    operators/graph.connected_components_star). Checked against the same
+    recursive-CTE oracle, so both clustering algorithms are pinned to the
+    identical fixpoint."""
+    from ..operators.graph import connected_components_star
+    from .llm import llm_ngram_jaccard_pairs
+
+    pairs = llm_ngram_jaccard_pairs(spark, sf_dir).where(F.col("jaccard") >= 0.6)
+    comps = connected_components_star(pairs)
+    return comps.select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@query(
     "llm_corpus_build",
     tags=("L1", "L9", "L10"),
     oracle=f"""

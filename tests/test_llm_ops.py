@@ -291,3 +291,44 @@ class TestKmeansTrain:
                 f"small-k assignment planned a {node} — it must stay a "
                 f"narrow per-row argmin projection:\n{plan[:600]}"
             )
+
+
+class TestStarConnectedComponents:
+    """connected_components_star: equivalence with label propagation on
+    random graphs, and O(log n)-round convergence on a deep chain where
+    diameter-bound label propagation would exceed its round budget."""
+
+    def _components(self, df):
+        return {r["vertex"]: r["component"] for r in df.collect()}
+
+    def test_matches_label_propagation_on_random_graphs(self, spark):
+        import random
+
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(42)
+        for trial in range(4):
+            n = rng.randint(2, 40)
+            edges = [
+                (rng.randint(0, n), rng.randint(0, n))
+                for _ in range(rng.randint(1, 60))
+            ]
+            e = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+            a = self._components(connected_components(e))
+            b = self._components(connected_components_star(e))
+            assert a == b, f"trial {trial}: {a} != {b}"
+
+    def test_deep_chain_converges_fast(self, spark):
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        chain = [(i, i + 1) for i in range(200)]
+        e = spark.createDataFrame(chain, "doc_id_1 long, doc_id_2 long")
+        # ~log2(200)+fixpoint-detect+margin = 12 rounds: label propagation
+        # would need 200 (the chain's diameter)
+        got = self._components(connected_components_star(e, max_iter=12))
+        assert got == {i: 0 for i in range(201)}
