@@ -122,11 +122,14 @@ def connected_components_star(
     """
 
     def large_star(e: DataFrame) -> DataFrame:
-        """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
-        nbrs = (
-            e.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-            .distinct()
+        """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+        No intermediate distincts: ``e`` arrives deduplicated in canonical
+        (a > b) orientation each round, so the two union directions cannot
+        collide; duplicate (v, m) emissions are collapsed by small_star's
+        oriented distinct."""
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
         m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         return (
@@ -134,7 +137,6 @@ def connected_components_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -156,7 +158,10 @@ def connected_components_star(
         )
 
     cur = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
@@ -180,7 +185,9 @@ def connected_components_star(
     prev_fp = None
     converged = False
     for _ in range(max_iter):
-        cur = small_star(large_star(cur)).localCheckpoint()
+        # lazy checkpoint + the fingerprint aggregate = ONE job per round
+        # (an eager checkpoint would be a second materializing action)
+        cur = small_star(large_star(cur)).localCheckpoint(eager=False)
         fp = fingerprint(cur)
         if fp == prev_fp:
             converged = True
