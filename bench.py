@@ -105,12 +105,21 @@ def main() -> None:
         if timings[name] > STALL_RERUN_SEC or overlapped_stall(t0, t1) > 2.0:
             needs_rerun.append(name)
 
+    # Up to TWO reruns: one systematic, a second only while the best sample
+    # still exceeds the stall threshold (a query whose EVERY sample landed in
+    # one of this host's multi-minute degraded windows otherwise keeps a
+    # number 10x its true cost — observed round 4: 9.6 s recorded for a
+    # query that measures 0.6 s warm). Bounded: at most 2 extra runs each.
     reruns: dict[str, float] = {}
     for name in needs_rerun:
-        t0 = time.perf_counter()
-        run(qdefs[name].fn(spark, sf_dir))
-        reruns[name] = round(time.perf_counter() - t0, 3)
-        timings[name] = min(timings[name], reruns[name])
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            run(qdefs[name].fn(spark, sf_dir))
+            sample = round(time.perf_counter() - t0, 3)
+            reruns[name] = min(reruns.get(name, sample), sample)
+            timings[name] = min(timings[name], sample)
+            if timings[name] <= STALL_RERUN_SEC:
+                break
 
     stop_hb.set()
     stall_sec = round(sum(e - s for s, e in stall_windows), 3)

@@ -27,6 +27,77 @@ from pyspark.sql import functions as F
 #: hundred MB of executor memory at cluster scale
 _EDGES_PER_PARTITION = 2_000_000
 
+#: hierarchical finish threshold: once the (contracted) edge set is at most
+#: this many rows, the remaining rounds are solved by a SINGLE-task
+#: union-find instead of more shuffle rounds. Near-dup edge sets are the
+#: OUTPUT of detection — orders of magnitude smaller than the corpus — and
+#: contraction shrinks them further every round, so at 100 TB the loop runs
+#: a handful of distributed rounds and the tail (where per-round job/shuffle
+#: overhead dominates actual work) collapses into one ~millisecond task.
+#: 3M edges ≈ 50 MB of longs + a dict — comfortably one-task-sized.
+_LOCAL_SOLVE_EDGES = 3_000_000
+
+
+def _solve_local(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Single-task min-label union-find over an edge frame known to fit in
+    one executor partition (caller guarantees ``count <= _LOCAL_SOLVE_EDGES``).
+
+    Union-by-minimum keeps the smallest vertex as every tree's root, so the
+    result matches the distributed algorithms' (vertex, component=min)
+    contract exactly, for any orderable id type. Self-loop rows are legal
+    and register their vertex as a singleton.
+    """
+    vtype = dict(edges.dtypes)[a]
+
+    def solve(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for x, y in zip(pdf[a], pdf[b]):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx == ry:
+                    continue
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        verts = list(parent)
+        for i in range(0, len(verts), 100_000):  # bounded Arrow batches
+            chunk = verts[i : i + 100_000]
+            yield pd.DataFrame(
+                {"vertex": chunk, "component": [find(v) for v in chunk]}
+            )
+
+    return edges.repartition(1).mapInPandas(
+        solve, f"vertex {vtype}, component {vtype}"
+    )
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint's storage. Superseded
+    per-round checkpoints otherwise stay persisted until driver GC triggers
+    the ContextCleaner — with a large driver heap that can be never, and
+    iterative callers leak one RDD per round (measured: +4 persistent RDDs
+    per clustering run). The checkpointed RDD sits behind the DataFrame's
+    LogicalRDD node; reach it via py4j and drop the blocks."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape changed across Spark versions: leak, don't fail
+
 
 def connected_components(
     edges: DataFrame,
@@ -41,27 +112,42 @@ def connected_components(
     edge) are their own component by definition and never enter the graph,
     so callers left-join the result back onto the corpus.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # canonical high->low orientation first: half the rows of the symmetric
+    # form, and exactly what the single-task finish consumes. Self-loops are
+    # kept (they register isolated-but-edged vertices as singletons).
+    canon = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
         .distinct()
         .localCheckpoint()
     )
+    # Hierarchical finish: near-dup edge sets are the OUTPUT of detection —
+    # orders of magnitude smaller than the corpus — so when the whole graph
+    # already fits one task, diameter-many shuffle rounds are pure overhead.
+    # The count is cheap (canon is already materialized).
+    n_edges = canon.count()
+    if n_edges <= _LOCAL_SOLVE_EDGES:
+        out = _solve_local(canon)
+        return out
     # Right-size the iterative phase's parallelism from the measured edge
     # count. AQE re-plans shuffle widths *within* one job but every
     # propagation round below is its own action, so the session-wide width
-    # (32 in tests, thousands on a cluster) would be re-paid ~diameter
-    # times even when the near-dup graph is tiny — and it usually is: edges
-    # are the OUTPUT of near-dup detection, orders of magnitude smaller
-    # than the corpus. The count is cheap (sym is already materialized).
-    n_edges = sym.count()
-    n_part = max(1, min(sym.rdd.getNumPartitions(), n_edges // _EDGES_PER_PARTITION + 1))
+    # (32 in tests, thousands on a cluster) would be re-paid ~diameter times.
+    sym = canon.where(F.col("a") != F.col("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    n_part = max(1, min(canon.rdd.getNumPartitions(), n_edges // _EDGES_PER_PARTITION + 1))
     sym = sym.repartition(n_part, "b").localCheckpoint()
-    labels = sym.select("a").distinct().select(
-        F.col("a").alias("vertex"), F.col("a").alias("component")
+    labels = canon.select(F.col("a").alias("vertex")).union(
+        canon.select(F.col("b").alias("vertex"))
+    ).distinct().select(
+        "vertex", F.col("vertex").alias("component")
     ).localCheckpoint()
+    _unpersist_checkpoint(canon)
 
     converged = False
+    prev_ckpt = labels  # the checkpointed frame itself (not a projection of it)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.vertex)
@@ -84,10 +170,13 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         improved = proposed.agg(F.max("__improved").alias("__i")).first()["__i"]
+        _unpersist_checkpoint(prev_ckpt)  # superseded round's blocks
+        prev_ckpt = proposed
         labels = proposed.drop("__improved")
         if not improved:
             converged = True
             break
+    _unpersist_checkpoint(sym)
     if not converged:
         # returning non-minimal labels would silently split one true
         # cluster into several (dedup then keeps extra copies) — fail loudly
@@ -173,6 +262,20 @@ def connected_components_star(
         .localCheckpoint()
     )
 
+    def finish(labels: DataFrame) -> DataFrame:
+        # fixpoint / locally-solved edges are (vertex, component-min) stars;
+        # vertices absent from them (component minima, pure-self-loop docs)
+        # label themselves
+        return vertices.join(labels, "vertex", "left").select(
+            "vertex",
+            F.coalesce("component", F.col("vertex")).alias("component"),
+        )
+
+    # Hierarchical finish, round 0: if the whole edge set already fits one
+    # task, skip the distributed rounds entirely (see _LOCAL_SOLVE_EDGES).
+    if cur.count() <= _LOCAL_SOLVE_EDGES:
+        return finish(_solve_local(cur))
+
     def fingerprint(e: DataFrame):
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
@@ -187,24 +290,25 @@ def connected_components_star(
     for _ in range(max_iter):
         # lazy checkpoint + the fingerprint aggregate = ONE job per round
         # (an eager checkpoint would be a second materializing action)
+        prev = cur
         cur = small_star(large_star(cur)).localCheckpoint(eager=False)
         fp = fingerprint(cur)
+        _unpersist_checkpoint(prev)  # superseded round's blocks
         if fp == prev_fp:
             converged = True
             break
         prev_fp = fp
+        # Hierarchical finish: star rounds contract the edge set
+        # multiplicatively; once the remainder fits one task, stop paying
+        # per-round shuffle+job overhead. Contraction preserves both
+        # connectivity and each component's minimum vertex, so the local
+        # union-find over the contracted edges yields the original labels.
+        if fp[0] <= _LOCAL_SOLVE_EDGES:
+            return finish(_solve_local(cur))
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
-    # fixpoint edges are (vertex, component-min) stars; isolated-in-graph
-    # vertices (every neighbor larger, no incoming star edge... cannot
-    # happen at fixpoint except for component minima) label themselves
-    labels = cur.select(F.col("a").alias("vertex"), F.col("b").alias("component"))
-    return (
-        vertices.join(labels, "vertex", "left")
-        .select(
-            "vertex",
-            F.coalesce("component", F.col("vertex")).alias("component"),
-        )
+    return finish(
+        cur.select(F.col("a").alias("vertex"), F.col("b").alias("component"))
     )

@@ -301,14 +301,18 @@ class TestStarConnectedComponents:
     def _components(self, df):
         return {r["vertex"]: r["component"] for r in df.collect()}
 
-    def test_matches_label_propagation_on_random_graphs(self, spark):
+    @pytest.mark.parametrize("local_threshold", [0, 3_000_000])
+    def test_matches_label_propagation_on_random_graphs(
+        self, spark, monkeypatch, local_threshold
+    ):
+        """Equivalence of all paths: threshold 0 forces BOTH distributed
+        loops; the default threshold routes both through the single-task
+        union-find finish — the four implementations must agree."""
         import random
 
-        from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
-            connected_components,
-            connected_components_star,
-        )
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators import graph
 
+        monkeypatch.setattr(graph, "_LOCAL_SOLVE_EDGES", local_threshold)
         rng = random.Random(42)
         for trial in range(4):
             n = rng.randint(2, 40)
@@ -317,18 +321,29 @@ class TestStarConnectedComponents:
                 for _ in range(rng.randint(1, 60))
             ]
             e = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
-            a = self._components(connected_components(e))
-            b = self._components(connected_components_star(e))
+            a = self._components(graph.connected_components(e))
+            b = self._components(graph.connected_components_star(e))
             assert a == b, f"trial {trial}: {a} != {b}"
 
-    def test_deep_chain_converges_fast(self, spark):
-        from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
-            connected_components_star,
-        )
+    def test_deep_chain_converges_fast(self, spark, monkeypatch):
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators import graph
 
+        monkeypatch.setattr(graph, "_LOCAL_SOLVE_EDGES", 0)  # force the loop
         chain = [(i, i + 1) for i in range(200)]
         e = spark.createDataFrame(chain, "doc_id_1 long, doc_id_2 long")
         # ~log2(200)+fixpoint-detect+margin = 12 rounds: label propagation
         # would need 200 (the chain's diameter)
-        got = self._components(connected_components_star(e, max_iter=12))
+        got = self._components(graph.connected_components_star(e, max_iter=12))
+        assert got == {i: 0 for i in range(201)}
+
+    def test_star_midloop_local_finish(self, spark, monkeypatch):
+        """A threshold between 0 and the chain's edge count exercises the
+        hierarchical hand-off: distributed star rounds contract the chain,
+        then the local union-find finishes it — labels must be identical."""
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators import graph
+
+        monkeypatch.setattr(graph, "_LOCAL_SOLVE_EDGES", 120)
+        chain = [(i, i + 1) for i in range(200)]
+        e = spark.createDataFrame(chain, "doc_id_1 long, doc_id_2 long")
+        got = self._components(graph.connected_components_star(e, max_iter=12))
         assert got == {i: 0 for i in range(201)}

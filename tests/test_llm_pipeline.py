@@ -125,22 +125,22 @@ def test_dedup_clusters_label_twin_pairs_together(spark):
         assert by_vertex.get(i + 100_000) == by_vertex.get(i, i), f"twin {i} split"
 
 
-def test_connected_components_raises_when_not_converged(spark):
+def test_connected_components_raises_when_not_converged(spark, monkeypatch):
     """Exhausting max_iter without convergence must fail loudly — silently
-    non-minimal labels would split one true cluster into several."""
+    non-minimal labels would split one true cluster into several. The local
+    single-task finish is disabled so the distributed loop actually runs."""
     import pytest as _pytest
 
-    from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
-        connected_components,
-    )
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import graph
 
+    monkeypatch.setattr(graph, "_LOCAL_SOLVE_EDGES", 0)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "doc_id_1 bigint, doc_id_2 bigint"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        graph.connected_components(chain, max_iter=2)
     # and with enough rounds the same chain converges to one component
-    full = connected_components(chain, max_iter=10)
+    full = graph.connected_components(chain, max_iter=10)
     assert full.select("component").distinct().count() == 1
 
 
