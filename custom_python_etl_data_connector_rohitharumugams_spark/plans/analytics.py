@@ -541,3 +541,145 @@ def analytics_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").alias("n_converted"),
         )
     )
+
+
+@query(
+    "scd2_user_event_intervals",
+    tags=("W2", "F2", "A1"),
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ),
+    iv AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+               MIN(ts) AS vf, COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type,
+           CAST(floor(epoch(vf)) AS BIGINT) AS valid_from_sec,
+           CAST(floor(epoch(LEAD(vf) OVER (PARTITION BY user_id ORDER BY version)))
+                AS BIGINT) AS valid_to_sec,
+           n_events
+    FROM iv
+    """,
+)
+def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (gaps-and-islands): collapse each user's
+    consecutive same-type events into validity intervals
+    [valid_from, valid_to), open-ended (NULL) for the current state — the
+    standard change-history table a warehouse maintains per dimension key.
+
+    Scale shape: two stacked windows and one aggregate, ALL partitioned by
+    user_id — one shuffle total (the island window, the group-by, and the
+    lead window reuse the same hash partitioning, and AQE plans them into
+    one exchange). No self-join: the naive SCD2 build joins each row to its
+    successor, doubling the shuffle; lag/lead does it within the partition."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    flagged = e.withColumn(
+        "__chg",
+        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("version", F.sum("__chg").over(w))
+    iv = islands.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("vf"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return iv.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.unix_timestamp("vf").alias("valid_from_sec"),
+        F.lead(F.unix_timestamp("vf")).over(w2).alias("valid_to_sec"),
+        "n_events",
+    )
+
+
+@query(
+    "cdc_log_compaction_orders",
+    tags=("W4", "O5", "O3"),
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               ROUND(o_totalprice, 2) AS price, 0 AS v, 'U' AS op FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'P', ROUND(o_totalprice, 2), 1, 'U'
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2), 2, 'D'
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'N', ROUND(o_totalprice, 2), 1, 'U'
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        FROM changes
+    )
+    SELECT k AS o_orderkey, status AS o_orderstatus, price AS total_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_log_compaction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (the batch form of MERGE INTO): apply a
+    versioned change batch — updates, deletes, inserts, here derived
+    deterministically from the snapshot itself — to a snapshot by
+    last-write-wins per key. This is how a lake table ingests a CDC stream
+    without row-level RPCs: union the snapshot with the change log, keep
+    the max-version row per key, drop tombstones.
+
+    Scale shape: union is free (no shuffle); the only exchange is the
+    per-key window, which at 100 TB is a hash partition by primary key —
+    the same partitioning the compacted table is then written in, so the
+    shuffle does double duty as the layout step. row_number+filter beats a
+    full-outer-join MERGE when the change batch is comparable in size to
+    the snapshot (joins shuffle BOTH sides too, then pay coalesce logic)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    k = F.col("o_orderkey")
+    base = o.select(k, "o_orderstatus", "price", F.lit(0).alias("__v"), F.lit("U").alias("op"))
+    # status-only update: price arithmetic here (e.g. *1.1) would hit the
+    # cross-engine ROUND divergence on exact .xx5 doubles — a CDC update
+    # that flips a status is the realistic shape anyway
+    upd = o.where(k % 7 == 0).select(
+        k,
+        F.lit("P").alias("o_orderstatus"),
+        "price",
+        F.lit(1).alias("__v"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.where(k % 11 == 0).select(
+        k, "o_orderstatus", "price", F.lit(2).alias("__v"), F.lit("D").alias("op")
+    )
+    ins = o.where(k % 13 == 0).select(
+        (k + 100_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "price",
+        F.lit(1).alias("__v"),
+        F.lit("U").alias("op"),
+    )
+    log = base.unionByName(upd).unionByName(dele).unionByName(ins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("__v").desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_orderstatus", F.col("price").alias("total_price"))
+    )
