@@ -203,3 +203,49 @@ def test_asof_forward_tolerance_matches_pandas(spark, left_rows, right_rows, tol
     a = [None if pd.isna(v) else int(v) for v in got.sort_values("lid")["asof_val"]]
     b = [None if pd.isna(v) else int(v) for v in expect["val"]]
     assert a == b, f"asof forward mismatch: {list(zip(a, b))[:5]}"
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark):
+    """SCD2 invariants on the fixture: per user, interval event counts sum
+    to the user's event count; versions are consecutive from 1; adjacent
+    intervals chain (valid_to == next valid_from) and never share a type."""
+    import pandas as pd
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.analytics import (
+        scd2_user_event_intervals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    iv = scd2_user_event_intervals(spark, sf).toPandas()
+    ev = spark.read.parquet(f"{sf}/events.parquet").groupBy("user_id").count().toPandas()
+    per_user = iv.groupby("user_id")["n_events"].sum().to_dict()
+    for _, row in ev.iterrows():
+        assert per_user[row["user_id"]] == row["count"], row["user_id"]
+    for uid, g in iv.sort_values(["user_id", "version"]).groupby("user_id"):
+        assert list(g["version"]) == list(range(1, len(g) + 1)), uid
+        assert (g["valid_to_sec"].iloc[:-1].values == g["valid_from_sec"].iloc[1:].values).all(), uid
+        assert pd.isna(g["valid_to_sec"].iloc[-1]), f"user {uid}: current state not open-ended"
+        types = list(g["event_type"])
+        assert all(a != b for a, b in zip(types, types[1:])), f"user {uid}: un-collapsed island"
+
+
+def test_cdc_compaction_applies_updates_deletes_inserts(spark):
+    """CDC invariants: %11 keys (deletes) absent, %13 shifted keys
+    (inserts) present with status N, surviving %7 keys updated to P,
+    untouched keys keep their snapshot row."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.analytics import (
+        cdc_log_compaction_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_log_compaction_orders(spark, sf).toPandas().set_index("o_orderkey")
+    snap = spark.read.parquet(f"{sf}/orders.parquet").toPandas().set_index("o_orderkey")
+    for k in snap.index:
+        if k % 11 == 0:
+            assert k not in out.index, f"tombstoned key {k} survived"
+        elif k % 7 == 0:
+            assert out.loc[k, "o_orderstatus"] == "P", f"update lost on {k}"
+        else:
+            assert out.loc[k, "o_orderstatus"] == snap.loc[k, "o_orderstatus"], k
+        if k % 13 == 0:
+            assert out.loc[k + 100_000_000, "o_orderstatus"] == "N", f"insert lost on {k}"
