@@ -655,3 +655,120 @@ def llm_hot_shingle_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_shingles_kept"),
         )
     )
+
+
+@query(
+    "llm_unigram_logprob_scores",
+    tags=("L4", "L12", "F3"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> len(t) > 0))
+                   AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(-SUM(LN(CAST(c AS DOUBLE) / (SELECT n FROM tot)))
+                     / COUNT(*), 2) AS nll_per_token
+    FROM toks JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, unigram form: train a
+    unigram LM on the corpus itself (token -> corpus frequency), then score
+    every document by mean negative log-likelihood per token. Pretraining
+    pipelines rank/filter crawl text exactly this way (CCNet buckets pages
+    by KenLM perplexity into head/middle/tail); the unigram proxy keeps the
+    whole computation in-engine and oracle-checkable.
+
+    Scale shape: explode -> vocab aggregate (shuffle on token) -> postings
+    x vocab equi-join on token (the vocab side is NOT broadcast: a crawl
+    corpus's vocabulary is unbounded — misspellings, code, URLs) -> per-doc
+    aggregate. The corpus token total rides a 1-row broadcast crossJoin,
+    not a driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.length("token") > 0)
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("c").cast("double") / F.col("n")))
+                / F.count(F.lit(1)),
+                2,
+            ).alias("nll_per_token"),
+        )
+    )
+
+
+@query(
+    "llm_tfidf_top_terms",
+    tags=("L4", "W4", "F3"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> len(t) > 0))
+                   AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * LN((SELECT n FROM nd) / CAST(df.df AS DOUBLE)), 4)
+                   AS tfidf
+        FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tfidf, rank FROM (
+        SELECT doc_id, token, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — the
+    inverted-index ranking primitive behind keyword extraction, topic
+    labeling, and near-dup triage. Ranking happens on the ROUNDED score
+    with a token tiebreak so it is engine-reproducible (same recipe as
+    cosine_topk).
+
+    Scale shape: two token-keyed aggregates (tf per (doc, token), df per
+    token), an equi-join on token (df side not broadcast — unbounded crawl
+    vocabulary), the corpus size as a 1-row broadcast, then the W4
+    per-group top-k window partitioned by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.length("token") > 0)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
