@@ -683,3 +683,75 @@ def cdc_log_compaction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("__rn") == 1) & (F.col("op") != "D"))
         .select("o_orderkey", "o_orderstatus", F.col("price").alias("total_price"))
     )
+
+
+@query(
+    "profile_lineitem_columns",
+    tags=("A1", "A2", "O3"),
+    oracle="""
+    SELECT 'l_quantity' AS col_name, COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*) - COUNT(l_tax), COUNT(DISTINCT l_tax),
+           CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', COUNT(*) - COUNT(l_partkey), COUNT(DISTINCT l_partkey),
+           CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(*) - COUNT(l_suppkey), COUNT(DISTINCT l_suppkey),
+           CAST(MIN(l_suppkey) AS DOUBLE), CAST(MAX(l_suppkey) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (ANALYZE-style column statistics): null count, exact
+    distinct count, min and max for each numeric fact column — the stats a
+    cost-based optimizer and a data-quality monitor both consume.
+
+    Scale shape: ONE scan computes every column's aggregates side by side
+    (multi-aggregate, map-side partial); the per-column layout is produced
+    by unpivoting the single 1-row result — against a naive per-column
+    UNION ALL of scans (the oracle's readable form), that is a 6x scan
+    saving, and the count_distincts share one Expand of the same pass."""
+    cols = [
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_partkey", "l_suppkey",
+    ]
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min_val"),
+            F.max(c).cast("double").alias(f"{c}__max_val"),
+        ]
+    one = l.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n_nulls").alias("n_nulls"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_val").alias("min_val"),
+                F.col(f"{c}__max_val").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
