@@ -15,6 +15,13 @@ convergence count per round. Lineage is cut with localCheckpoint between
 rounds (at cluster scale, a checkpoint dir on the DFS does the same job);
 without it the plan doubles every iteration and Catalyst re-plans the
 whole history.
+
+Both variants are HIERARCHICAL: distributed rounds run only while the
+(contracted) edge set exceeds ``_LOCAL_SOLVE_EDGES``; below that, the
+remaining rounds collapse into one single-task union-find
+(:func:`_solve_local`) — per-round shuffle/job overhead dominates actual
+work there, and the near-dup edge set (the OUTPUT of detection) is
+orders of magnitude smaller than the corpus to begin with.
 """
 
 from __future__ import annotations
