@@ -347,3 +347,27 @@ class TestStarConnectedComponents:
         e = spark.createDataFrame(chain, "doc_id_1 long, doc_id_2 long")
         got = self._components(graph.connected_components_star(e, max_iter=12))
         assert got == {i: 0 for i in range(201)}
+
+    def test_superseded_checkpoints_are_released(self, spark, monkeypatch):
+        """Iterative CC must not leak one persisted RDD per round: with a
+        64g driver heap the GC-driven ContextCleaner may never fire, so
+        superseded per-round localCheckpoints are unpersisted explicitly
+        (graph._unpersist_checkpoint). Net growth over repeated runs is
+        bounded by the live results, not the round count (pre-fix: +4 per
+        run, unbounded)."""
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators import graph
+
+        monkeypatch.setattr(graph, "_LOCAL_SOLVE_EDGES", 0)  # force the loops
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "doc_id_1 long, doc_id_2 long"
+        )
+        sc = spark.sparkContext._jsc.sc()
+        for fn in (graph.connected_components, graph.connected_components_star):
+            base = sc.getPersistentRDDs().size()
+            for _ in range(3):
+                fn(edges, max_iter=25).count()
+            grown = sc.getPersistentRDDs().size() - base
+            assert grown <= 3, (
+                f"{fn.__name__}: {grown} persistent RDDs accumulated over 3 "
+                "runs — per-round checkpoints are leaking again"
+            )
