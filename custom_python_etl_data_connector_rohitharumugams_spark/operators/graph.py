@@ -253,18 +253,22 @@ def connected_components_star(
             .distinct()
         )
 
-    cur = (
+    # one materialization of the (possibly expensive) upstream edge pipeline:
+    # canon keeps self-loops so BOTH the vertex set and the loop input derive
+    # from this single checkpoint — deriving vertices from raw ``edges``
+    # would re-evaluate the whole near-dup detection a second time
+    canon = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
-        .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
+    cur = canon.where(F.col("a") != F.col("b"))
     vertices = (
-        edges.select(F.col(src).alias("vertex"))
-        .union(edges.select(F.col(dst).alias("vertex")))
+        canon.select(F.col("a").alias("vertex"))
+        .union(canon.select(F.col("b").alias("vertex")))
         .distinct()
         .localCheckpoint()
     )
@@ -294,13 +298,15 @@ def connected_components_star(
 
     prev_fp = None
     converged = False
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
         # lazy checkpoint + the fingerprint aggregate = ONE job per round
         # (an eager checkpoint would be a second materializing action)
         prev = cur
         cur = small_star(large_star(cur)).localCheckpoint(eager=False)
         fp = fingerprint(cur)
-        _unpersist_checkpoint(prev)  # superseded round's blocks
+        # superseded blocks: round 0's input is a filter over canon (the
+        # filter itself holds no storage), so release canon directly
+        _unpersist_checkpoint(canon if round_no == 0 else prev)
         if fp == prev_fp:
             converged = True
             break

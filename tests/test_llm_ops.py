@@ -366,8 +366,13 @@ class TestStarConnectedComponents:
             base = sc.getPersistentRDDs().size()
             for _ in range(3):
                 fn(edges, max_iter=25).count()
+            # the RETURNED frame legitimately keeps <=2 live checkpoints per
+            # run until the caller drops it and the ContextCleaner runs; the
+            # pre-fix bug leaked ~1 per ROUND (12 rounds here), so the pin
+            # is growth ~ live results, not round count
             grown = sc.getPersistentRDDs().size() - base
-            assert grown <= 3, (
+            assert grown <= 8, (
                 f"{fn.__name__}: {grown} persistent RDDs accumulated over 3 "
-                "runs — per-round checkpoints are leaking again"
+                "runs of a 12-round graph — per-round checkpoints are "
+                "leaking again"
             )
