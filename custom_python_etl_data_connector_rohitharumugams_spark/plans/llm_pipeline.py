@@ -787,3 +787,104 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs_with_boilerplate"))
     )
     return stats.crossJoin(docs_hit)
+
+
+@query(
+    "llm_incremental_dedup_admission",
+    tags=("L1", "L2"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2]))))
+                   AS shingle
+        FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    cold AS (
+        SELECT t.doc_id, t.source, t.shingle
+        FROM toks t
+        JOIN (SELECT shingle, COUNT(*) AS dfc FROM toks GROUP BY shingle) d
+          USING (shingle)
+        WHERE d.dfc * 10 <= (SELECT n FROM nd)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM cold GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS m, b.doc_id AS n, COUNT(*) AS inter
+        FROM cold a
+        JOIN cold b ON a.source = b.source AND a.shingle = b.shingle
+                    AND a.doc_id <> b.doc_id
+        WHERE b.doc_id % 5 = 0
+        GROUP BY 1, 2
+    ),
+    matches AS (
+        SELECT DISTINCT n FROM inter
+        JOIN sizes s1 ON s1.doc_id = m
+        JOIN sizes s2 ON s2.doc_id = n
+        WHERE ROUND(CAST(inter AS DOUBLE) / (s1.ns + s2.ns - inter), 4) >= 0.6
+          AND (m % 5 <> 0 OR m < n)
+    )
+    SELECT d.doc_id,
+           d.doc_id NOT IN (SELECT n FROM matches) AS admitted
+    FROM documents d WHERE d.doc_id % 5 = 0
+    """,
+)
+def llm_incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production ingest pattern: a NEW batch
+    (doc_id % 5 = 0 here) is deduplicated against the already-indexed
+    corpus AND against itself, without ever re-examining corpus x corpus
+    pairs. A new doc is admitted unless it near-matches (3-gram Jaccard
+    >= 0.6, source-blocked) an existing doc or an earlier-id batch mate
+    (first-wins within the batch).
+
+    Scale shape: the pair join keeps the NEW batch on one side, so
+    candidate cost tracks the batch's shingle collisions, not corpus^2 —
+    at 100 TB the corpus side is the persisted postings index (written
+    once by the initial build; here recomputed because fixtures are
+    read-only) and only the daily batch is exploded, joined, and
+    verified. Admission is a left join + null test, emitted per new doc."""
+    from ..operators.dedup import df_capped_postings, shingle_postings
+
+    d = load_table(spark, sf_dir, "documents")
+    posts = df_capped_postings(shingle_postings(d)).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("doc_id")
+    sized = posts.withColumn("__n", F.count(F.lit(1)).over(w))
+    a = sized.alias("a")
+    b = sized.where(F.col("doc_id") % 5 == 0).alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("m"), F.col("b.doc_id").alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.__n")).alias("n1"),
+            F.first(F.col("b.__n")).alias("n2"),
+        )
+    )
+    matches = (
+        inter.where(
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")),
+                4,
+            )
+            >= 0.6
+        )
+        .where((F.col("m") % 5 != 0) | (F.col("m") < F.col("n")))
+        .select("n")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    new_docs = d.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    return new_docs.join(
+        matches, new_docs.doc_id == matches.n, "left"
+    ).select("doc_id", F.col("__hit").isNull().alias("admitted"))

@@ -206,3 +206,47 @@ class TestShardSink:
         os.remove(victim)
         res = shardsink.verify_training_shards(spark, out)
         assert not res["ok"] and any(k.startswith("train/0") for k in res["mismatched"])
+
+
+def test_incremental_dedup_rejects_planted_batch_dups(spark, tmp_path):
+    """Planted scenarios for llm_incremental_dedup_admission (the fixture
+    corpus has no near-dups on the batch residue, so the reject paths are
+    pinned here): a batch copy of a corpus doc is rejected, batch-internal
+    twins keep only the lowest id, unique batch docs are admitted — and
+    corpus docs are never re-examined (absent from the output)."""
+    import random
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.llm_pipeline import (
+        llm_incremental_dedup_admission,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # >20 filler docs so twin shingles stay under the 10% DF cap
+    for i in range(1, 30):
+        if i % 5 == 0:
+            continue  # fillers are corpus-side only
+        words = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, words, "en", "src0", len(words)))
+    twin_text = " ".join(f"twin{j}" for j in range(12))
+    pair_text = " ".join(f"pair{j}" for j in range(12))
+    uniq_text = " ".join(f"uniq{j}" for j in range(12))
+    rows.append((3001, twin_text, "en", "src0", len(twin_text)))   # corpus original
+    rows.append((35, twin_text, "en", "src0", len(twin_text)))     # batch copy -> reject
+    rows.append((40, pair_text, "en", "src0", len(pair_text)))     # batch twin, lowest -> admit
+    rows.append((45, pair_text, "en", "src0", len(pair_text)))     # batch twin -> reject
+    rows.append((50, uniq_text, "en", "src0", len(uniq_text)))     # unique -> admit
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        int(r.doc_id): bool(r.admitted)
+        for r in llm_incremental_dedup_admission(spark, sf).collect()
+    }
+    assert out[35] is False, "batch copy of a corpus doc must be rejected"
+    assert out[40] is True, "lowest-id batch twin must be admitted"
+    assert out[45] is False, "higher-id batch twin must be rejected"
+    assert out[50] is True, "unique batch doc must be admitted"
+    assert 3001 not in out and 3 not in out, "corpus docs must not be re-adjudicated"
