@@ -266,6 +266,7 @@ def test_heavy_neardup_plans_stay_bucketed(spark):
         "llm_dedup_clusters": 0,
         "llm_dedup_clusters_star": 0,
         "llm_ngram_jaccard_pairs": 0,
+        "llm_incremental_dedup_admission": 0,
         "llm_ann_lsh_topk": 1,
         # IVF: baseline cross + the queries x centroids probe (n_lists rows,
         # broadcast — the standard IVF structure; Q x n_lists, not Q x N)
