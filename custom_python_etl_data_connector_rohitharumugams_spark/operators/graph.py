@@ -40,9 +40,13 @@ _EDGES_PER_PARTITION = 2_000_000
 #: OUTPUT of detection — orders of magnitude smaller than the corpus — and
 #: contraction shrinks them further every round, so at 100 TB the loop runs
 #: a handful of distributed rounds and the tail (where per-round job/shuffle
-#: overhead dominates actual work) collapses into one ~millisecond task.
-#: 3M edges ≈ 50 MB of longs + a dict — comfortably one-task-sized.
-_LOCAL_SOLVE_EDGES = 3_000_000
+#: overhead dominates actual work) collapses into one small task.
+#: Sizing is PYTHON-side, not columnar: 1M edges => up to 2M parent-dict
+#: entries at ~100 B each (int key + value + dict slot) ≈ 250 MB peak in
+#: the one Python worker running the task — inside a default
+#: spark.executor.pyspark.memory budget with margin. Raising this means
+#: re-doing that arithmetic, not the on-disk size of the edges.
+_LOCAL_SOLVE_EDGES = 1_000_000
 
 
 def _solve_local(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
@@ -70,7 +74,10 @@ def _solve_local(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             return root
 
         for pdf in batches:
-            for x, y in zip(pdf[a], pdf[b]):
+            # .tolist() yields native Python ints/strs — iterating the
+            # Series directly would box one numpy scalar per cell (~3x the
+            # dict memory) and compare slower
+            for x, y in zip(pdf[a].tolist(), pdf[b].tolist()):
                 if x not in parent:
                     parent[x] = x
                 if y not in parent:

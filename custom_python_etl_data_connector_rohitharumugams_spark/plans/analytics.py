@@ -591,9 +591,13 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = F.lag("event_type").over(w)
+    # null-safe inequality (NOT eqNullSafe == IS DISTINCT FROM): a NULL
+    # event_type adjacent to a non-null one must open a new island exactly
+    # as the oracle's IS DISTINCT FROM does; plain != returns NULL there
+    # and the when() would silently emit 0
     flagged = e.withColumn(
         "__chg",
-        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1).otherwise(0),
+        F.when(~lagged.eqNullSafe(F.col("event_type")), 1).otherwise(0),
     )
     islands = flagged.withColumn("version", F.sum("__chg").over(w))
     iv = islands.groupBy("user_id", "version", "event_type").agg(
@@ -624,7 +628,7 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2), 2, 'D'
         FROM orders WHERE o_orderkey % 11 = 0
         UNION ALL
-        SELECT o_orderkey + 100000000, 'N', ROUND(o_totalprice, 2), 1, 'U'
+        SELECT -(o_orderkey + 1), 'N', ROUND(o_totalprice, 2), 1, 'U'
         FROM orders WHERE o_orderkey % 13 = 0
     ),
     latest AS (
@@ -669,8 +673,13 @@ def cdc_log_compaction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     dele = o.where(k % 11 == 0).select(
         k, "o_orderstatus", "price", F.lit(2).alias("__v"), F.lit("D").alias("op")
     )
+    # inserts are keyed STRICTLY NEGATIVELY (-(k+1)): a fixed positive
+    # offset collides with real orderkeys at large scale factors (TPC-H
+    # keys reach 6M x SF), and plain -k maps key 0 onto itself; a collision
+    # with an update row would tie on __v and make the row_number winner
+    # nondeterministic
     ins = o.where(k % 13 == 0).select(
-        (k + 100_000_000).alias("o_orderkey"),
+        (-k - 1).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         "price",
         F.lit(1).alias("__v"),

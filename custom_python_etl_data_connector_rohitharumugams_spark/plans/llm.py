@@ -215,6 +215,55 @@ NGRAM_JACCARD_SQL = """
 """
 
 
+def sized_cold_postings(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Shared front end of the exact-Jaccard family (pairs query,
+    incremental admission): DF-capped shingle postings with the doc's
+    source and per-doc cold-set size.
+
+    The cap denominator is the CORPUS row count (metadata-only on parquet,
+    passed as ``n_docs``) — deriving it from the postings would both
+    re-evaluate the shingle subtree and diverge from the oracle's
+    ``COUNT(*) FROM documents`` whenever a document is too short to shingle.
+    The per-doc set size rides along as a window count and is recovered
+    with ``first()`` after the intersection groupBy — a separate sizes
+    aggregate plus re-joins would re-evaluate the shingle pipeline twice
+    more."""
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
+    posts = D.df_capped_postings(D.shingle_postings(d), n_docs=n_docs).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("doc_id")
+    return posts.withColumn("__n", F.count(F.lit(1)).over(w))
+
+
+def jaccard_intersections(
+    sized_a: DataFrame,
+    sized_b: DataFrame,
+    pair_cond,
+    out1: str = "doc_id_1",
+    out2: str = "doc_id_2",
+) -> DataFrame:
+    """Source-blocked postings intersection: equi-join two sized-postings
+    frames on (source, shingle) plus the caller's pair predicate (built
+    over ``F.col("a.doc_id")`` / ``F.col("b.doc_id")``), then count shared
+    shingles per pair. |union| = n1 + n2 - inter downstream."""
+    a, b = sized_a.alias("a"), sized_b.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & pair_cond,
+        )
+        .groupBy(F.col("a.doc_id").alias(out1), F.col("b.doc_id").alias(out2))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.__n")).alias("n1"),
+            F.first(F.col("b.__n")).alias("n2"),
+        )
+    )
+
+
 @query("llm_ngram_jaccard_pairs", tags=("L2", "J1", "F5"), oracle=NGRAM_JACCARD_SQL)
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index join: explode shingles into
@@ -224,40 +273,17 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |union| = n1 + n2 - inter. No per-pair array ops — pair cost is
     proportional to actual overlap among informative shingles, which is how
     this survives at corpus scale. The oracle reproduces the identical
-    integer-arithmetic cutoff (df * 10 <= n_docs); the denominator is the
-    corpus row count (metadata-only on parquet), keeping the cap from
-    re-evaluating the shingle pipeline."""
+    integer-arithmetic cutoff (df * 10 <= n_docs)."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
-    posts = D.df_capped_postings(D.shingle_postings(d), n_docs=n_docs).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
-    # per-doc set size rides along as a window count and is recovered with
-    # first() after the intersection groupBy — a separate sizes aggregate
-    # plus two re-joins would re-evaluate the shingle pipeline twice more
-    w = Window.partitionBy("doc_id")
-    sized = posts.withColumn("__n", F.count(F.lit(1)).over(w))
-    a, b = sized.alias("a"), sized.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.__n")).alias("n1"),
-            F.first(F.col("b.__n")).alias("n2"),
-        )
-        .select(
-            "doc_id_1",
-            "doc_id_2",
-            F.round(
-                F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
-            ).alias("jaccard"),
-        )
+    sized = sized_cold_postings(spark, d)
+    return jaccard_intersections(
+        sized, sized, F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+        ).alias("jaccard"),
     )
 
 

@@ -846,29 +846,16 @@ def llm_incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFra
     once by the initial build; here recomputed because fixtures are
     read-only) and only the daily batch is exploded, joined, and
     verified. Admission is a left join + null test, emitted per new doc."""
-    from ..operators.dedup import df_capped_postings, shingle_postings
+    from .llm import jaccard_intersections, sized_cold_postings
 
     d = load_table(spark, sf_dir, "documents")
-    posts = df_capped_postings(shingle_postings(d)).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
-    w = Window.partitionBy("doc_id")
-    sized = posts.withColumn("__n", F.count(F.lit(1)).over(w))
-    a = sized.alias("a")
-    b = sized.where(F.col("doc_id") % 5 == 0).alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("m"), F.col("b.doc_id").alias("n"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.__n")).alias("n1"),
-            F.first(F.col("b.__n")).alias("n2"),
-        )
+    sized = sized_cold_postings(spark, d)
+    inter = jaccard_intersections(
+        sized,
+        sized.where(F.col("doc_id") % 5 == 0),
+        F.col("a.doc_id") != F.col("b.doc_id"),
+        out1="m",
+        out2="n",
     )
     matches = (
         inter.where(

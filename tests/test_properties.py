@@ -230,7 +230,7 @@ def test_scd2_intervals_partition_each_users_timeline(spark):
 
 
 def test_cdc_compaction_applies_updates_deletes_inserts(spark):
-    """CDC invariants: %11 keys (deletes) absent, %13 shifted keys
+    """CDC invariants: %11 keys (deletes) absent, %13 negated keys
     (inserts) present with status N, surviving %7 keys updated to P,
     untouched keys keep their snapshot row."""
     from custom_python_etl_data_connector_rohitharumugams_spark.plans.analytics import (
@@ -248,4 +248,4 @@ def test_cdc_compaction_applies_updates_deletes_inserts(spark):
         else:
             assert out.loc[k, "o_orderstatus"] == snap.loc[k, "o_orderstatus"], k
         if k % 13 == 0:
-            assert out.loc[k + 100_000_000, "o_orderstatus"] == "N", f"insert lost on {k}"
+            assert out.loc[-k - 1, "o_orderstatus"] == "N", f"insert lost on {k}"
