@@ -36,9 +36,9 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b555-[0-9]{3}-[0-9]{4}\b"
 
 
-def _md5_bucket(col, mod: int):
-    """Engine-portable integer hash in [0, mod): first 8 md5 hex digits."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % mod
+from ..functions.ids import md5_bucket as _md5_bucket  # noqa: E402 — shared
+# bucketing rule (functions/ids.py): the shard sink uses the same function,
+# so split membership and shard membership can never drift apart
 
 
 # -- benchmark decontamination: ONE definition of the rule -------------------

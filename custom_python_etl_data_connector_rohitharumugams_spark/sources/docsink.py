@@ -66,8 +66,11 @@ def write_collection(
         # that differs would hash keys into the wrong partitions and break
         # the upsert invariant silently
         n_buckets = int(meta["n_buckets"])
-    # NULL keys hash to NULL: pin them to bucket 0 so they live in a real
-    # partition and participate in the pruned merge like any other key
+    # NULL keys: xxhash64(NULL) returns the seed (42), NOT NULL, so all
+    # null-key rows deterministically share bucket pmod(42, n_buckets) and
+    # participate in the pruned merge like any other key. The coalesce is
+    # belt-and-braces against an engine changing that null contract — it
+    # does not fire today, and null docs do NOT live in bucket 0.
     bucket = F.coalesce(
         F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)), F.lit(0)
     )
@@ -165,24 +168,24 @@ def compact_collection(spark: SparkSession, base_dir: str, collection: str) -> i
     path = _collection_path(base_dir, collection)
     meta = _read_meta(path)
     n_buckets = int(meta["n_buckets"]) if meta else 16
-    # persist before overwrite: the write's input must not re-read the
-    # files it is replacing mid-job
-    rows = spark.read.option("mergeSchema", "true").parquet(path).persist()
+    # reading the path being overwritten is safe here WITHOUT materializing:
+    # dynamic partition overwrite stages every new file and swaps partition
+    # contents only at driver-side job commit, strictly after all read
+    # tasks finished — the same read-merge-overwrite the upsert above does.
+    # A persist()+count() would materialize the ENTIRE collection (at the
+    # module's 100 TB design point, for nothing).
+    rows = spark.read.option("mergeSchema", "true").parquet(path)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        rows.count()  # materialize
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                rows.repartition(n_buckets, F.col(BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        (
+            rows.repartition(n_buckets, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
     finally:
-        rows.unpersist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return sum(
         1
         for root, _, files in os.walk(path)

@@ -9,6 +9,7 @@ Hand-rolled parser (no python-dotenv dependency): KEY=VALUE lines, optional
 from __future__ import annotations
 
 import os
+import re
 import warnings
 from pathlib import Path
 
@@ -46,10 +47,12 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
                 val = val[1:first_close]
         else:
             # dotenv semantics: an unquoted value ends at a whitespace-led
-            # '#' (inline comment)
-            hash_at = val.find(" #")
-            if hash_at != -1:
-                val = val[:hash_at].rstrip()
+            # '#' (inline comment). ANY whitespace counts — matching only
+            # a literal space would keep a tab-led comment inside the
+            # credential and every API call would 401
+            m = re.search(r"\s#", val)
+            if m is not None:
+                val = val[: m.start()].rstrip()
             elif val.startswith("#"):
                 val = ""
         if key:

@@ -101,10 +101,18 @@ def extract(spark: SparkSession, cfg: ConnectorConfig) -> DataFrame:
     opts = dict(cfg.source_options)
     # resolve credentials HERE (driver process, where .env was loaded):
     # data-source callbacks run in executor-side Python workers whose
-    # environment predates any driver-side load_env call
+    # environment predates any driver-side load_env call. Fail FAST on a
+    # missing/empty credential — passing "" through would send a malformed
+    # "Bearer " header and die executor-side with an opaque 401
     auth_env = opts.pop("auth_env", None)
     if auth_env is not None:
-        opts["auth_token"] = os.environ.get(auth_env, "")
+        token = os.environ.get(auth_env, "")
+        if not token:
+            raise ValueError(
+                f"credential env var {auth_env!r} is unset or empty — call "
+                "envconf.load_env(...) (or export it) before extract"
+            )
+        opts["auth_token"] = token
     for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
@@ -171,14 +179,35 @@ def _ge_boundary(wm: str) -> str:
     return (t - dt.timedelta(microseconds=1)).isoformat()
 
 
-def run_connector(spark: SparkSession, cfg: ConnectorConfig, incremental: bool = False) -> str:
+class PartialExtractError(RuntimeError):
+    """Raised when the API returned error-shaped pages mid-extract: landing
+    the partial batch would advance the incremental watermark past the gap
+    and permanently skip the unfetched records."""
+
+
+def run_connector(
+    spark: SparkSession,
+    cfg: ConnectorConfig,
+    incremental: bool = False,
+    allow_partial: bool = False,
+) -> str:
     """Full extract→transform→load; returns the collection path.
 
     ``incremental=True`` (with ``since_col``/``since_param`` configured)
     asks the API for records newer than the landed high-water mark — with
     greater-OR-EQUAL boundary semantics (see :func:`_ge_boundary`) — so a
     scheduled re-run transfers only the delta; the key-based upsert keeps
-    re-delivered boundary records idempotent."""
+    re-delivered boundary records idempotent.
+
+    The corrupt-page channel is CHECKED before anything lands: an
+    error-shaped 200 page truncates its pagination chain, and silently
+    loading the partial batch would advance the watermark past the gap —
+    the next incremental run would then skip the unfetched records forever.
+    Default is to raise :class:`PartialExtractError` with nothing written;
+    ``allow_partial=True`` lands what was fetched (the re-delivering
+    upsert heals the gap on a later full run). The extract is persisted so
+    the check, the transform, and the load all consume ONE fetch — an
+    unpersisted plan would re-run the HTTP pagination per action."""
     if incremental and cfg.since_col and cfg.since_param:
         wm = incremental_watermark(spark, cfg)
         if wm is not None:
@@ -188,5 +217,18 @@ def run_connector(spark: SparkSession, cfg: ConnectorConfig, incremental: bool =
             sep = "&" if "?" in cfg.base_url else "?"
             suffix = urllib.parse.urlencode({cfg.since_param: _ge_boundary(wm)})
             cfg = replace(cfg, base_url=f"{cfg.base_url}{sep}{suffix}")
-    raw = extract(spark, cfg)
-    return load(transform(raw, cfg), cfg)
+    raw = extract(spark, cfg).persist()
+    try:
+        bad = corrupt_pages(raw)
+        n_bad = bad.count()
+        if n_bad and not allow_partial:
+            sample = [str(r[0])[:200] for r in bad.head(3)]
+            raise PartialExtractError(
+                f"{cfg.name}: {n_bad} corrupt/error page(s) truncated the "
+                f"extract; nothing landed (watermark unchanged). First: "
+                f"{sample}. Re-run, or pass allow_partial=True to land the "
+                "fetched prefix."
+            )
+        return load(transform(raw, cfg), cfg)
+    finally:
+        raw.unpersist()

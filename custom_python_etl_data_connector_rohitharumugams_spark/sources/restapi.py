@@ -184,7 +184,14 @@ class RestApiReader(DataSourceReader):
                 # first, hand the second back to Spark
                 and isinstance(f.value, (str, int, float, bool))
             ):
-                self.pushed_params[f.attribute[0]] = f.value
+                # JSON APIs match lowercase booleans; Python's str(True)
+                # would urlencode as "True" and silently match nothing
+                # (Spark drops accepted filters from post-scan evaluation,
+                # so a wrong encoding means wrong RESULTS, not slow ones)
+                v = f.value
+                self.pushed_params[f.attribute[0]] = (
+                    "true" if v is True else "false" if v is False else v
+                )
             else:
                 yield f
 
@@ -266,6 +273,18 @@ class RestApiReader(DataSourceReader):
                 return [row], True
             raise ValueError(f"page payload has no 'data' field: {body[:200]!r}")
         records = payload["data"] if isinstance(payload, dict) else payload
+        if records is None:
+            # {"data": null} — servers commonly end pagination this way;
+            # an exhausted page, not an error
+            return [], True
+        if not isinstance(records, list):
+            # a bare string/number/dict payload would otherwise iterate its
+            # characters (silent zero rows) or crash the task — route it to
+            # the corrupt channel like any other malformed page
+            if CORRUPT_COL in self.fields:
+                row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
+                return [row], True
+            raise ValueError(f"page payload is not a record list: {body[:200]!r}")
         rows = [
             tuple(
                 json.dumps(rec) if f == "record" and f not in rec else rec.get(f)

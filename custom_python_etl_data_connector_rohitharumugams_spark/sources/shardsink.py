@@ -37,11 +37,12 @@ MANIFEST_NAME = "_shard_manifest.json"
 
 
 def shard_assignment(id_col, n_shards: int):
-    """Engine-portable shard id in [0, n_shards) from a stable id column."""
-    return (
-        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("bigint")
-        % n_shards
-    )
+    """Engine-portable shard id in [0, n_shards) from a stable id column
+    (the ONE md5-bucket rule shared with the stratified split —
+    functions/ids.py)."""
+    from ..functions.ids import md5_bucket
+
+    return md5_bucket(id_col, n_shards)
 
 
 def _shard_stats(df: DataFrame, split_col: str, shard_col: str, id_col: str):
@@ -68,10 +69,14 @@ def write_training_shards(
     """Write ``df`` as the sharded training layout; returns the manifest.
 
     The manifest maps ``"<split>/<shard>"`` to ``{"rows": n, "checksum":
-    hex}`` where the checksum is an order-insensitive xor-free aggregate
-    (sum of per-row xxhash64 of the id, as unsigned hex) — cheap, stable,
-    and computed in the same pass layout as the write, never on the driver.
-    """
+    hex}`` where the checksum is an order-insensitive aggregate (sum of
+    per-row xxhash64 of the id, as unsigned hex). It is computed from the
+    WRITTEN files, not from ``df``'s lineage: re-executing the input plan
+    would double the cost of the whole corpus build AND — for any
+    nondeterministic upstream (live extract, sampling) — describe rows the
+    files don't contain, so verify would fail healthy shards. A ``_meta``
+    entry records the layout parameters so the consumer-side verify needs
+    no out-of-band knowledge."""
     sharded = df.withColumn(SHARD_COL, shard_assignment(F.col(id_col), n_shards))
     (
         sharded.repartition(split_col, SHARD_COL)
@@ -80,7 +85,9 @@ def write_training_shards(
         .partitionBy(split_col, SHARD_COL)
         .parquet(out_dir)
     )
-    stats = _shard_stats(sharded, split_col, SHARD_COL, id_col)
+    stats = _shard_stats(
+        read_training_shards(df.sparkSession, out_dir), split_col, SHARD_COL, id_col
+    )
     manifest = {
         f"{r[split_col]}/{r[SHARD_COL]}": {
             "rows": r["rows"],
@@ -88,9 +95,10 @@ def write_training_shards(
         }
         for r in stats
     }
+    meta = {"id_col": id_col, "split_col": split_col, "n_shards": n_shards}
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    return manifest
+        json.dump({**manifest, "_meta": meta}, f, indent=1, sort_keys=True)
+    return manifest  # stats only; _meta lives in the file for verify
 
 
 def read_training_shards(spark, out_dir: str) -> DataFrame:
@@ -98,16 +106,22 @@ def read_training_shards(spark, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-def verify_training_shards(spark, out_dir: str, id_col: str = "doc_id") -> dict:
+def verify_training_shards(spark, out_dir: str, id_col: str | None = None) -> dict:
     """Recompute the manifest from the written files and diff against the
     stored one. Returns {"ok": bool, "mismatched": [...]} — the consumer-side
-    integrity check before a training job trusts a shard."""
+    integrity check before a training job trusts a shard. Layout parameters
+    (id/split column names) come from the manifest's ``_meta`` entry, so a
+    non-default layout verifies without out-of-band knowledge; ``id_col``
+    overrides it if given."""
     with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
         stored = json.load(f)
+    meta = stored.pop("_meta", {})
+    id_col = id_col or meta.get("id_col", "doc_id")
+    split_col = meta.get("split_col", "split")
     df = read_training_shards(spark, out_dir)
-    stats = _shard_stats(df, "split", SHARD_COL, id_col)
+    stats = _shard_stats(df, split_col, SHARD_COL, id_col)
     actual = {
-        f"{r['split']}/{r[SHARD_COL]}": {
+        f"{r[split_col]}/{r[SHARD_COL]}": {
             "rows": r["rows"],
             "checksum": format(int(r["checksum"]) % (1 << 64), "016x"),
         }

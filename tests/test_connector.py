@@ -120,6 +120,13 @@ class FakeApi(BaseHTTPRequestHandler):
             else:
                 recs = [_record(i) for i in range(page * 4, (page + 1) * 4)] if page < 5 else []
             self._send(200, json.dumps({"data": recs, "next_cursor": None}))
+        elif route == "/nulldata":
+            # one good page, then {"data": null} — a common server shape
+            # for "no more records"
+            if not q.get("cursor"):
+                self._send(200, json.dumps({"data": [_record(i) for i in range(3)], "next_cursor": "n1"}))
+            else:
+                self._send(200, json.dumps({"data": None, "next_cursor": None}))
         elif route == "/malformed":
             self._send(200, "{this is not json")
         elif route == "/auth":
@@ -499,3 +506,61 @@ def test_docsink_compaction_shrinks_files_preserves_rows(spark, tmp_path):
             .select("id", "payload").collect())
     )
     assert after_rows == before_rows
+
+
+def test_run_connector_refuses_partial_extract(spark, api_url, tmp_path):
+    """An error-shaped page truncating the extract must abort the load with
+    nothing landed (watermark unchanged) unless allow_partial is passed —
+    landing the prefix silently would let an incremental watermark advance
+    past the gap and skip the unfetched records forever."""
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/errorbody", str(tmp_path))
+    with pytest.raises(pipeline.PartialExtractError, match="corrupt"):
+        pipeline.run_connector(spark, cfg)
+    assert not (tmp_path / "fake_raw").exists(), "partial batch was landed"
+    FakeApi.state.clear()
+    path = pipeline.run_connector(spark, cfg, allow_partial=True)
+    assert docsink.read_collection(spark, str(tmp_path), "fake_raw").count() == 1
+    assert path.endswith("fake_raw")
+
+
+def test_extract_fails_fast_on_missing_credential(spark, api_url, tmp_path, monkeypatch):
+    """auth_env naming an unset/empty var must raise driver-side with the
+    var name — not send 'Bearer ' and die executor-side with an opaque 401."""
+    monkeypatch.delenv("NO_SUCH_TOKEN_VAR", raising=False)
+    cfg = _cfg(api_url, "/auth", str(tmp_path), auth_env="NO_SUCH_TOKEN_VAR")
+    with pytest.raises(ValueError, match="NO_SUCH_TOKEN_VAR"):
+        pipeline.extract(spark, cfg)
+
+
+def test_null_data_page_is_clean_exhaustion(spark, api_url, tmp_path):
+    """{"data": null} is a common end-of-pagination shape: zero rows, no
+    corrupt record, no crash."""
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/nulldata", str(tmp_path))
+    raw = pipeline.extract(spark, cfg)
+    assert raw.count() == 3  # the one good page's records
+    assert pipeline.corrupt_pages(raw).count() == 0
+
+
+def test_env_tab_led_inline_comment_stripped(tmp_path):
+    p = tmp_path / ".env"
+    p.write_text("API_TOKEN=sekrit\t# prod key\n")
+    vals = envconf.parse_env_file(p)
+    assert vals["API_TOKEN"] == "sekrit"
+
+
+def test_shard_manifest_describes_written_files_and_custom_split(spark, tmp_path):
+    """The manifest's _meta entry lets verify work on a non-default split
+    column without out-of-band knowledge."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources import shardsink
+
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 else "en") for i in range(40)], "doc_id bigint, lang string"
+    )
+    out = str(tmp_path / "shards")
+    manifest = shardsink.write_training_shards(df, out, n_shards=3, split_col="lang")
+    assert "_meta" not in manifest  # return value is stats-only
+    assert sum(m["rows"] for m in manifest.values()) == 40
+    res = shardsink.verify_training_shards(spark, out)
+    assert res["ok"], res
