@@ -35,8 +35,34 @@ def _rebuild(col: Column, dtype: DataType) -> Column:
     return col
 
 
+def _check_collisions(names: list[str]) -> None:
+    """Distinct source names mapping to one sanitized name ('a.b' vs 'a_b',
+    '$x' vs '_x') would silently clobber a field in the doc-store write and
+    make every later by-name reference AMBIGUOUS — fail loudly instead."""
+    seen: dict[str, str] = {}
+    for n in names:
+        s = sanitize_name(n)
+        if s in seen and seen[s] != n:
+            raise ValueError(
+                f"field-name sanitization collision: {seen[s]!r} and {n!r} "
+                f"both sanitize to {s!r} — rename one upstream"
+            )
+        seen[s] = n
+
+
 def sanitize_field_names(df: DataFrame) -> DataFrame:
-    """Rename every field (recursively) to its sanitized form."""
+    """Rename every field (recursively) to its sanitized form; raises on
+    names that would collide after sanitization."""
+
+    def check_nested(dtype: DataType) -> None:
+        if isinstance(dtype, StructType):
+            _check_collisions([f.name for f in dtype.fields])
+            for f in dtype.fields:
+                check_nested(f.dataType)
+        elif isinstance(dtype, ArrayType):
+            check_nested(dtype.elementType)
+
+    check_nested(df.schema)
     return df.select(
         *[
             _rebuild(F.col(f"`{f.name}`"), f.dataType).alias(sanitize_name(f.name))

@@ -70,16 +70,21 @@ def attach_media(df: DataFrame, text_col: str = "text", mime: str = "image/fake"
 
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic stand-in for a codec: 'decodes' dimensions and a byte
-    checksum from the payload. Replace with a real decoder in production."""
+    checksum from the payload. Replace with a real decoder in production.
+
+    NULL payloads (a doc with no media) decode to NULL metadata — one null
+    row anywhere in the corpus must not kill the whole decode job."""
     payloads = pdf["data"]
-    n_bytes = payloads.map(len)
+    n_bytes = payloads.map(lambda b: len(b) if b is not None else None)
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int64"),
-            "width": (n_bytes % 640).astype("int32"),
-            "height": (n_bytes % 480).astype("int32"),
-            "checksum": payloads.map(lambda b: sum(b[:64]) % 1_000_000_007).astype("int64"),
+            "n_bytes": n_bytes.astype("Int64"),
+            "width": (n_bytes % 640).astype("Int32"),
+            "height": (n_bytes % 480).astype("Int32"),
+            "checksum": payloads.map(
+                lambda b: sum(b[:64]) % 1_000_000_007 if b is not None else None
+            ).astype("Int64"),
         }
     )
 
@@ -124,6 +129,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
                 continue
             ids, fids, sizes, digests = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["data"]):
+                if payload is None:  # media-less doc: no frames, not a crash
+                    continue
                 n = len(payload)
                 for k in range(n_frames):
                     lo, hi = k * n // n_frames, (k + 1) * n // n_frames

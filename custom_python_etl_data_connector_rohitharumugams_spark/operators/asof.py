@@ -61,16 +61,28 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    overlap = set(value_cols) & set(left.columns)
+    overlap = (set(value_cols) | {f"asof_{c}" for c in value_cols}) & set(left.columns)
     if overlap:
-        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+        raise ValueError(
+            f"value_cols (or their asof_<col> output names) collide with "
+            f"left columns: {sorted(overlap)}"
+        )
 
+    # the nearest right ROW travels as one struct, not per-column: a struct
+    # is non-null for every right row even when its fields are NULL, so
+    # last(ignorenulls) picks the nearest ROW and a NULL value on that row
+    # stays NULL (merge_asof semantics). Carrying columns independently
+    # would skip null-valued rows, attach values from OLDER rows, and let
+    # the tolerance test use one row's distance for another row's value.
+    pack = F.struct(
+        *[F.col(c) for c in value_cols], F.col(right_ts).alias("__src_ts")
+    )
+    pack_type = right.select(pack.alias("p")).schema["p"].dataType
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias(_SIDE),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__asof_src_ts"),
+        F.lit(None).cast(pack_type).alias("__asof_pack"),
         F.lit(None).cast("long").alias("__asof_tie"),
     )
     tie = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
@@ -79,8 +91,7 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_SIDE),
-        *[F.col(c) for c in value_cols],
-        F.col(right_ts).alias("__asof_src_ts"),
+        pack.alias("__asof_pack"),
         tie.alias("__asof_tie"),
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -91,11 +102,12 @@ def asof_join(
         .orderBy(ts_order, _SIDE, "__asof_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    nearest = F.last("__asof_pack", ignorenulls=True).over(w)
     carried = unioned.select(
         *[c for c in left.columns],
         F.col(_SIDE).alias(_SIDE),
-        *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
-        F.last("__asof_src_ts", ignorenulls=True).over(w).alias("__asof_src_ts"),
+        *[nearest[c].alias(f"asof_{c}") for c in value_cols],
+        nearest["__src_ts"].alias("__asof_src_ts"),
         F.col("__asof_ts").alias("__asof_lts"),
     )
     out = carried.where(F.col(_SIDE) == 1).drop(_SIDE)

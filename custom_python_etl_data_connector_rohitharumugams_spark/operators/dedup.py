@@ -25,8 +25,14 @@ MERSENNE_P = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (smallest id) per distinct text digest."""
-    h = F.sha2(F.col(text_col), 256).alias("__digest")
+    """Keep one row (smallest id) per distinct text digest. NULL-text rows
+    are each their own identity (sha2(NULL) is NULL for every one of them —
+    partitioning on it directly would silently collapse ALL null-text docs
+    into a single survivor), so they all pass through."""
+    h = F.coalesce(
+        F.sha2(F.col(text_col), 256),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    ).alias("__digest")
     return (
         df.withColumn("__digest", h)
         .withColumn(
@@ -127,7 +133,26 @@ def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, band_hash): docs agreeing
-    on ALL rows of any band become candidate pairs (doc1 < doc2)."""
+    on ALL rows of any band become candidate pairs (doc1 < doc2).
+
+    Signatures shorter than ``bands * rows_per_band`` fail loudly per-row:
+    under ANSI the out-of-range element_at would error anyway, but with
+    ANSI off it returns NULL and concat_ws silently skips it — truncated
+    band hashes and a systematically wrong candidate set."""
+    needed = bands * rows_per_band
+    sigs = sigs.where(
+        F.when(F.size("signature") >= needed, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"lsh_candidate_pairs: bands*rows_per_band={needed} "
+                        "exceeds signature length "
+                    ),
+                    F.size("signature").cast("string"),
+                )
+            )
+        )
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(

@@ -169,6 +169,9 @@ def ivf_topk(
                 F.sort_array(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
             ).alias("centroid")
         )
+        # centroid norm hoisted too: cosine() inside the probe crossJoin
+        # would recompute it (and the query norm) once per (query, list)
+        .withColumn("__cent_n", norm(F.col("centroid")))
     )
     # norms hoisted pre-join (see cosine_topk): Q+N HOF evaluations, not 2QN
     q = queries.select(
@@ -179,7 +182,10 @@ def ivf_topk(
         q.crossJoin(F.broadcast(cent))
         .select(
             "query_id", "q_vec", "__qn", "ivf_list",
-            cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+            (
+                dot(F.col("q_vec"), F.col("centroid"))
+                / (F.col("__qn") * F.col("__cent_n"))
+            ).alias("c_sim"),
         )
         .withColumn("__pr", F.row_number().over(probe_w))
         .where(F.col("__pr") <= nprobe)
@@ -241,17 +247,20 @@ def lsh_bucket_keys(
             bits = (mat @ planes.T) > 0  # (n, bands*bits)
             buckets = bits.reshape(len(pdf), bands, bits_per_band) @ weights
             n = len(pdf)
+            # ids + bucket keys ONLY: replicating the vector bands times
+            # through Arrow was pure waste — the sole consumer (lsh_topk)
+            # re-attaches vectors by id join after candidate dedup, and
+            # column pruning cannot reach inside a Python UDF's output
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
-                    "vec": [v for v in pdf["vec"] for _ in range(bands)],
                     "band": np.tile(np.arange(bands, dtype=np.int32), n),
                     "bucket": buckets.reshape(-1).astype(np.int32),
                 }
             )
 
     return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).mapInPandas(
-        run, schema="vec_id long, vec array<float>, band int, bucket int"
+        run, schema="vec_id long, band int, bucket int"
     )
 
 

@@ -50,7 +50,17 @@ def salted_agg_sum(
     (key, salt) spread the hot key across reducers, then a tiny final
     aggregate merges the partials. (Spark's hash aggregate already does
     map-side partials; explicit salting additionally splits the REDUCE-side
-    state of a single hot key.)"""
-    salted = df.withColumn(SALT_COL, F.pmod(F.xxhash64(F.col(value).cast("string")), F.lit(salt)))
+    state of a single hot key.)
+
+    The salt is a ROW-uniform counter (monotonically_increasing_id mod
+    salt — consecutive per partition, so perfectly uniform), NOT a hash of
+    the value: a hot key whose values have low cardinality (a 0/1 flag, a
+    constant) would hash to a handful of salt buckets and land right back
+    on one reducer. Salt assignment may differ across task retries; the
+    final sum is invariant to it (addition reassociates — see the caller's
+    exactness note for integer-valued doubles)."""
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    )
     partial = salted.groupBy(key, SALT_COL).agg(F.sum(value).alias("__part"))
     return partial.groupBy(key).agg(F.sum("__part").alias(out))

@@ -249,3 +249,44 @@ def test_cdc_compaction_applies_updates_deletes_inserts(spark):
             assert out.loc[k, "o_orderstatus"] == snap.loc[k, "o_orderstatus"], k
         if k % 13 == 0:
             assert out.loc[-k - 1, "o_orderstatus"] == "N", f"insert lost on {k}"
+
+
+def test_asof_null_valued_nearest_row_stays_null(spark):
+    """merge_asof semantics: the NEAREST right row wins even when its value
+    is NULL — carrying values per-column with last(ignorenulls) would skip
+    it and attach an older row's value (and let the tolerance test use the
+    wrong row's distance)."""
+    import pandas as pd
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 1, 5, 0), (1, 8, None, 1)], "k int, ts long, val long, rid long"
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["val"], tiebreak="rid",
+    ).toPandas()
+    assert pd.isna(got.asof_val.iloc[0]), (
+        "nearest row (ts=8, val=NULL) must win over older non-null ts=1"
+    )
+    # tolerance measured against the NEAREST row: ts=8 is within 5 of 10,
+    # so the (null) value is kept; the older row at distance 9 is never
+    # consulted
+    got_tol = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["val"], tiebreak="rid", tolerance_sec=5,
+    ).toPandas()
+    assert pd.isna(got_tol.asof_val.iloc[0])
+
+
+def test_asof_rejects_output_name_collision(spark):
+    import pytest as _pytest
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 7)], "k int, ts long, asof_val long")
+    right = spark.createDataFrame([(1, 1, 5)], "k int, ts long, val long")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["val"])

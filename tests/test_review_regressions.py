@@ -116,3 +116,75 @@ def test_parity_mirror_bool_is_not_int():
     b = pd.DataFrame({"flag": pd.array([1], dtype="int64")})
     with pytest.raises(AssertionError, match="row mismatches"):
         assert_frames_match(a, b, "bool_vs_int")
+
+
+def test_exact_dedup_keeps_distinct_null_text_rows(spark):
+    """sha2(NULL) is NULL for every null-text row — partitioning on the raw
+    digest would collapse ALL of them into one survivor. Each null-text doc
+    is its own identity."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)], "doc_id bigint, text string"
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3, 4], kept
+
+
+def test_sanitize_field_names_raises_on_collision(spark):
+    """'a.b' and 'a_b' both sanitize to 'a_b' — silently emitting duplicate
+    columns would clobber one field in the doc-store write."""
+    import pytest as _pytest
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions.json_utils import (
+        sanitize_field_names,
+    )
+
+    df = spark.createDataFrame([(1, 2)], ["a.b", "a_b"])
+    with _pytest.raises(ValueError, match="collision"):
+        sanitize_field_names(df)
+
+
+def test_multimodal_null_payload_survives(spark):
+    """One media-less doc must not kill the decode/frame jobs: decode emits
+    NULL metadata, frame sampling emits zero frames."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import multimodal as M
+
+    df = M.attach_media(
+        spark.createDataFrame([(1, "hello world"), (2, None)], "doc_id bigint, text string")
+    )
+    dec = {r.doc_id: r.n_bytes for r in M.decode_media(df).collect()}
+    assert dec[1] == 11 and dec[2] is None
+    frames = M.sample_frames(df, n_frames=2).collect()
+    assert {r.doc_id for r in frames} == {1}
+
+
+def test_lsh_candidate_pairs_rejects_short_signatures(spark):
+    import pytest as _pytest
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta u{i} v{i}") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    sigs = D.minhash_signatures(D.shingle_postings(docs), num_perm=8)
+    with _pytest.raises(Exception, match="exceeds signature length"):
+        D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).collect()
+
+
+def test_salted_agg_sum_spreads_constant_values(spark):
+    """A hot key with a CONSTANT value must still spread across salt
+    buckets — value-derived salting collapsed it onto one reducer."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import (
+        SALT_COL,
+        salted_agg_sum,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(F.lit("hot").alias("k"), F.lit(1.0).alias("v"))
+    out = salted_agg_sum(df, key="k", value="v", salt=8, out="total").collect()
+    assert out[0]["total"] == 2000.0
+    salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+    n_buckets = salted.select(SALT_COL).distinct().count()
+    assert n_buckets == 8, f"constant values landed in {n_buckets} salt bucket(s)"
