@@ -764,3 +764,168 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@query(
+    "analytics_cohort_retention",
+    tags=("A1", "A2", "J1", "F2"),
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(floor(epoch(f.cohort_month)) AS BIGINT) AS cohort_month_sec,
+           CAST(datediff('month', f.cohort_month,
+                         date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS months_since,
+           COUNT(DISTINCT o.o_custkey) AS n_active,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+    WHERE datediff('month', f.cohort_month,
+                   date_trunc('month', o.o_orderdate)) <= 6
+    GROUP BY f.cohort_month, months_since
+    """,
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by the month of their
+    FIRST order; for each (cohort month, months-since-acquisition <= 6)
+    cell, how many of them are still ordering and how often — the classic
+    product-analytics retention triangle.
+
+    Scale shape: the first-order aggregate and the activity join both hash
+    on o_custkey, so the two exchanges share one partitioning (AQE reuses
+    it); the final (cohort, offset) roll-up is a small-cardinality
+    re-shuffle of pre-combined partials. No window function needed — the
+    min-agg + self-join form beats a per-customer window here because the
+    retention cells, not the per-row first dates, are the output."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    first = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    months_since = F.months_between(month, F.col("cohort_month")).cast("long")
+    return (
+        o.join(first, "o_custkey")
+        .withColumn("months_since", months_since)
+        .where(F.col("months_since") <= 6)
+        .groupBy("cohort_month", "months_since")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.unix_timestamp("cohort_month").alias("cohort_month_sec"),
+            "months_since",
+            "n_active",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "analytics_event_type_transitions",
+    tags=("W2", "A1", "F3"),
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    m AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           ROUND(n_transitions * 1.0 /
+                 SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_next
+    FROM m
+    """,
+)
+def analytics_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    count (previous event type -> next event type) adjacencies in timestamp
+    order, then normalize each row of the matrix into a conditional
+    probability — the standard behavioral-model / anomaly-baseline build.
+
+    Scale shape: ONE shuffle on user_id feeds the lag window (sequence
+    adjacency stays inside the partition — no self-join on event index);
+    the transition-count aggregate then reduces billions of adjacencies to
+    |types|^2 rows, and the probability window runs on that tiny matrix."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    m = t.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return m.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_row), 6
+        ).alias("p_next"),
+    )
+
+
+@query(
+    "agg_heavy_hitters_event_types",
+    tags=("A1", "U3"),
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM events)
+    """,
+)
+def agg_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters: per-partition Misra-Gries summaries with
+    C=64 counters (mergeable-summaries trim: Agarwal et al., PODS'12),
+    candidate union, then an EXACT recount of candidates only. Emits every
+    key whose exact frequency exceeds n/C — the MG deficit bound
+    (total decrement <= n_partition/(C+1) per partition) guarantees no such
+    key can be missed, so the sketch pass is a pure candidate pruner and
+    the output is exactly the oracle's GROUP BY ... HAVING.
+
+    Scale shape: this is the pattern for frequency queries over key spaces
+    too large to shuffle (URLs, shingles, IPs at 100 TB): the sketch pass
+    reduces each partition to <= C+1 rows with NO shuffle of the raw keys,
+    the recount groups only rows matching <= C broadcast candidates (the
+    full key space is never shuffled), and the total-row count rides the
+    sketch pass (one sentinel row per partition) so the input is scanned
+    exactly twice."""
+    from ..operators.frequent import ROWS_SENTINEL as SENTINEL
+    from ..operators.frequent import mg_partition_summary
+
+    C = 64
+
+    def mg_summaries(batches):
+        yield from mg_partition_summary(batches, "event_type", C)
+
+    e = load_table(spark, sf_dir, "events")
+    summ = e.select("event_type").mapInPandas(
+        mg_summaries, "event_type string, est bigint"
+    )
+    # Candidate set AND total row count folded into ONE 1-row aggregate so
+    # the sketch subtree is evaluated once (two separate consumers would
+    # re-run the sketch scan — Spark shares no subtrees across branches).
+    sketch = summ.agg(
+        F.sum(
+            F.when(F.col("event_type") == SENTINEL, F.col("est"))
+        ).alias("n_total"),
+        F.collect_set(
+            F.when(F.col("event_type") != SENTINEL, F.col("event_type"))
+        ).alias("cands"),
+    )
+    return (
+        e.crossJoin(F.broadcast(sketch))
+        .where(F.array_contains("cands", F.col("event_type")))
+        .groupBy("event_type", "n_total")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") * C > F.col("n_total"))
+        .select("event_type", "n_events")
+    )

@@ -290,3 +290,45 @@ def test_asof_rejects_output_name_collision(spark):
     right = spark.createDataFrame([(1, 1, 5)], "k int, ts long, val long")
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["val"])
+
+
+@given(
+    stream=st.lists(st.integers(0, 40), min_size=0, max_size=400),
+    n_parts=st.integers(1, 4),
+    c=st.integers(2, 10),
+)
+@_SETTINGS
+def test_misra_gries_never_misses_a_heavy_hitter(stream, n_parts, c):
+    """MG candidate-union guarantee (pure Python, no Spark): any key with
+    global frequency > n/c survives in at least one partition summary —
+    the invariant agg_heavy_hitters_event_types' exactness rests on."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.frequent import (
+        ROWS_SENTINEL,
+        mg_partition_summary,
+    )
+
+    keys = [str(v) for v in stream]
+    parts = [keys[i::n_parts] for i in range(n_parts)]
+    candidates: set[str] = set()
+    total_from_sentinels = 0
+    for part in parts:
+        # feed each partition as two pandas batches (exercises the merge)
+        half = len(part) // 2
+        batches = [pd.DataFrame({"k": part[:half]}), pd.DataFrame({"k": part[half:]})]
+        (summary,) = list(mg_partition_summary(iter(batches), "k", c))
+        for _, row in summary.iterrows():
+            if row["k"] == ROWS_SENTINEL:
+                total_from_sentinels += int(row["est"])
+            else:
+                candidates.add(row["k"])
+        assert len(summary) <= c + 1
+    assert total_from_sentinels == len(keys)
+    n = len(keys)
+    true_counts = Counter(keys)
+    for k, freq in true_counts.items():
+        if freq * c > n:
+            assert k in candidates, (k, freq, n, c)
