@@ -232,3 +232,105 @@ def sql_first_last_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """
     )
+
+
+@query(
+    "sql_recursive_month_series",
+    tags=("F2", "J2", "A1"),
+    oracle="""
+    WITH RECURSIVE b AS (
+        SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+               date_trunc('month', MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    months(m) AS (
+        SELECT lo FROM b
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months, b WHERE m < hi
+    ),
+    mc AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY m
+    )
+    SELECT CAST(floor(epoch(months.m)) AS BIGINT) AS month_sec,
+           COALESCE(mc.n_orders, 0) AS n_orders,
+           CAST(COALESCE(mc.total, 0) AS DOUBLE) AS total
+    FROM months LEFT JOIN mc ON months.m = mc.m
+    """,
+)
+def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate the complete
+    month ladder between the first and last order date, then left-join the
+    per-month order aggregate so empty months surface as explicit zeros —
+    the calendar-spine gap-fill, this time via the engine's native SQL
+    recursion instead of ``sequence()``/explode
+    (cf. analytics_daily_order_gapfill, the array form).
+
+    Scale note: the recursion generates ONE row per step off a 1-row
+    anchor — depth = number of months, data volume trivial; the heavy side
+    (the per-month aggregate) is non-recursive and partial-aggregates
+    map-side. Spark executes each recursion step as a micro-plan, so the
+    spine is driver-cheap and the pattern stays safe at any corpus size;
+    the recursion-depth limit is raised explicitly so a wider date range
+    cannot silently truncate the spine (it errors instead)."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE b AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                   date_trunc('month', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        months(m) AS (
+            SELECT lo FROM b
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months, b WHERE m < hi
+        ),
+        mc AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY m
+        )
+        SELECT CAST(unix_timestamp(months.m) AS BIGINT) AS month_sec,
+               COALESCE(mc.n_orders, 0) AS n_orders,
+               CAST(COALESCE(mc.total, 0) AS DOUBLE) AS total
+        FROM months LEFT JOIN mc ON months.m = mc.m
+        """
+    )
+
+
+@query(
+    "sql_approx_topk_brands",
+    tags=("A3", "O2"),
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part GROUP BY p_brand
+    ORDER BY n_parts DESC, p_brand LIMIT 5
+    """,
+)
+def sql_approx_topk_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch via the built-in ``approx_top_k`` aggregate
+    (Spark 4.1): single-pass mergeable sketch per partition, combined on
+    the reducer — the engine-native counterpart of the hand-rolled
+    Misra-Gries in agg_heavy_hitters_event_types.
+
+    INVARIANT FORM: with maxItemsTracked (10000) >= the column's distinct
+    count (25 brands), the sketch degrades to exact counting — every count
+    it reports is exact, so the oracle states the ground truth a priori as
+    a plain GROUP BY with a deterministic (count DESC, brand ASC)
+    tiebreak applied on BOTH sides. At real scale one lowers
+    maxItemsTracked and accepts the epsilon — the plan shape is identical."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT t.item AS p_brand, t.count AS n_parts
+        FROM (
+            SELECT explode(approx_top_k(p_brand, 30, 10000)) AS t FROM part
+        )
+        ORDER BY n_parts DESC, p_brand LIMIT 5
+        """
+    )

@@ -203,6 +203,7 @@ def test_no_python_in_unexpected_query_plans(spark):
         "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
         "llm_ann_lsh_topk",                      # mapInPandas hyperplane GEMM
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
+        "agg_heavy_hitters_event_types",         # mapInPandas Misra-Gries sketch
         # hierarchical CC finish: single-task union-find over the CONTRACTED
         # edge set (<=3M rows by construction) — metadata-scale, not
         # corpus-scale; the corpus-sized work stays JVM-side upstream
