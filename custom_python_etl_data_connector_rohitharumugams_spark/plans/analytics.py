@@ -929,3 +929,66 @@ def agg_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("n_events") * C > F.col("n_total"))
         .select("event_type", "n_events")
     )
+
+
+@query(
+    "window_ewma_daily_revenue",
+    tags=("W3", "F5", "F2", "A1"),
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY day
+    ),
+    r AS (
+        SELECT day, revenue, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM daily
+    )
+    SELECT CAST(floor(epoch(a.day)) AS BIGINT) AS day_sec, a.revenue,
+           ROUND(SUM(b.revenue * POWER(0.9, a.rn - b.rn))
+                 / ((1 - POWER(0.9, LEAST(a.rn, 30))) / 0.1), 2) AS ewma_30d
+    FROM r a JOIN r b ON b.rn BETWEEN a.rn - 29 AND a.rn
+    GROUP BY a.day, a.revenue, a.rn
+    """,
+)
+def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha decay 0.9, 30-day
+    trailing frame) of daily order revenue — the standard smoothed-trend /
+    anomaly-baseline series for monitoring dashboards.
+
+    Scale shape: the distributed work is the daily roll-up (fact scan +
+    grouped partial agg down to one row per day); the EWMA itself runs on
+    that reduced series — at most ~36.5k rows per century — so a single
+    ordered window with a collect_list frame + higher-order fold is the
+    honest plan: the frame weights (0.9^k) are recomputed per row from the
+    frame itself, never carried as running state. Daily totals are rounded
+    to cents in BOTH engines before the weighted fold so the EWMA inputs
+    are bit-identical; the geometric normalizer uses the closed form
+    (1 - 0.9^n)/0.1 rather than a second fold.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    return (
+        daily.withColumn("vals", F.collect_list("revenue").over(w))
+        .select(
+            F.unix_timestamp(F.col("day").cast("timestamp")).alias("day_sec"),
+            "revenue",
+            F.round(
+                F.expr(
+                    """
+                    aggregate(
+                        zip_with(vals, sequence(size(vals) - 1, 0, -1),
+                                 (v, k) -> v * power(0.9D, k)),
+                        0D, (acc, x) -> acc + x)
+                    / ((1 - power(0.9D, size(vals))) / 0.1D)
+                    """
+                ),
+                2,
+            ).alias("ewma_30d"),
+        )
+    )

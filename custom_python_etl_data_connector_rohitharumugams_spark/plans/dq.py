@@ -1,0 +1,174 @@
+"""Data-quality queries: Deequ-style constraint verification and
+IQR-fence outlier detection.
+
+The reference's validation story is a manual checklist ("test for invalid
+responses, empty payloads ... ensure consistent insertion",
+/root/reference/README.md:32-34); these queries are its engine-grade
+replacement: declarative constraints evaluated in ONE fused scan, and a
+statistical outlier screen over the landed facts. Both are driver-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "dq_constraint_report",
+    tags=("P4", "A5", "F4", "A2"),
+    oracle="""
+    WITH m AS (
+        SELECT
+            COUNT(*)                                   AS n_rows,
+            COUNT(o_custkey)                           AS n_custkey,
+            COUNT(DISTINCT o_orderkey)                 AS n_distinct_key,
+            SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)   AS n_nonpos_price,
+            SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                     THEN 1 ELSE 0 END)                AS n_bad_status,
+            SUM(CASE WHEN o_orderdate <  DATE '1990-01-01'
+                      OR  o_orderdate >= DATE '2030-01-01'
+                     THEN 1 ELSE 0 END)                AS n_bad_date
+        FROM orders
+    )
+    SELECT c.constraint_name, c.metric, c.passed FROM m, LATERAL (VALUES
+        ('completeness_o_custkey',
+         ROUND(n_custkey * 1.0 / n_rows, 6), n_custkey = n_rows),
+        ('uniqueness_o_orderkey',
+         ROUND(n_distinct_key * 1.0 / n_rows, 6), n_distinct_key = n_rows),
+        ('positive_o_totalprice',
+         CAST(n_nonpos_price AS DOUBLE), n_nonpos_price = 0),
+        ('domain_o_orderstatus',
+         CAST(n_bad_status AS DOUBLE), n_bad_status = 0),
+        ('range_o_orderdate',
+         CAST(n_bad_date AS DOUBLE), n_bad_date = 0)
+    ) AS c(constraint_name, metric, passed)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the landed `orders` collection:
+    completeness, key uniqueness, value positivity, domain membership, and
+    date-range sanity — one row per constraint with its measured metric and
+    a pass/fail verdict.
+
+    Scale shape: ALL five constraints are fused into a single aggregate
+    pass (Deequ's shared-scan trick) — one table scan, one partial->final
+    HashAggregate, then a 1-row explode into the report. The only exact
+    count-distinct is on the primary key; at 100 TB the same report would
+    swap it for approx_count_distinct + a targeted duplicate probe, traded
+    here for oracle-exact parity.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count_distinct("o_orderkey").alias("n_distinct_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpos_price"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("n_bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+                | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad_date"),
+    )
+    report = F.array(
+        F.struct(
+            F.lit("completeness_o_custkey").alias("constraint_name"),
+            F.round(F.col("n_custkey") / F.col("n_rows"), 6).alias("metric"),
+            (F.col("n_custkey") == F.col("n_rows")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("uniqueness_o_orderkey").alias("constraint_name"),
+            F.round(F.col("n_distinct_key") / F.col("n_rows"), 6).alias("metric"),
+            (F.col("n_distinct_key") == F.col("n_rows")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("positive_o_totalprice").alias("constraint_name"),
+            F.col("n_nonpos_price").cast("double").alias("metric"),
+            (F.col("n_nonpos_price") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("domain_o_orderstatus").alias("constraint_name"),
+            F.col("n_bad_status").cast("double").alias("metric"),
+            (F.col("n_bad_status") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("range_o_orderdate").alias("constraint_name"),
+            F.col("n_bad_date").cast("double").alias("metric"),
+            (F.col("n_bad_date") == 0).alias("passed"),
+        ),
+    )
+    return m.select(F.explode(report).alias("c")).select("c.*")
+
+
+@query(
+    "analytics_value_outliers_iqr",
+    tags=("A6", "J3", "P2", "A5"),
+    oracle="""
+    WITH fences AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25)
+                     - 1.5 * (quantile_cont(value, 0.75)
+                              - quantile_cont(value, 0.25)), 4) AS lo_fence,
+               ROUND(quantile_cont(value, 0.75)
+                     + 1.5 * (quantile_cont(value, 0.75)
+                              - quantile_cont(value, 0.25)), 4) AS hi_fence
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, f.lo_fence, f.hi_fence,
+           CAST(SUM(CASE WHEN e.value < f.lo_fence
+                          OR e.value > f.hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(CASE WHEN e.value > f.hi_fence
+                          THEN e.value END), 2) AS max_outlier
+    FROM events e JOIN fences f USING (event_type)
+    GROUP BY e.event_type, f.lo_fence, f.hi_fence
+    """,
+)
+def analytics_value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly screen: per event type, flag event values
+    outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR] using EXACT interpolated
+    quartiles, and report the fences, outlier count, and worst high
+    outlier. The `events.value` distribution is right-skewed, so the upper
+    fence catches a real tail (~1% of rows) — the classic telemetry
+    anomaly gate.
+
+    Scale shape: two passes by design — a per-group quantile aggregate
+    produces a |event types|-row fence table, which broadcasts back onto
+    the fact scan (the second pass is a broadcast hash join + partial agg,
+    no fact shuffle). At 100 TB the exact `percentile` would become
+    `percentile_approx` (t-digest merge, one pass); exact is kept here
+    because the oracle compares interpolated values. Fences are rounded to
+    4 decimals on BOTH engines before the comparison predicate so the
+    outlier count never depends on last-ulp interpolation drift.
+    """
+    e = load_table(spark, sf_dir, "events")
+    q1 = F.percentile("value", F.lit(0.25))
+    q3 = F.percentile("value", F.lit(0.75))
+    fences = e.groupBy("event_type").agg(
+        F.round(q1 - 1.5 * (q3 - q1), 4).alias("lo_fence"),
+        F.round(q3 + 1.5 * (q3 - q1), 4).alias("hi_fence"),
+    )
+    is_out = (F.col("value") < F.col("lo_fence")) | (
+        F.col("value") > F.col("hi_fence")
+    )
+    return (
+        e.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.round(
+                F.max(F.when(F.col("value") > F.col("hi_fence"), F.col("value"))),
+                2,
+            ).alias("max_outlier"),
+        )
+    )

@@ -798,3 +798,156 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# L3/L4 keyword retrieval: BM25 ranking (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_bm25_search",
+    tags=("L3", "L4", "F5", "A1", "O2"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t.tok AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS doclen FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN ('spark', 'merge', 'vector') GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+        WHERE token IN ('spark', 'merge', 'vector') GROUP BY token
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                               * (0.25 + 0.75 * doclen / avgdl))), 6)
+               AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) over the corpus for a fixed
+    3-term query, returning the top-20 documents — the lexical half of a
+    retrieval stack next to the dense llm_cosine_topk/ANN path.
+
+    Scale shape: the classic inverted-index build — two token-keyed
+    aggregates (tf restricted to the query terms BEFORE aggregation, so the
+    postings shuffle carries only matching tokens; df over the full
+    vocabulary), the tiny per-term df and 1-row corpus stats broadcast onto
+    the postings, and a TakeOrderedAndProject global top-k (per-partition
+    heap, no full sort). Scores are rounded to 6 decimals in both engines
+    BEFORE the rank cut, with doc_id as the tiebreak, so the top-20
+    boundary never depends on float summation order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "vector"]
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.length("token") > 0)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    qtoks = toks.where(F.col("token").isin(terms))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtoks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 entity-resolution near-dup: blocked edit distance (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_blocked_edit_distance",
+    tags=("L2", "F1", "J1", "A5"),
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part
+    )
+    SELECT a.noun,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_pairs,
+           MIN(CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                    THEN levenshtein(a.p_name, b.p_name) END) AS min_dist,
+           ROUND(AVG(levenshtein(a.p_name, b.p_name)), 6) AS avg_dist
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    GROUP BY a.noun
+    """,
+)
+def dedup_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution near-duplicate screen on part names: block on
+    (noun token, brand), compare names within each block by Levenshtein
+    edit distance, and report per-noun candidate volume vs near-duplicate
+    hits (distance <= 3 catches adjective swaps like 'red bolt'/'hot
+    bolt').
+
+    Scale shape: the textbook ER blocking design — the O(n^2) comparison
+    space is cut to same-(noun, brand) blocks via an equi self-join (shuffle
+    hash on the composite block key; block sizes are bounded by the
+    key-domain product, so no quadratic blowup), the distance predicate
+    runs JVM-side (no Python), and the pair stream reduces directly to
+    per-noun partial aggregates. Integer edit distances make the oracle
+    comparison exact; the only float is an average of ints (exact
+    long-sum / count in both engines).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    near = dist <= 3
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(F.col("a.noun").alias("noun"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(near.cast("long")).alias("n_near_dup_pairs"),
+            F.min(F.when(near, dist)).alias("min_dist"),
+            F.round(F.avg(dist), 6).alias("avg_dist"),
+        )
+    )

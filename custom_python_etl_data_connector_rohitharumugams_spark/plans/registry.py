@@ -162,6 +162,7 @@ def _load_all() -> None:
         analytics,
         composed,
         connector_queries,
+        dq,
         llm,
         llm_pipeline,
         relational,
