@@ -951,3 +951,108 @@ def dedup_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(dist), 6).alias("avg_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L3 product quantization: PQ code assignment (oracle-checked)
+# --------------------------------------------------------------------------
+
+#: PQ codebook: 4 subspaces x 4 centers x 16 dims. The centers are the four
+#: +/-0.25 sign patterns (constant, alternating, and their negations) —
+#: equal-norm directions, so the argmin-distance assignment reduces to
+#: best-correlated pattern and the codes spread data-driven across all 4.
+#: 0.25 is exact in binary, keeping the center literals bit-identical
+#: between the Spark plan and the DuckDB oracle.
+_PQ_CENTERS: tuple[tuple[float, ...], ...] = (
+    tuple([0.25] * 16),
+    tuple([-0.25] * 16),
+    tuple([0.25, -0.25] * 8),
+    tuple([-0.25, 0.25] * 8),
+)
+
+_PQ_CENTERS_SQL = ", ".join(
+    "[" + ", ".join(f"{v}" for v in c) + "]" for c in _PQ_CENTERS
+)
+
+
+@query(
+    "llm_pq_encode",
+    tags=("L3", "F5", "A1"),
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, m.m AS subspace,
+               list_transform(embedding[m.m*16+1 : m.m*16+16],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings, (VALUES (0), (1), (2), (3)) AS m(m)
+    ),
+    d AS (
+        SELECT vec_id, subspace,
+               list_transform([{_PQ_CENTERS_SQL}],
+                  c -> list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(list_zip(sv, c),
+                             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                       (a, b) -> a + b)) AS dists
+        FROM sub
+    )
+    SELECT subspace,
+           CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(list_min(dists)), 6) AS total_err
+    FROM d GROUP BY subspace, code
+    """,
+)
+def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each 64-d embedding into 4
+    16-d subvectors, assign each to the nearest of 4 codebook centers by
+    squared L2 distance, and report per-(subspace, code) population and
+    total quantization error — the compression step of an IVF-PQ index
+    (llm_ivf_train_kmeans trains the coarse quantizer; this encodes the
+    residual codes).
+
+    Scale shape: entirely JVM-side — the subspace split is a posexplode of
+    sliced arrays (4 rows per vector, no shuffle), the 4-way argmin is a
+    higher-order transform/aggregate over broadcast-literal centers, and
+    the only exchange is the final tiny (subspace, code) roll-up. At 100 TB
+    the same plan streams: codes are computed scan-side and the shuffle
+    carries 16 grouped partials per partition. The distance fold is written
+    with the SAME operation order in both engines (cast-to-double, (x-y)*
+    (x-y), left fold from 0), so per-row distances are bit-identical and
+    the argmin/rounded-sum comparison is exact.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    centers = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in _PQ_CENTERS]
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("subspace"),
+                F.slice("embedding", m * 16 + 1, 16).alias("sv"),
+            )
+            for m in range(4)
+        ]
+    )
+    ex = e.select(F.explode(subs).alias("s")).select(
+        F.col("s.subspace").alias("subspace"), F.col("s.sv").alias("sv")
+    )
+    dists = F.transform(
+        centers,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("sv"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+    scored = ex.select(
+        "subspace",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("code"),
+        F.array_min(dists).alias("err"),
+    )
+    return scored.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("err"), 6).alias("total_err"),
+    )
