@@ -190,6 +190,7 @@ def run_connector(
     cfg: ConnectorConfig,
     incremental: bool = False,
     allow_partial: bool = False,
+    metrics_out: dict | None = None,
 ) -> str:
     """Full extract→transform→load; returns the collection path.
 
@@ -207,7 +208,18 @@ def run_connector(
     ``allow_partial=True`` lands what was fetched (the re-delivering
     upsert heals the gap on a later full run). The extract is persisted so
     the check, the transform, and the load all consume ONE fetch — an
-    unpersisted plan would re-run the HTTP pagination per action."""
+    unpersisted plan would re-run the HTTP pagination per action.
+
+    Pass a dict as ``metrics_out`` to receive run telemetry (the spec's
+    "confirm consistent insertion" check, README.md:34): ``rows_landed``
+    (records in the transformed batch handed to the sink — equals the
+    collection delta unless the upsert replaces existing keys),
+    ``null_key_rows``, and — when ``since_col`` is configured — the
+    outgoing high-water mark ``max_since``. Metrics come from
+    ``DataFrame.observe`` (a CollectMetrics node evaluated BY the write
+    action itself), so validation costs zero extra scans — at 100 TB a
+    post-load ``count()`` would re-read the landed collection; this reads
+    nothing."""
     if incremental and cfg.since_col and cfg.since_param:
         wm = incremental_watermark(spark, cfg)
         if wm is not None:
@@ -229,6 +241,22 @@ def run_connector(
                 f"{sample}. Re-run, or pass allow_partial=True to land the "
                 "fetched prefix."
             )
-        return load(transform(raw, cfg), cfg)
+        out = transform(raw, cfg)
+        if metrics_out is None:
+            return load(out, cfg)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"{cfg.name}_run")
+        metric_cols = [
+            F.count(F.lit(1)).alias("rows_landed"),
+            F.sum(F.col(cfg.key_col).isNull().cast("long")).alias(
+                "null_key_rows"
+            ),
+        ]
+        if cfg.since_col:
+            metric_cols.append(F.max(cfg.since_col).alias("max_since"))
+        path = load(out.observe(obs, *metric_cols), cfg)
+        metrics_out.update(obs.get)
+        return path
     finally:
         raw.unpersist()

@@ -564,3 +564,32 @@ def test_shard_manifest_describes_written_files_and_custom_split(spark, tmp_path
     assert sum(m["rows"] for m in manifest.values()) == 40
     res = shardsink.verify_training_shards(spark, out)
     assert res["ok"], res
+
+
+def test_run_connector_observed_metrics_no_extra_scan(spark, api_url, tmp_path):
+    """metrics_out gets CollectMetrics telemetry evaluated by the load
+    action itself: batch row count, null-key count, and the outgoing
+    watermark — and the values agree with what actually landed."""
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/cursor", str(tmp_path))
+    metrics: dict = {}
+    pipeline.run_connector(spark, cfg, metrics_out=metrics)
+    landed = docsink.read_collection(spark, str(tmp_path), "fake_raw")
+    # 9 raw records incl. one duplicated key -> the batch handed to the
+    # sink still has 9 rows; the upsert dedups to 8 in the collection
+    assert metrics["rows_landed"] == 9
+    assert metrics["null_key_rows"] == 0
+    assert landed.count() == 8
+
+
+def test_run_connector_observed_watermark_matches_max(spark, api_url, tmp_path):
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/cursor", str(tmp_path))
+    from dataclasses import replace
+
+    cfg = replace(cfg, since_col="when", since_param="since")
+    metrics: dict = {}
+    pipeline.run_connector(spark, cfg, metrics_out=metrics)
+    landed = docsink.read_collection(spark, str(tmp_path), "fake_raw")
+    expect = landed.agg(F.max("when")).collect()[0][0]
+    assert metrics["max_since"] == expect
