@@ -1056,3 +1056,178 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.sum("err"), 6).alias("total_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# L9/L3 embedding-space decontamination + L2/L11 graph degrees + L10 audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "llm_embedding_decontamination",
+    tags=("L9", "L3", "J3", "A5"),
+    oracle="""
+    WITH bench AS (
+        SELECT vec_id, embedding FROM embeddings WHERE label = 0
+    ),
+    corp AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE label <> 0
+    ),
+    sims AS (
+        SELECT c.vec_id, c.label,
+               ROUND(list_cosine_similarity(
+                   list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4)
+                   AS sim
+        FROM corp c CROSS JOIN bench b
+    ),
+    pv AS (
+        SELECT vec_id, label, MAX(sim) AS max_sim FROM sims GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN max_sim > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           ROUND(MAX(max_sim), 4) AS max_sim
+    FROM pv GROUP BY label
+    """,
+)
+def llm_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: treat label-0 vectors as
+    the held-out benchmark set and flag corpus vectors whose cosine to ANY
+    benchmark vector exceeds 0.3 — the dense-retrieval complement of the
+    shingle-overlap check in llm_benchmark_overlap (paraphrased
+    contamination has no shingle overlap but lands close in embedding
+    space). Emits a per-label contamination summary.
+
+    Scale shape: benchmark sets are bounded by construction (a few
+    thousand eval docs), so the benchmark side BROADCASTS and the corpus
+    side streams through one linear scan — corpus x benchmark work with
+    corpus-only shuffle volume (the per-vector max folds into a partial
+    aggregate keyed by vec_id, then a tiny per-label roll-up). Similarity
+    is rounded to 4 decimals in both engines before the max/threshold so
+    the flag never depends on last-ulp drift."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vectors import dot, norm
+
+    bench = (
+        e.where(F.col("label") == 0)
+        .select(F.col("embedding").alias("b_vec"))
+        .withColumn("__bn", norm(F.col("b_vec")))
+    )
+    corp = (
+        e.where(F.col("label") != 0)
+        .select("vec_id", "label", "embedding")
+        .withColumn("__cn", norm(F.col("embedding")))
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("b_vec"))
+        / (F.col("__cn") * F.col("__bn")),
+        4,
+    )
+    per_vec = (
+        corp.crossJoin(F.broadcast(bench))
+        .select("vec_id", "label", sim.alias("sim"))
+        .groupBy("vec_id", "label")
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("max_sim") > 0.3).cast("long")).alias("n_contaminated"),
+        F.round(F.max("max_sim"), 4).alias("max_sim"),
+    )
+
+
+@query(
+    "llm_neardup_degree_histogram",
+    tags=("L2", "L11", "A1", "F5"),
+    oracle=f"""
+    WITH e AS (
+        SELECT unnest([doc_id_1, doc_id_2]) AS doc_id
+        FROM ({NGRAM_JACCARD_SQL}) pairs
+        WHERE jaccard >= 0.02
+    ),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM e GROUP BY doc_id)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def llm_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph (edges = exact
+    3-gram Jaccard >= 0.02): how many documents have 1, 2, ... near-dup
+    neighbors. The shape of this histogram is the standard health check
+    before dedup clustering — a heavy tail means boilerplate-connected
+    hub documents that would snowball clusters (cf. the DF cap and the
+    hot-shingle guard).
+
+    Scale shape: rides the shared DF-capped postings front end
+    (sized_cold_postings — identical plan to llm_ngram_jaccard_pairs);
+    endpoint expansion is one explode of the 2-element pair array (the
+    pair subtree is evaluated ONCE — a union of two projections would
+    duplicate it), and both aggregates reduce monotonically (pairs ->
+    |docs| -> |distinct degrees|)."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = sized_cold_postings(spark, d)
+    pairs = jaccard_intersections(
+        sized, sized, F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
+    )
+    deg = (
+        pairs.where(F.col("jaccard") >= 0.02)
+        .select(
+            F.explode(F.array(F.col("doc_id_1"), F.col("doc_id_2"))).alias(
+                "doc_id"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "llm_audit_sample_per_source",
+    tags=("L10", "W4", "F8"),
+    oracle="""
+    WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('audit:', CAST(doc_id AS VARCHAR))),
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 2
+    """,
+)
+def llm_audit_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic audit sample: exactly 2 documents per source, chosen
+    by md5 rank — the reproducible "show me a few docs from every shard"
+    query behind human eval and regression diffing. Unlike
+    ``TABLESAMPLE``/``df.sample`` the selection is a pure function of the
+    data (seeded by the key, not the partitioning), so re-runs, engine
+    versions, and cluster sizes all agree on the sample.
+
+    Scale shape: one hash-partitioned window per source with an early
+    rank<=k cut (W4) — the output is k x |sources| rows regardless of
+    corpus size; no global sort, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("audit:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= 2)
+    )

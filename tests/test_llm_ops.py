@@ -376,3 +376,86 @@ class TestStarConnectedComponents:
                 "runs of a 12-round graph — per-round checkpoints are "
                 "leaking again"
             )
+
+
+def test_audit_sample_invariant_to_partitioning(spark, sf_dir):
+    """The md5-ranked audit sample is a pure function of the data: the
+    same rows must be selected regardless of how the input is partitioned
+    (the property df.sample/TABLESAMPLE does NOT have)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    fn = all_queries()["llm_audit_sample_per_source"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").repartition(17, "lang")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("audit:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            d.select("source", "doc_id")
+            .withColumn("rk", rk.cast("bigint"))
+            .where(F.col("rk") <= 2)
+            .collect(),
+        )
+    )
+    assert a == b
+    per_source = {}
+    for src, _doc, _rk in a:
+        per_source[src] = per_source.get(src, 0) + 1
+    assert set(per_source.values()) == {2}
+
+
+def test_pq_encode_covers_every_vector_with_valid_codes(spark, sf_dir):
+    """PQ invariants: 4 codes per vector (one per subspace), codes in
+    [0, 4), population sums back to 4 x corpus size."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    out = all_queries()["llm_pq_encode"].fn(spark, sf_dir).collect()
+    n_vectors = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in out) == 4 * n_vectors
+    assert all(0 <= r.code < 4 for r in out)
+    assert all(0 <= r.subspace < 4 for r in out)
+    assert all(r.total_err >= 0 for r in out)
+
+
+def test_embedding_decontamination_flags_planted_copy(spark, sf_dir):
+    """A corpus vector that IS a benchmark vector (cosine 1.0) must be
+    flagged: plant one and check the per-label contaminated count rises."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions.vectors import (
+        dot,
+        norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = (
+        e.where(F.col("label") == 0)
+        .select(F.col("embedding").alias("b_vec"))
+        .withColumn("__bn", norm(F.col("b_vec")))
+    )
+    planted = (
+        e.where(F.col("label") == 0)
+        .limit(1)
+        .select(
+            F.lit(999999).alias("vec_id"),
+            F.lit(99).alias("label"),
+            "embedding",
+        )
+        .withColumn("__cn", norm(F.col("embedding")))
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("b_vec")) / (F.col("__cn") * F.col("__bn")), 4
+    )
+    mx = (
+        planted.crossJoin(F.broadcast(bench))
+        .select(sim.alias("sim"))
+        .agg(F.max("sim"))
+        .collect()[0][0]
+    )
+    assert mx == 1.0  # its own benchmark copy

@@ -354,3 +354,35 @@ def test_heavy_neardup_plans_stay_bucketed(spark):
             f"{allowed} allowed — candidate generation must stay an "
             f"equi-join on bucket keys:\n" + "\n".join(offenders)
         )
+
+
+def test_round4_addition_plan_shapes(spark):
+    """Plan-shape pins for the round-4 additions (same discipline as the
+    near-dup pins above):
+
+    - dedup_blocked_edit_distance: the ER self-join must hit the composite
+      block key as an EQUI join — a nested-loop over part pairs is the
+      O(n^2) failure the blocking exists to prevent;
+    - analytics_value_outliers_iqr: fences reach the fact scan by
+      broadcast, never a fact-side shuffle join;
+    - llm_bm25_search: the global top-20 must plan TakeOrderedAndProject
+      (per-partition heaps), not a full sort;
+    - dq_constraint_report: all five constraints share ONE scan of orders
+      (the fused-analyzer claim in DESIGN.md).
+    """
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    qs = all_queries()
+    ed = _physical_plan(qs["dedup_blocked_edit_distance"].fn(spark, SF))
+    assert "CartesianProduct" not in ed
+    assert "BroadcastNestedLoopJoin" not in ed
+
+    iqr = _physical_plan(qs["analytics_value_outliers_iqr"].fn(spark, SF))
+    assert "BroadcastHashJoin" in iqr
+
+    bm = _physical_plan(qs["llm_bm25_search"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in bm
+
+    dq = _physical_plan(qs["dq_constraint_report"].fn(spark, SF))
+    n_scans = dq.count("Scan parquet") + dq.count("BatchScan")
+    assert n_scans == 1, f"constraint report should fuse into one scan:\n{dq[:600]}"
