@@ -992,3 +992,89 @@ def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_30d"),
         )
     )
+
+
+@query(
+    "analytics_abc_pareto_parts",
+    tags=("W3", "A1", "F4", "O1"),
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+        SELECT l_partkey, rev_cents,
+               ROUND(CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC,
+                                               l_partkey
+                                               ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE)
+                     / (SELECT SUM(rev_cents) FROM pr), 6) AS cum_share
+        FROM pr
+    )
+    SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS class_revenue_cents
+    FROM c GROUP BY abc_class
+    """,
+)
+def analytics_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: rank parts by revenue, take the
+    running share of total revenue, and bucket parts into A (first 50% of
+    revenue), B (next 30%), C (tail) — the classic inventory-analysis cut.
+
+    Scale shape: the fact scan reduces to one row per part BEFORE any
+    ordering (partial-aggregated groupBy); the cumulative window then runs
+    on the dimension-sized table via a range-partitioned global sort —
+    Spark samples split points, so the ordered cumsum parallelizes instead
+    of single-tasking.
+
+    Parity discipline: per-part revenue is quantized to INTEGER CENTS via
+    ``floor(x*100 + 0.5)`` — explicit half-up on the double value itself,
+    bit-deterministic in both engines. Plain ``ROUND(sum, 2)`` is NOT:
+    Spark rounds the double's shortest decimal representation (BigDecimal
+    HALF_UP, .775 -> .78) while DuckDB rounds the true binary value (just
+    below .775 -> .77), and 4-decimal-structured money sums land exactly
+    on half-cent boundaries often enough to bite (3 of ~2000 parts at
+    sf0.01). Downstream the cumsum/total/class sums are exact integer
+    arithmetic; the only float is the share ratio of two exact ints.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pr = l.groupBy("l_partkey").agg(
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    total = pr.agg(F.sum("rev_cents").alias("__total"))
+    w = (
+        Window.orderBy(F.col("rev_cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        pr.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("rev_cents").over(w).cast("double") / F.col("__total"),
+                6,
+            ),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.5, "A")
+            .when(F.col("cum_share") <= 0.8, "B")
+            .otherwise("C"),
+        )
+    )
+    return c.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").cast("bigint").alias("class_revenue_cents"),
+    )

@@ -332,3 +332,116 @@ def sql_approx_topk_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_parts DESC, p_brand LIMIT 5
         """
     )
+
+
+@query(
+    "sql_top_revenue_supplier",
+    tags=("A1", "J1", "O1", "F3"),
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly per-supplier revenue, then the
+    supplier(s) achieving the global maximum via a scalar subquery against
+    the same aggregate — the classic view + self-referencing-max pattern.
+
+    Scale shape: Catalyst evaluates the rev aggregate once per reference
+    but both sides reduce to |suppliers| rows before the max/join; the
+    scalar max is a 1-row broadcast back onto the dim-sized rev table, and
+    the ship-date filter pushes down into the parquet scan. Revenue is
+    rounded to cents in BOTH engines BEFORE the equality against the max,
+    so tie membership is float-order-proof."""
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        """
+    )
+
+
+@query(
+    "sql_waiting_suppliers",
+    tags=("J4", "J1", "A1", "F2", "O2"),
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's columns: 'late' =
+    shipped more than 60 days after the order date): suppliers who were
+    the SOLE late shipper on a finished multi-supplier order — one
+    correlated EXISTS plus one correlated NOT EXISTS whose predicate
+    references the OUTER query's order date.
+
+    Scale shape: the decorrelation stress test — Catalyst rewrites both
+    correlated subqueries into semi/anti joins on l_orderkey (no per-row
+    re-execution), all three lineitem references hash on the same
+    l_orderkey key so AQE shares the exchange layout, and the final
+    top-10 is a TakeOrderedAndProject. The NOT EXISTS carrying an outer
+    column (o_orderdate) in its predicate is exactly the rewrite
+    single-pass engines get wrong — the oracle pins the semantics."""
+    register_views(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+        """
+    )
