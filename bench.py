@@ -12,7 +12,6 @@ block below). Env knobs: $SPARK_GRAFT_SF_DIR, $SPARK_GRAFT_CPUS.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import sys
@@ -131,14 +130,12 @@ def main() -> None:
     # The driver keeps only the last ~2000 chars of stdout and parses the
     # JSON from that tail (round 1: an ~2.9 KB line with full query names
     # overflowed it -> "parsed": null). So stdout gets ONE compact line with
-    # short stable keys (md5(name)[:5] — stable under query additions), and
-    # the full name->sec map goes to BENCH_DETAIL.json next to this script.
-    def short_key(name: str) -> str:
-        return "q" + hashlib.md5(name.encode()).hexdigest()[:5]
-
-    keymap = {short_key(n): n for n in timings}
-    if len(keymap) != len(timings):  # hash collision: fall back to indices
-        keymap = {f"q{i:02d}": n for i, n in enumerate(sorted(timings))}
+    # 4-char index keys over the sorted query names (q000..; at 129 queries
+    # the md5[:5] scheme used through round 4 produced a ~2.2 KB line that
+    # tripped the length fallback and dropped the per-query map entirely),
+    # and the full name->sec map goes to BENCH_DETAIL.json next to this
+    # script, keyed back via "keymap".
+    keymap = {f"q{i:03d}": n for i, n in enumerate(sorted(timings))}
     detail = {
         "metric": "total wall-clock over all named queries",
         "value": total,

@@ -1231,3 +1231,77 @@ def llm_audit_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", rk.cast("bigint"))
         .where(F.col("rk") <= 2)
     )
+
+
+@query(
+    "llm_filtered_cosine_topk",
+    tags=("L3", "J1", "W4", "F5"),
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(
+                   list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4)
+                   AS sim
+        FROM q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def llm_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-5 cosine neighbors for each
+    query vector AMONG corpus vectors sharing the query's label — the
+    "search within my collection/tenant" pattern every vector store needs.
+
+    Scale shape: the metadata predicate is applied as the JOIN KEY, not a
+    post-filter — filter-then-search: candidates are generated by an
+    equi-join on label, so per-query work is the label partition's size,
+    never the corpus (search-then-filter top-k is WRONG under filters: the
+    global top-k may contain zero same-label rows). Norms are hoisted to
+    each side before the join (Q + N HOF evaluations, not 2QN), ranking
+    uses the ROUNDED similarity with an id tiebreak on both engines, and
+    the per-query top-k is the W4 early-cut window."""
+    from ..functions.vectors import norm, dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+        )
+        .withColumn("__qn", norm(F.col("q_vec")))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), "label", "embedding"
+    ).withColumn("__cn", norm(F.col("embedding")))
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("embedding"))
+        / (F.col("__qn") * F.col("__cn")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("label") == F.col("q_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+    )
