@@ -386,3 +386,20 @@ def test_round4_addition_plan_shapes(spark):
     dq = _physical_plan(qs["dq_constraint_report"].fn(spark, SF))
     n_scans = dq.count("Scan parquet") + dq.count("BatchScan")
     assert n_scans == 1, f"constraint report should fuse into one scan:\n{dq[:600]}"
+
+
+def test_vector_search_round4_plan_shapes(spark):
+    """llm_filtered_cosine_topk must join query-side-broadcast on the
+    label key (BroadcastHashJoin — per-query work bounded by the label
+    partition, not the corpus); llm_embedding_decontamination's only
+    nested-loop is the bounded benchmark broadcast."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    qs = all_queries()
+    f = _physical_plan(qs["llm_filtered_cosine_topk"].fn(spark, SF))
+    assert "BroadcastHashJoin" in f
+    assert "CartesianProduct" not in f
+
+    d = _physical_plan(qs["llm_embedding_decontamination"].fn(spark, SF))
+    assert "CartesianProduct" not in d
+    assert "BroadcastNestedLoopJoin" in d  # bounded benchmark side broadcast
