@@ -1078,3 +1078,56 @@ def analytics_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev_cents").cast("bigint").alias("class_revenue_cents"),
     )
+
+
+@query(
+    "window_time_weighted_value",
+    tags=("W2", "F2", "A1"),
+    oracle="""
+    WITH t AS (
+        SELECT user_id, value,
+               epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) - epoch(ts)
+                   AS dur
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(dur), 6) AS total_sec,
+           ROUND(SUM(value * dur) / SUM(dur), 6) AS twa_value
+    FROM t WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def window_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TimescaleDB ``time_weight`` shape): each
+    event's value is weighted by how long it was current — the duration
+    until the user's NEXT event — then averaged per user. The plain mean
+    over-counts bursts; the time-weighted mean is the honest "average
+    state" of an irregularly-sampled series.
+
+    Scale shape: ONE shuffle on user_id feeds the lead window (interval
+    construction stays inside the partition — no self-join on event
+    order), and the weighted aggregate folds map-side into per-user
+    partials. Durations use full-precision epoch seconds: Spark's
+    timestamp->double cast and DuckDB's epoch() both divide the same
+    microsecond integer by 1e6, so the weights are bit-identical."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        "value",
+        (
+            F.lead(F.col("ts").cast("double")).over(w)
+            - F.col("ts").cast("double")
+        ).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum("dur"), 6).alias("total_sec"),
+        F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6).alias(
+            "twa_value"
+        ),
+    )
