@@ -26,6 +26,8 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_col: str | None = None,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).
 
@@ -37,26 +39,84 @@ def cosine_topk(
     ~3x less expression work for bit-identical results — the dot product
     keeps the same sequential double-precision accumulation the oracle's
     list_reduce performs.
+
+    ``filter_col`` switches to METADATA-FILTERED search: candidates come
+    from an equi-join on that column (filter-then-search — per-query work
+    bounded by the matching partition, never the corpus; post-filtering a
+    global top-k is semantically wrong under filters because the global
+    top-k may contain zero matching rows). ``broadcast_queries`` hints the
+    (typically tiny) query side so the join never shuffles the corpus.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("__qn", norm(F.col("q_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("__cn", norm(F.col("c_vec")))
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")]
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")]
+    if filter_col is not None:
+        q_cols.append(F.col(filter_col).alias("__qf"))
+        c_cols.append(F.col(filter_col).alias("__cf"))
+    q = queries.select(*q_cols).withColumn("__qn", norm(F.col("q_vec")))
+    c = corpus.select(*c_cols).withColumn("__cn", norm(F.col("c_vec")))
+    if broadcast_queries:
+        q = F.broadcast(q)
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
     )
-    scored = (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-    )
+    not_self = F.col("query_id") != F.col("neighbor_id")
+    if filter_col is not None:
+        joined = q.join(c, (F.col("__qf") == F.col("__cf")) & not_self)
+    else:
+        joined = q.crossJoin(c).where(not_self)
+    scored = joined.select("query_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def benchmark_decontamination(
+    e: DataFrame,
+    benchmark_label: int = 0,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: rows whose ``label_col``
+    equals ``benchmark_label`` form the held-out benchmark set; every other
+    row is corpus. Emits a per-label summary: corpus size, how many corpus
+    vectors sit above ``threshold`` cosine to ANY benchmark vector, and the
+    worst similarity seen.
+
+    Scale shape: benchmark sets are bounded by construction (a few thousand
+    eval docs), so the benchmark side BROADCASTS and the corpus streams
+    through one linear scan; the per-vector max folds into a partial
+    aggregate keyed by id, then a tiny per-label roll-up. Similarity is
+    rounded to 4 decimals BEFORE the max/threshold so the flag never
+    depends on last-ulp drift."""
+    bench = (
+        e.where(F.col(label_col) == benchmark_label)
+        .select(F.col(vec_col).alias("b_vec"))
+        .withColumn("__bn", norm(F.col("b_vec")))
+    )
+    corp = (
+        e.where(F.col(label_col) != benchmark_label)
+        .select(F.col(id_col).alias("__id"), F.col(label_col).alias("label"),
+                F.col(vec_col).alias("c_vec"))
+        .withColumn("__cn", norm(F.col("c_vec")))
+    )
+    sim = F.round(
+        dot(F.col("c_vec"), F.col("b_vec")) / (F.col("__cn") * F.col("__bn")), 4
+    )
+    per_vec = (
+        corp.crossJoin(F.broadcast(bench))
+        .select("__id", "label", sim.alias("sim"))
+        .groupBy("__id", "label")
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("max_sim") > threshold).cast("long")).alias("n_contaminated"),
+        F.round(F.max("max_sim"), 4).alias("max_sim"),
     )
 
 

@@ -264,6 +264,26 @@ def jaccard_intersections(
     )
 
 
+def ngram_jaccard_pairs_df(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Shared EDGE DEFINITION of the exact-Jaccard near-dup graph (pairs
+    query + degree histogram): DF-capped postings intersection with the
+    rounded |inter|/|union| similarity. One place to change the rounding,
+    union formula, or pair condition — the consumers and their oracles
+    (NGRAM_JACCARD_SQL, embedded verbatim downstream) stay in lockstep."""
+    sized = sized_cold_postings(spark, d)
+    return jaccard_intersections(
+        sized, sized, F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
 @query("llm_ngram_jaccard_pairs", tags=("L2", "J1", "F5"), oracle=NGRAM_JACCARD_SQL)
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index join: explode shingles into
@@ -275,16 +295,7 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this survives at corpus scale. The oracle reproduces the identical
     integer-arithmetic cutoff (df * 10 <= n_docs)."""
     d = load_table(spark, sf_dir, "documents")
-    sized = sized_cold_postings(spark, d)
-    return jaccard_intersections(
-        sized, sized, F.col("a.doc_id") < F.col("b.doc_id")
-    ).select(
-        "doc_id_1",
-        "doc_id_2",
-        F.round(
-            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
-        ).alias("jaccard"),
-    )
+    return ngram_jaccard_pairs_df(spark, d)
 
 
 # -- planted-duplicate recall harness ---------------------------------------
@@ -844,8 +855,8 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the classic inverted-index build — two token-keyed
     aggregates (tf restricted to the query terms BEFORE aggregation, so the
-    postings shuffle carries only matching tokens; df over the full
-    vocabulary), the tiny per-term df and 1-row corpus stats broadcast onto
+    postings shuffle carries only matching tokens; df derived from the tf
+    frame itself), the tiny per-term df and 1-row corpus stats broadcast onto
     the postings, and a TakeOrderedAndProject global top-k (per-partition
     heap, no full sort). Scores are rounded to 6 decimals in both engines
     BEFORE the rank cut, with doc_id as the tiebreak, so the top-20
@@ -862,7 +873,10 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qtoks = toks.where(F.col("token").isin(terms))
     tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = qtoks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # tf already has exactly one row per (doc, token), so document frequency
+    # is a count over the tiny tf frame — counting from qtoks again would
+    # re-run the corpus tokenize/explode subtree a third time
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -930,7 +944,10 @@ def dedup_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_name",
         "p_brand",
-        F.split("p_name", " ").getItem(1).alias("noun"),
+        # single-token names: getItem(1) is NULL but the oracle's
+        # split_part(..., 2) is '' — coalesce so both engines block
+        # short names together instead of Spark silently dropping them
+        F.coalesce(F.split("p_name", " ").getItem(1), F.lit("")).alias("noun"),
     )
     a = p.alias("a")
     b = p.alias("b")
@@ -1108,34 +1125,7 @@ def llm_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     is rounded to 4 decimals in both engines before the max/threshold so
     the flag never depends on last-ulp drift."""
     e = load_table(spark, sf_dir, "embeddings")
-    from ..functions.vectors import dot, norm
-
-    bench = (
-        e.where(F.col("label") == 0)
-        .select(F.col("embedding").alias("b_vec"))
-        .withColumn("__bn", norm(F.col("b_vec")))
-    )
-    corp = (
-        e.where(F.col("label") != 0)
-        .select("vec_id", "label", "embedding")
-        .withColumn("__cn", norm(F.col("embedding")))
-    )
-    sim = F.round(
-        dot(F.col("embedding"), F.col("b_vec"))
-        / (F.col("__cn") * F.col("__bn")),
-        4,
-    )
-    per_vec = (
-        corp.crossJoin(F.broadcast(bench))
-        .select("vec_id", "label", sim.alias("sim"))
-        .groupBy("vec_id", "label")
-        .agg(F.max("sim").alias("max_sim"))
-    )
-    return per_vec.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.sum((F.col("max_sim") > 0.3).cast("long")).alias("n_contaminated"),
-        F.round(F.max("max_sim"), 4).alias("max_sim"),
-    )
+    return S.benchmark_decontamination(e, benchmark_label=0, threshold=0.3)
 
 
 @query(
@@ -1167,18 +1157,7 @@ def llm_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate it), and both aggregates reduce monotonically (pairs ->
     |docs| -> |distinct degrees|)."""
     d = load_table(spark, sf_dir, "documents")
-    sized = sized_cold_postings(spark, d)
-    pairs = jaccard_intersections(
-        sized, sized, F.col("a.doc_id") < F.col("b.doc_id")
-    ).select(
-        "doc_id_1",
-        "doc_id_2",
-        F.round(
-            F.col("inter").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("inter")),
-            4,
-        ).alias("jaccard"),
-    )
+    pairs = ngram_jaccard_pairs_df(spark, d)
     deg = (
         pairs.where(F.col("jaccard") >= 0.02)
         .select(
@@ -1242,20 +1221,29 @@ def llm_audit_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND(list_cosine_similarity(
-                   list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
-                   list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4)
-                   AS sim
+               ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, len(q.embedding) + 1),
+                             i -> CAST(q.embedding[i] AS DOUBLE)
+                                  * CAST(c.embedding[i] AS DOUBLE))),
+                         (a, b) -> a + b)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(q.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                         (a, b) -> a + b))
+                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(c.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                         (a, b) -> a + b))), 6) AS sim
         FROM q JOIN embeddings c
           ON c.label = q.label AND c.vec_id <> q.vec_id
     )
-    SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rank
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim
     FROM (
         SELECT query_id, neighbor_id, sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id) AS rk
+                                  ORDER BY sim DESC, neighbor_id) AS rank
         FROM scored
-    ) WHERE rk <= 5
+    ) WHERE rank <= 5
     """,
 )
 def llm_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,41 +1255,16 @@ def llm_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-filter — filter-then-search: candidates are generated by an
     equi-join on label, so per-query work is the label partition's size,
     never the corpus (search-then-filter top-k is WRONG under filters: the
-    global top-k may contain zero same-label rows). Norms are hoisted to
-    each side before the join (Q + N HOF evaluations, not 2QN), ranking
-    uses the ROUNDED similarity with an id tiebreak on both engines, and
-    the per-query top-k is the W4 early-cut window."""
-    from ..functions.vectors import norm, dot
-
+    global top-k may contain zero same-label rows). Shares
+    operators/similarity.cosine_topk with the unfiltered baseline — same
+    hoisted norms and the same rank-on-round-6/emit-round-4 discipline, so
+    filtered and unfiltered results can never drift in ranking
+    convention."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = (
-        e.where(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("q_vec"),
-        )
-        .withColumn("__qn", norm(F.col("q_vec")))
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), "label", "embedding"
-    ).withColumn("__cn", norm(F.col("embedding")))
-    sim = F.round(
-        dot(F.col("q_vec"), F.col("embedding"))
-        / (F.col("__qn") * F.col("__cn")),
-        4,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), "neighbor_id"
-    )
-    return (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("label") == F.col("q_label"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 5)
+    return S.cosine_topk(
+        e.where(F.col("vec_id") < 5),
+        e,
+        k=5,
+        filter_col="label",
+        broadcast_queries=True,
     )

@@ -340,15 +340,16 @@ def sql_approx_topk_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_suppkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+               CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                    AS BIGINT) AS total_rev_cents
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_rev
+    SELECT s_suppkey, s_name, total_rev_cents
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
     """,
 )
 def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,22 +361,26 @@ def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     but both sides reduce to |suppliers| rows before the max/join; the
     scalar max is a 1-row broadcast back onto the dim-sized rev table, and
     the ship-date filter pushes down into the parquet scan. Revenue is
-    rounded to cents in BOTH engines BEFORE the equality against the max,
-    so tie membership is float-order-proof."""
+    quantized to INTEGER CENTS via floor(x*100 + 0.5) in BOTH engines
+    before the max/equality — plain ROUND(sum, 2) diverges on half-cent
+    boundaries (Spark rounds the shortest decimal repr, DuckDB the binary
+    value; see analytics_abc_pareto_parts), and a one-cent disagreement
+    here would flip max-tie membership."""
     register_views(spark, sf_dir, ("lineitem", "supplier"))
     return spark.sql(
         """
         WITH rev AS (
             SELECT l_suppkey,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+                   CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100
+                              + 0.5) AS BIGINT) AS total_rev_cents
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_rev
+        SELECT s_suppkey, s_name, total_rev_cents
         FROM supplier JOIN rev ON s_suppkey = l_suppkey
-        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
         """
     )
 

@@ -215,7 +215,8 @@ def run_connector(
     (records in the transformed batch handed to the sink — equals the
     collection delta unless the upsert replaces existing keys),
     ``null_key_rows``, and — when ``since_col`` is configured — the
-    outgoing high-water mark ``max_since``. Metrics come from
+    outgoing high-water mark ``max_since`` (None when the batch is
+    empty). Metrics come from
     ``DataFrame.observe`` (a CollectMetrics node evaluated BY the write
     action itself), so validation costs zero extra scans — at 100 TB a
     post-load ``count()`` would re-read the landed collection; this reads
@@ -249,9 +250,11 @@ def run_connector(
         obs = Observation(f"{cfg.name}_run")
         metric_cols = [
             F.count(F.lit(1)).alias("rows_landed"),
-            F.sum(F.col(cfg.key_col).isNull().cast("long")).alias(
-                "null_key_rows"
-            ),
+            # coalesce: SUM over an EMPTY batch is NULL, but the documented
+            # contract (and any `== 0` consumer) wants 0
+            F.coalesce(
+                F.sum(F.col(cfg.key_col).isNull().cast("long")), F.lit(0)
+            ).alias("null_key_rows"),
         ]
         if cfg.since_col:
             metric_cols.append(F.max(cfg.since_col).alias("max_since"))

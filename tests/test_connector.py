@@ -593,3 +593,15 @@ def test_run_connector_observed_watermark_matches_max(spark, api_url, tmp_path):
     landed = docsink.read_collection(spark, str(tmp_path), "fake_raw")
     expect = landed.agg(F.max("when")).collect()[0][0]
     assert metrics["max_since"] == expect
+
+
+def test_run_connector_empty_batch_metrics_are_zero(spark, api_url, tmp_path):
+    """An empty extract (the API has nothing to return) must report
+    rows_landed == 0 and null_key_rows == 0 — not None (SUM over zero rows
+    is NULL without the coalesce)."""
+    FakeApi.state.clear()
+    cfg = _cfg(api_url, "/empty", str(tmp_path))
+    metrics: dict = {}
+    pipeline.run_connector(spark, cfg, metrics_out=metrics)
+    assert metrics["rows_landed"] == 0
+    assert metrics["null_key_rows"] == 0

@@ -425,37 +425,40 @@ def test_pq_encode_covers_every_vector_with_valid_codes(spark, sf_dir):
     assert all(r.total_err >= 0 for r in out)
 
 
-def test_embedding_decontamination_flags_planted_copy(spark, sf_dir):
-    """A corpus vector that IS a benchmark vector (cosine 1.0) must be
-    flagged: plant one and check the per-label contaminated count rises."""
-    from custom_python_etl_data_connector_rohitharumugams_spark.functions.vectors import (
-        dot,
-        norm,
+def test_embedding_decontamination_flags_planted_copy(spark):
+    """Run the ACTUAL decontamination operator on a corpus with a planted
+    benchmark copy: the copy's label must report contaminated with
+    max_sim 1.0, while an orthogonal-vector label reports clean."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),  # benchmark
+        (1, [0.0, 1.0, 0.0, 0.0], 0),  # benchmark
+        (10, [1.0, 0.0, 0.0, 0.0], 7),  # exact copy of benchmark vec 0
+        (11, [0.0, 0.0, 1.0, 0.0], 8),  # orthogonal to both benchmarks
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
     )
+    out = {r.label: r for r in S.benchmark_decontamination(e).collect()}
+    assert out[7].n_contaminated == 1 and out[7].max_sim == 1.0
+    assert out[8].n_contaminated == 0 and out[8].max_sim == 0.0
 
-    e = load_table(spark, sf_dir, "embeddings")
-    bench = (
-        e.where(F.col("label") == 0)
-        .select(F.col("embedding").alias("b_vec"))
-        .withColumn("__bn", norm(F.col("b_vec")))
+
+def test_filtered_cosine_topk_excludes_other_labels(spark):
+    """The metadata filter is a hard constraint: a near-identical vector
+    with a DIFFERENT label must never appear in the neighbor list, even
+    though it would dominate the unfiltered top-k."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),  # query (vec_id < 5)
+        (10, [1.0, 0.001, 0.0], 2),  # near-identical, WRONG label
+        (11, [0.5, 0.5, 0.0], 1),  # same label, mid similarity
+        (12, [0.0, 1.0, 0.0], 1),  # same label, orthogonal
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
     )
-    planted = (
-        e.where(F.col("label") == 0)
-        .limit(1)
-        .select(
-            F.lit(999999).alias("vec_id"),
-            F.lit(99).alias("label"),
-            "embedding",
-        )
-        .withColumn("__cn", norm(F.col("embedding")))
-    )
-    sim = F.round(
-        dot(F.col("embedding"), F.col("b_vec")) / (F.col("__cn") * F.col("__bn")), 4
-    )
-    mx = (
-        planted.crossJoin(F.broadcast(bench))
-        .select(sim.alias("sim"))
-        .agg(F.max("sim"))
-        .collect()[0][0]
-    )
-    assert mx == 1.0  # its own benchmark copy
+    got = S.cosine_topk(
+        e.where(F.col("vec_id") < 5), e, k=5, filter_col="label"
+    ).collect()
+    neighbors = {r.neighbor_id for r in got}
+    assert neighbors == {11, 12}
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == [11, 12]
