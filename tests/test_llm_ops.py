@@ -462,3 +462,33 @@ def test_filtered_cosine_topk_excludes_other_labels(spark):
     neighbors = {r.neighbor_id for r in got}
     assert neighbors == {11, 12}
     assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == [11, 12]
+
+
+def test_filtered_topk_equals_unfiltered_when_single_label(spark, sf_dir):
+    """With a constant filter column the filtered equi-join path must
+    produce exactly the unfiltered crossJoin path's results — same
+    ranking discipline, different join strategy."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn("one", F.lit(1))
+    q = e.where(F.col("vec_id") < 5)
+    plain = sorted(map(tuple, S.cosine_topk(q, e, k=3).collect()))
+    filt = sorted(
+        map(tuple, S.cosine_topk(q, e, k=3, filter_col="one").collect())
+    )
+    assert plain == filt
+
+
+def test_decontamination_monotone_in_threshold(spark, sf_dir):
+    """Raising the contamination threshold can only shrink the flagged
+    set (per label and in total)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    lo = {
+        r.label: r.n_contaminated
+        for r in S.benchmark_decontamination(e, threshold=0.25).collect()
+    }
+    hi = {
+        r.label: r.n_contaminated
+        for r in S.benchmark_decontamination(e, threshold=0.4).collect()
+    }
+    assert set(lo) == set(hi)
+    assert all(hi[k] <= lo[k] for k in lo)
+    assert sum(hi.values()) < sum(lo.values())  # 0.4 actually bites on this data
