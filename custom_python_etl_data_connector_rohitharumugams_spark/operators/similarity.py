@@ -196,6 +196,79 @@ def cosine_near_pairs(
     return keyed.groupBy("__b1", "__b2").applyInPandas(gemm, schema=out_schema)
 
 
+def _ivf_corpus(
+    corpus: DataFrame, id_col: str, vec_col: str, list_col: str
+) -> DataFrame:
+    """Corpus normalized to IVF shape: (neighbor_id, c_vec, ivf_list, __cn)."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(list_col).alias("ivf_list"),
+    ).withColumn("__cn", norm(F.col("c_vec")))
+
+
+def _ivf_centroids(c: DataFrame) -> DataFrame:
+    """One centroid row per inverted list: per-dimension mean reassembled in
+    dim order, with the centroid norm hoisted (cosine inside the probe
+    crossJoin would recompute it once per (query, list))."""
+    ex = c.select("ivf_list", F.posexplode("c_vec").alias("pos", "v"))
+    return (
+        ex.groupBy("ivf_list", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("ivf_list")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+            ).alias("centroid")
+        )
+        .withColumn("__cent_n", norm(F.col("centroid")))
+    )
+
+
+def _ivf_probed(
+    queries: DataFrame, cent: DataFrame, nprobe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Probe selection: each query keeps its top-``nprobe`` lists by
+    centroid cosine. Norms hoisted pre-join (Q + lists evaluations)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("__qn", norm(F.col("q_vec")))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("ivf_list")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_vec", "__qn", "ivf_list",
+            (
+                dot(F.col("q_vec"), F.col("centroid"))
+                / (F.col("__qn") * F.col("__cent_n"))
+            ).alias("c_sim"),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "q_vec", "__qn", "ivf_list")
+    )
+
+
+def _exact_rerank(cands: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine top-k over a candidate frame carrying q_vec/__qn and
+    c_vec/__cn — the shared tail of every ANN variant (rank on round-6 sim,
+    id tiebreak, emit round-4)."""
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -215,54 +288,126 @@ def ivf_topk(
     Everything is DataFrame ops: centroids via posexplode+avg (JVM), probe
     selection and candidate scoring via broadcast joins + top-k windows.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col(list_col).alias("ivf_list")
-    ).withColumn("__cn", norm(F.col("c_vec")))
-    # centroid per list: mean of each dimension, reassembled in dim order
-    ex = c.select("ivf_list", F.posexplode("c_vec").alias("pos", "v"))
-    cent = (
-        ex.groupBy("ivf_list", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("ivf_list")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
-            ).alias("centroid")
-        )
-        # centroid norm hoisted too: cosine() inside the probe crossJoin
-        # would recompute it (and the query norm) once per (query, list)
-        .withColumn("__cent_n", norm(F.col("centroid")))
+    c = _ivf_corpus(corpus, id_col, vec_col, list_col)
+    probed = _ivf_probed(queries, _ivf_centroids(c), nprobe, id_col, vec_col)
+    cands = probed.join(c, "ivf_list").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    # norms hoisted pre-join (see cosine_topk): Q+N HOF evaluations, not 2QN
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("__qn", norm(F.col("q_vec")))
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("ivf_list"))
-    probed = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id", "q_vec", "__qn", "ivf_list",
+    return _exact_rerank(cands, k)
+
+
+#: PQ codebook shared by the encode query and the IVF-PQ search: 4 subspaces
+#: x 4 centers x 16 dims; centers are the four +/-0.25 sign patterns —
+#: equal-norm directions, so argmin-distance assignment == best-correlated
+#: pattern and the codes spread data-driven. 0.25 is exact in binary, so the
+#: literals are bit-identical between the Spark plan and the DuckDB oracle.
+PQ_CENTERS: tuple[tuple[float, ...], ...] = (
+    tuple([0.25] * 16),
+    tuple([-0.25] * 16),
+    tuple([0.25, -0.25] * 8),
+    tuple([-0.25, 0.25] * 8),
+)
+PQ_SUBSPACES = 4
+PQ_DIMS = 16
+
+
+def pq_subspace_dists(vec_col, m: int):
+    """Array of squared L2 distances from subspace ``m`` of ``vec_col`` to
+    each codebook center (left fold from 0, cast-to-double — the exact
+    op order the DuckDB oracle mirrors)."""
+    centers = F.array(*[F.array(*[F.lit(v) for v in c]) for c in PQ_CENTERS])
+    sub = F.slice(vec_col, m * PQ_DIMS + 1, PQ_DIMS)
+    return F.transform(
+        centers,
+        lambda c: F.aggregate(
+            F.zip_with(
+                sub,
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def pq_codes(vec_col):
+    """4-element int array: each subspace's nearest-center index (0-based)."""
+    return F.array(
+        *[
             (
-                dot(F.col("q_vec"), F.col("centroid"))
-                / (F.col("__qn") * F.col("__cent_n"))
-            ).alias("c_sim"),
-        )
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .where(F.col("__pr") <= nprobe)
-        .select("query_id", "q_vec", "__qn", "ivf_list")
+                F.array_position(
+                    pq_subspace_dists(vec_col, m),
+                    F.array_min(pq_subspace_dists(vec_col, m)),
+                )
+                - 1
+            ).cast("int")
+            for m in range(PQ_SUBSPACES)
+        ]
     )
-    sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 6
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the full compressed-index search:
+
+    1. coarse stage: probe the top ``nprobe`` inverted lists (shared with
+       :func:`ivf_topk`);
+    2. PQ-ADC stage: candidates are ranked by an asymmetric-distance
+       lookup — each query precomputes a 4x4 table of
+       dot(query-subvector, center) and a candidate's approximate score is
+       4 table lookups via its stored codes (4 small ints), never its
+       vector — and only the top ``rerank`` per query survive;
+    3. exact stage: survivors are re-scored with true cosine (shared
+       :func:`_exact_rerank` tail, same ranking discipline as every other
+       ANN variant).
+
+    At 100 TB this is the memory story of a vector index: the ADC stage
+    touches ONLY codes (4 bytes/vector) and the per-query table, so the
+    probed lists stream compressed; full vectors are read for
+    ``rerank`` rows per query, not per candidate.
+    """
+    c = _ivf_corpus(corpus, id_col, vec_col, list_col).withColumn(
+        "__codes", pq_codes(F.col("c_vec"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        probed.join(c, "ivf_list")
+    probed = _ivf_probed(queries, _ivf_centroids(c), nprobe, id_col, vec_col)
+    # per-query ADC lookup table: table[m][cidx] = dot(q_sub_m, center_cidx)
+    centers = F.array(*[F.array(*[F.lit(v) for v in cc]) for cc in PQ_CENTERS])
+    table = F.array(
+        *[
+            F.transform(
+                centers,
+                lambda cc, _m=m: dot(
+                    F.slice(F.col("q_vec"), _m * PQ_DIMS + 1, PQ_DIMS), cc
+                ),
+            )
+            for m in range(PQ_SUBSPACES)
+        ]
+    )
+    adc = F.expr(
+        "aggregate(sequence(1, 4), 0D, (acc, m) -> "
+        "acc + element_at(element_at(__tab, m), element_at(__codes, m) + 1))"
+    )
+    prune_w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        probed.withColumn("__tab", table)
+        .join(c, "ivf_list")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .withColumn("__adc", adc)
+        .withColumn("__ar", F.row_number().over(prune_w))
+        .where(F.col("__ar") <= rerank)
     )
+    return _exact_rerank(cands, k)
 
 
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:

@@ -492,3 +492,17 @@ def test_decontamination_monotone_in_threshold(spark, sf_dir):
     assert set(lo) == set(hi)
     assert all(hi[k] <= lo[k] for k in lo)
     assert sum(hi.values()) < sum(lo.values())  # 0.4 actually bites on this data
+
+
+def test_ivf_pq_generous_rerank_equals_ivf(spark):
+    """With a rerank budget >= every probed candidate the ADC stage prunes
+    nothing, so IVF-PQ must reproduce plain IVF exactly — pins the probe,
+    code-assignment, table-lookup, and re-rank plumbing end to end."""
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    ivf = S.ivf_topk(q, e, k=3, nprobe=3).toPandas()
+    pq = S.ivf_pq_topk(q, e, k=3, nprobe=3, rerank=100000).toPandas()
+    key = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, pq[key].values.tolist())) == sorted(
+        map(tuple, ivf[key].values.tolist())
+    )
