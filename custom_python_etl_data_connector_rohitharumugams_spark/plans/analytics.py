@@ -937,18 +937,24 @@ def agg_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                   AS rev_cents
         FROM orders GROUP BY day
     ),
-    r AS (
-        SELECT day, revenue, ROW_NUMBER() OVER (ORDER BY day) AS rn
+    v AS (
+        SELECT day, rev_cents,
+               list(rev_cents / 100.0) OVER (ORDER BY day
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS vals
         FROM daily
     )
-    SELECT CAST(floor(epoch(a.day)) AS BIGINT) AS day_sec, a.revenue,
-           ROUND(SUM(b.revenue * POWER(0.9, a.rn - b.rn))
-                 / ((1 - POWER(0.9, LEAST(a.rn, 30))) / 0.1), 2) AS ewma_30d
-    FROM r a JOIN r b ON b.rn BETWEEN a.rn - 29 AND a.rn
-    GROUP BY a.day, a.revenue, a.rn
+    SELECT CAST(floor(epoch(day)) AS BIGINT) AS day_sec,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, len(vals) + 1),
+                         i -> vals[i] * POWER(0.9, len(vals) - i))),
+                     (a, b) -> a + b)
+                 / ((1 - POWER(0.9, len(vals))) / 0.1), 2) AS ewma_30d
+    FROM v
     """,
 )
 def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,25 +965,37 @@ def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the distributed work is the daily roll-up (fact scan +
     grouped partial agg down to one row per day); the EWMA itself runs on
     that reduced series — at most ~36.5k rows per century — so a single
-    ordered window with a collect_list frame + higher-order fold is the
-    honest plan: the frame weights (0.9^k) are recomputed per row from the
-    frame itself, never carried as running state. Daily totals are rounded
-    to cents in BOTH engines before the weighted fold so the EWMA inputs
-    are bit-identical; the geometric normalizer uses the closed form
-    (1 - 0.9^n)/0.1 rather than a second fold.
+    ordered window (single-partition over the day-sized series, acceptable
+    at that cardinality) with a collect_list frame + higher-order fold:
+    the frame weights (0.9^k) are recomputed per row from the frame
+    itself, never carried as running state.
+
+    Parity discipline: daily totals are quantized to INTEGER CENTS via
+    ``floor(x*100 + 0.5)`` in BOTH engines (o_totalprice is double, so the
+    pre-quantization sum is order-sensitive and plain ROUND diverges
+    between Spark and DuckDB on half-cent boundaries — same hazard as
+    analytics_abc_pareto_parts) and divided by 100 only at emission; the
+    oracle's weighted fold mirrors the Spark fold element-for-element
+    (ordered list frame, weight 0.9^(n-i), left fold from 0) so the EWMA
+    is bit-identical before the final round. The geometric normalizer
+    uses the closed form (1 - 0.9^n)/0.1 rather than a second fold.
     """
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        (F.floor(F.sum("o_totalprice") * 100 + 0.5))
+        .cast("long")
+        .alias("rev_cents")
     )
     w = Window.orderBy("day").rowsBetween(-29, 0)
     return (
-        daily.withColumn("vals", F.collect_list("revenue").over(w))
+        daily.withColumn(
+            "vals", F.collect_list(F.col("rev_cents") / 100.0).over(w)
+        )
         .select(
             F.unix_timestamp(F.col("day").cast("timestamp")).alias("day_sec"),
-            "revenue",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
             F.round(
                 F.expr(
                     """
@@ -1028,9 +1046,12 @@ def analytics_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact scan reduces to one row per part BEFORE any
     ordering (partial-aggregated groupBy); the cumulative window then runs
-    on the dimension-sized table via a range-partitioned global sort —
-    Spark samples split points, so the ordered cumsum parallelizes instead
-    of single-tasking.
+    on the dimension-sized table. A window with no partitionBy collapses
+    to ONE task (WindowExec's "No Partition Defined" path), so the ordered
+    cumsum is single-partition — acceptable because |parts| is a
+    dimension-table cardinality (~200M rows at 100 TB would still need a
+    two-pass prefix-sum; at |parts| scale the single task is the honest,
+    simpler plan).
 
     Parity discipline: per-part revenue is quantized to INTEGER CENTS via
     ``floor(x*100 + 0.5)`` — explicit half-up on the double value itself,

@@ -1093,10 +1093,19 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sims AS (
         SELECT c.vec_id, c.label,
-               ROUND(list_cosine_similarity(
-                   list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4)
-                   AS sim
+               ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, len(c.embedding) + 1),
+                             i -> CAST(c.embedding[i] AS DOUBLE)
+                                  * CAST(b.embedding[i] AS DOUBLE))),
+                         (a, b) -> a + b)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(c.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                         (a, b) -> a + b))
+                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(b.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                         (a, b) -> a + b))), 4) AS sim
         FROM corp c CROSS JOIN bench b
     ),
     pv AS (

@@ -36,7 +36,11 @@ def main() -> None:
         f" = {cur_s / base_s:.2f}x"
     )
 
-    over = [(cur[k] / base[k], k) for k in shared if cur[k] > 2 * base[k]]
+    over = [
+        (cur[k] / max(base[k], 0.01), k)
+        for k in shared
+        if cur[k] > 2 * max(base[k], 0.01)
+    ]
     if over:
         print("OVER the 2x acceptance bound:")
         for r, k in sorted(over, reverse=True):
