@@ -410,6 +410,49 @@ def ivf_pq_topk(
     return _exact_rerank(cands, k)
 
 
+def ivf_learned_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_lists: int = 10,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end learned IVF: train the coarse quantizer with
+    :func:`kmeans_train` (Lloyd's over the corpus), attach each corpus
+    vector's learned cell id as its inverted list, then run the shared
+    :func:`ivf_topk` probe/scan/rerank over the LEARNED partition instead
+    of a metadata column — the production IVF shape, where the quantizer
+    is fit to the data rather than borrowed from a label.
+
+    Scale shape: training is the documented kmeans_train contract (one
+    shuffle per iteration, k centroid rows to the driver — MLlib's
+    contract); the assignment frame joins back to the corpus on the id
+    column (one co-partitioned equi-join) and everything downstream is the
+    unchanged ivf_topk plan. At 100 TB the quantizer would be trained on a
+    sample and the assignment becomes a shuffle-free literal-centers
+    projection — both paths exist in kmeans_train already.
+    """
+    assign, _inertias = kmeans_train(
+        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col
+    )
+    learned = corpus.join(
+        assign.select(F.col("vec_id").alias(id_col), F.col("cid").alias("__ivf_cell")),
+        id_col,
+    )
+    return ivf_topk(
+        queries,
+        learned,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        list_col="__ivf_cell",
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG dependency)."""
     return [

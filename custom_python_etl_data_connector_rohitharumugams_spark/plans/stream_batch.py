@@ -13,6 +13,8 @@ struct and DuckDB timestamps don't hash alike.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -247,3 +249,81 @@ def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("bn").over(w).cast("bigint").alias("n_purchases"),
         F.round(F.sum("bt").over(w), 2).alias("total_spend"),
     )
+
+
+@query(
+    "stream_watermark_late_drop",
+    tags=("T4", "T1"),
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_sec,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events, mx
+    WHERE NOT (ts < TIMESTAMP '2024-01-05' AND event_id % 10 = 0)
+      AND floor(epoch(ts) / 600) * 600 + 600 <= epoch(m) - 86400
+    GROUP BY win_start_sec
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 under REAL streaming execution: a watermarked tumbling aggregate
+    run with ``readStream`` + ``availableNow`` + ``maxFilesPerTrigger=1``
+    over a replay fixture with PLANTED LATE DATA, returning the memory
+    sink's append-mode emission. The oracle states A PRIORI which events
+    the watermark drops and which windows finalize — no streaming output
+    is consulted to build it:
+
+    - late set (streaming/replay.LATE_SET_SQL): early events (ts <
+      2024-01-05) with event_id % 10 = 0 are withheld from the
+      time-ordered on-time slices and replayed in the FINAL micro-batch,
+      when the watermark (max on-time ts - 1 day) is ~25 days past their
+      10-minute windows' ends => a correct watermark implementation drops
+      every one of them (margin is days, so <=-vs-< eviction semantics
+      cannot flip any row);
+    - append mode emits exactly the windows whose end <= final watermark
+      (epoch(max ts) - 86400); later windows stay in state, unemitted.
+
+    Because on-time slices are time-ordered, no ON-TIME event ever lands
+    in an already-evicted window (watermark trails the replay front by a
+    full day), so every emitted window carries its complete on-time
+    aggregate — which is what makes the result batch-computable and the
+    check exact rather than rows-only. This is the named-CORRECTNESS
+    complement of the cross-batch state tests in tests/test_streaming.py.
+    """
+    import tempfile
+    import uuid
+
+    from ..streaming.replay import events_stream, split_events_with_late
+
+    replay_dir = split_events_with_late(
+        spark,
+        sf_dir,
+        f"{tempfile.gettempdir()}/sg_wm_{os.path.basename(sf_dir.rstrip('/'))}_replay",
+    )
+    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    agg = (
+        sdf.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start_sec"),
+            "cnt",
+            "total_value",
+        )
+    )
+    name = f"wm_late_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_wm_cp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("watermark replay query did not finish in 300 s")
+    return spark.table(name)

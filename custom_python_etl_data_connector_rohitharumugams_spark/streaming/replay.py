@@ -53,6 +53,64 @@ def events_stream(
     return df
 
 
+#: Planted-late-set predicate shared by :func:`split_events_with_late`, the
+#: stream_watermark_late_drop query, and its DuckDB oracle: early events
+#: (first ~4 days) whose id ends in 0 are withheld from the on-time slices
+#: and replayed LAST — by then the watermark (max ts - 1 day) is ~25 days
+#: past their window ends, so a correct watermark implementation MUST drop
+#: every one of them. The margin is days, not seconds: no event sits near a
+#: boundary, so <= vs < eviction semantics cannot flip the result.
+LATE_SET_SQL = "ts < TIMESTAMP '2024-01-05' AND event_id % 10 = 0"
+
+
+def split_events_with_late(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_ontime_slices: int = 2
+) -> str:
+    """Replay fixture with PLANTED LATE DATA: events matching
+    :data:`LATE_SET_SQL` are removed from the time-ordered on-time slices
+    and written as the final slice, so under ``maxFilesPerTrigger=1`` they
+    arrive in a micro-batch whose starting watermark already passed their
+    windows. Deterministic by construction (predicate on fixture columns,
+    percentile split bounds, spaced mtimes for stable file order)."""
+    assert out_dir.endswith("_replay"), "replay dirs are suffixed _replay"
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(f"{out_dir}/slice-*.parquet"):
+        os.remove(stale)
+    e = load_table(spark, sf_dir, "events")
+    late = e.where(F.expr(LATE_SET_SQL))
+    ontime = e.where(~F.expr(LATE_SET_SQL))
+    bounds = ontime.select(
+        F.percentile_approx(
+            F.col("ts").cast("double"),
+            [i / n_ontime_slices for i in range(1, n_ontime_slices)],
+            10_000,
+        ).alias("bs")
+    ).collect()[0]["bs"]
+    slices = []
+    lo = None
+    for hi in list(bounds) + [None]:
+        sl = ontime
+        if lo is not None:
+            sl = sl.where(F.col("ts").cast("double") >= lo)
+        if hi is not None:
+            sl = sl.where(F.col("ts").cast("double") < hi)
+        slices.append(sl)
+        lo = hi
+    slices.append(late)  # replayed last: guaranteed behind the watermark
+    import time as _time
+
+    for i, sl in enumerate(slices):
+        tmp = f"{out_dir}/_tmp-slice-{i}"
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{out_dir}/slice-{i}.parquet"
+        shutil.move(part, dest)
+        stamp = _time.time() - 100 * (len(slices) - i)
+        os.utime(dest, (stamp, stamp))
+        shutil.rmtree(tmp)
+    return out_dir
+
+
 def split_events_for_replay(
     spark: SparkSession, sf_dir: str, out_dir: str, n_slices: int = 3
 ) -> str:
