@@ -11,7 +11,8 @@ Usage:
           .option("num_partitions", "8")
           .option("schema_ddl", "id bigint, name string")
           .option("auth_env", "API_TOKEN")    # env var holding the bearer token
-          .load())
+          .option("fields_param", "fields")   # API supports ?fields=a,b column
+          .load())                            # pruning (see RestApiReader)
 
 Parallelism model: offset pagination splits the page range across N input
 partitions (each fetched by a separate executor-side Python worker — this is
@@ -163,6 +164,20 @@ class RestApiReader(DataSourceReader):
             c.strip() for c in options.get("pushable_params", "").split(",") if c.strip()
         }
         self.pushed_params: dict[str, object] = {}
+        # COLUMN PRUNING (SURVEY.md SS4): option ``fields_param`` declares
+        # the API supports server-side field selection (the ?fields=a,b
+        # convention). The reader then asks for exactly the declared
+        # schema's data columns on every page, so a narrow schema_ddl
+        # shrinks the TRANSFERRED payload, not just the parsed one. The
+        # Python DataSource API has no pruneColumns planning hook (only
+        # partitions/pushFilters/read), so the schema IS the pruning
+        # contract — same explicit-declaration philosophy as
+        # pushable_params. Landing/diagnostic columns (raw ``record``,
+        # ``_corrupt_record``) are never API fields and are excluded.
+        self.fields_param = options.get("fields_param")
+        self.api_fields = [f for f in self.fields if f not in (CORRUPT_COL, "record")]
+        if self.fields_param and self.api_fields:
+            self.pushed_params[self.fields_param] = ",".join(self.api_fields)
 
     # -- planning ----------------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:

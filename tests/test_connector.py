@@ -120,6 +120,17 @@ class FakeApi(BaseHTTPRequestHandler):
             else:
                 recs = [_record(i) for i in range(page * 4, (page + 1) * 4)] if page < 5 else []
             self._send(200, json.dumps({"data": recs, "next_cursor": None}))
+        elif route == "/prunable":
+            # honors server-side field selection (?fields=a,b): records are
+            # projected to the requested fields before transfer, and the
+            # fields value seen is recorded for assertions
+            page = int(q.get("page", 0))
+            FakeApi.seen_fields = q.get("fields")
+            recs = [_record(i) for i in range(page * 4, (page + 1) * 4)] if page < 3 else []
+            if q.get("fields"):
+                keep = q["fields"].split(",")
+                recs = [{k: r[k] for k in keep if k in r} for r in recs]
+            self._send(200, json.dumps({"data": recs, "next_cursor": None}))
         elif route == "/nulldata":
             # one good page, then {"data": null} — a common server shape
             # for "no more records"
@@ -279,6 +290,52 @@ def test_equality_filter_pushdown_fetches_fewer_pages(spark, api_url):
     assert filtered_requests < unfiltered_requests, (
         f"pushdown did not reduce page fetches: {filtered_requests}"
     )
+
+
+def test_column_pruning_requests_only_schema_fields(spark, api_url):
+    """SURVEY.md SS4 column pruning: with ``fields_param`` declared, the
+    reader sends the declared schema's data columns as a server-side field
+    selection on every page — the API transfers only those fields — and
+    the scan schema is exactly the pruned one. The Python DataSource API
+    has no pruneColumns hook, so the narrow schema IS the contract."""
+    pipeline.register_sources(spark)
+    FakeApi.state.clear()
+    FakeApi.seen_fields = None
+    df = (
+        spark.read.format("restapi")
+        .option("base_url", f"{api_url}/prunable")
+        .option("schema_ddl", "id bigint, name string")
+        .option("mode", "offset")
+        .option("num_partitions", "1")
+        .option("max_pages", "4")
+        .option("fields_param", "fields")
+        .load()
+    )
+    rows = df.collect()
+    assert FakeApi.seen_fields == "id,name", "request must carry the pruned field list"
+    assert df.schema.simpleString() == "struct<id:bigint,name:string>"
+    assert sorted((r.id, r.name) for r in rows) == [(i, f"rec{i}") for i in range(12)]
+
+
+def test_column_pruning_excludes_landing_and_corrupt_columns(spark, api_url):
+    """Raw ``record`` and ``_corrupt_record`` are connector-side columns,
+    never API fields: a landing-shaped schema must NOT send a fields
+    param at all (asking the API for 'record' would select nothing)."""
+    pipeline.register_sources(spark)
+    FakeApi.state.clear()
+    FakeApi.seen_fields = "sentinel"
+    df = (
+        spark.read.format("restapi")
+        .option("base_url", f"{api_url}/prunable")
+        .option("schema_ddl", "record string, _corrupt_record string")
+        .option("mode", "offset")
+        .option("num_partitions", "1")
+        .option("max_pages", "4")
+        .option("fields_param", "fields")
+        .load()
+    )
+    assert df.count() == 12
+    assert FakeApi.seen_fields is None, "landing schema must not request field selection"
 
 
 def test_key_sanitization_nested(spark):
