@@ -843,13 +843,20 @@ def llm_incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFra
     Scale shape: the pair join keeps the NEW batch on one side, so
     candidate cost tracks the batch's shingle collisions, not corpus^2 —
     at 100 TB the corpus side is the persisted postings index (written
-    once by the initial build; here recomputed because fixtures are
-    read-only) and only the daily batch is exploded, joined, and
-    verified. Admission is a left join + null test, emitted per new doc."""
+    once by the initial build) and only the daily batch is exploded,
+    joined, and verified. Here the fixture is read-only, so the postings
+    are MATERIALIZED ONCE (localCheckpoint — the in-session stand-in for
+    that persisted index) and both join sides read the materialized
+    blocks: without it Spark re-derives the whole shingle/DF-cap/window
+    subtree separately for the index side and the batch side (batch =
+    filter of index, so the subtrees aren't structurally equal and
+    ReuseExchange can't kick in), which audited at 13 exchanges — the
+    widest plan in PLAN_AUDIT.md r04. Materializing cut it to 5.
+    Admission is a left join + null test, emitted per new doc."""
     from .llm import jaccard_intersections, sized_cold_postings
 
     d = load_table(spark, sf_dir, "documents")
-    sized = sized_cold_postings(spark, d)
+    sized = sized_cold_postings(spark, d).localCheckpoint()
     inter = jaccard_intersections(
         sized,
         sized.where(F.col("doc_id") % 5 == 0),
