@@ -26,6 +26,8 @@ orders of magnitude smaller than the corpus to begin with.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,29 @@ _EDGES_PER_PARTITION = 2_000_000
 #: spark.executor.pyspark.memory budget with margin. Raising this means
 #: re-doing that arithmetic, not the on-disk size of the edges.
 _LOCAL_SOLVE_EDGES = 1_000_000
+
+
+def chain_graph(spark, n_components: int, chain_len: int) -> DataFrame:
+    """Deterministic planted-component edge set for CC scale stress:
+    ``n_components`` disjoint chains of ``chain_len`` vertices (component
+    ``c`` owns ids ``[c*chain_len, (c+1)*chain_len)``; edges connect
+    consecutive ids). Ground truth is closed-form — ``component(v) =
+    chain_len * floor(v / chain_len)`` — so a run over millions of edges
+    is verifiable without a second solver. Chains are the ADVERSARIAL
+    shape for label propagation (diameter = chain_len - 1 rounds) and the
+    showcase for large-star/small-star's multiplicative contraction; they
+    model chained near-dup template families (A~B~C with no direct A~C
+    edge), which is exactly the case clustering exists for. Pure
+    ``spark.range`` arithmetic: generating 10M edges is milliseconds and
+    fully distributed."""
+    return (
+        spark.range(n_components * chain_len)
+        .where((F.col("id") % chain_len) != chain_len - 1)
+        .select(
+            F.col("id").alias("doc_id_1"),
+            (F.col("id") + 1).alias("doc_id_2"),
+        )
+    )
 
 
 def _solve_local(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
@@ -118,6 +143,7 @@ def connected_components(
     src: str = "doc_id_1",
     dst: str = "doc_id_2",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected ``edges`` graph with the
     smallest vertex id in its component. Returns (vertex, component).
@@ -125,6 +151,14 @@ def connected_components(
     Vertices are those appearing in any edge; isolated docs (no near-dup
     edge) are their own component by definition and never enter the graph,
     so callers left-join the result back onto the corpus.
+
+    ``stats`` (optional dict) is populated in place with the execution
+    shape — {"mode": "local"|"distributed", "n_edges", "n_partitions",
+    "rounds": [{"round", "changed", "secs"}, ...]} — so scale benches can
+    record round counts and per-round work without re-instrumenting the
+    operator. ``changed`` rides the SAME single per-round job (the
+    convergence aggregate sums label improvements instead of max-ing a
+    boolean), so instrumentation adds zero actions.
     """
     # canonical high->low orientation first: half the rows of the symmetric
     # form, and exactly what the single-task finish consumes. Self-loops are
@@ -142,7 +176,11 @@ def connected_components(
     # already fits one task, diameter-many shuffle rounds are pure overhead.
     # The count is cheap (canon is already materialized).
     n_edges = canon.count()
+    if stats is not None:
+        stats.update(n_edges=n_edges, rounds=[])
     if n_edges <= _LOCAL_SOLVE_EDGES:
+        if stats is not None:
+            stats["mode"] = "local"
         out = _solve_local(canon)
         return out
     # Right-size the iterative phase's parallelism from the measured edge
@@ -153,6 +191,8 @@ def connected_components(
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     n_part = max(1, min(canon.rdd.getNumPartitions(), n_edges // _EDGES_PER_PARTITION + 1))
     sym = sym.repartition(n_part, "b").localCheckpoint()
+    if stats is not None:
+        stats.update(mode="distributed", n_partitions=n_part)
     labels = canon.select(F.col("a").alias("vertex")).union(
         canon.select(F.col("b").alias("vertex"))
     ).distinct().select(
@@ -162,16 +202,20 @@ def connected_components(
 
     converged = False
     prev_ckpt = labels  # the checkpointed frame itself (not a projection of it)
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
+        t0 = time.monotonic()
         nbr_min = (
             sym.join(labels, sym.b == labels.vertex)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
         # lazy checkpoint + one full-scan aggregate = ONE job per round: the
-        # max(__improved) scan materializes every checkpoint partition AND
-        # returns the convergence bit, where an eager checkpoint followed by
-        # a separate probe action paid two driver round-trips per iteration
+        # sum(__improved) scan materializes every checkpoint partition AND
+        # returns the convergence signal (the changed-label count — same
+        # single job a boolean max would cost, but it doubles as the
+        # per-round work metric for scale benches), where an eager
+        # checkpoint followed by a separate probe action paid two driver
+        # round-trips per iteration
         proposed = (
             labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
             .select(
@@ -183,11 +227,21 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        improved = proposed.agg(F.max("__improved").alias("__i")).first()["__i"]
+        changed = proposed.agg(
+            F.sum(F.col("__improved").cast("long")).alias("__i")
+        ).first()["__i"]
         _unpersist_checkpoint(prev_ckpt)  # superseded round's blocks
         prev_ckpt = proposed
         labels = proposed.drop("__improved")
-        if not improved:
+        if stats is not None:
+            stats["rounds"].append(
+                {
+                    "round": round_no,
+                    "changed": int(changed or 0),
+                    "secs": round(time.monotonic() - t0, 3),
+                }
+            )
+        if not changed:
             converged = True
             break
     _unpersist_checkpoint(sym)
@@ -206,6 +260,7 @@ def connected_components_star(
     src: str = "doc_id_1",
     dst: str = "doc_id_2",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — the
@@ -222,6 +277,12 @@ def connected_components_star(
 
     Returns (vertex, component) with component = min vertex id of the
     component, the same contract as :func:`connected_components`.
+
+    ``stats`` (optional dict) records the execution shape — mode,
+    initial edge count, per-round contracted edge counts + wall seconds,
+    and whether the hierarchical local finish fired — the per-round edge
+    count IS the round's shuffle volume (each star round shuffles the
+    current edge set through two groupBy-min + join steps).
     """
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -291,8 +352,15 @@ def connected_components_star(
 
     # Hierarchical finish, round 0: if the whole edge set already fits one
     # task, skip the distributed rounds entirely (see _LOCAL_SOLVE_EDGES).
-    if cur.count() <= _LOCAL_SOLVE_EDGES:
+    n0 = cur.count()
+    if stats is not None:
+        stats.update(n_edges=n0, rounds=[])
+    if n0 <= _LOCAL_SOLVE_EDGES:
+        if stats is not None:
+            stats["mode"] = "local"
         return finish(_solve_local(cur))
+    if stats is not None:
+        stats["mode"] = "distributed"
 
     def fingerprint(e: DataFrame):
         row = e.agg(
@@ -306,6 +374,7 @@ def connected_components_star(
     prev_fp = None
     converged = False
     for round_no in range(max_iter):
+        t0 = time.monotonic()
         # lazy checkpoint + the fingerprint aggregate = ONE job per round
         # (an eager checkpoint would be a second materializing action)
         prev = cur
@@ -314,6 +383,14 @@ def connected_components_star(
         # superseded blocks: round 0's input is a filter over canon (the
         # filter itself holds no storage), so release canon directly
         _unpersist_checkpoint(canon if round_no == 0 else prev)
+        if stats is not None:
+            stats["rounds"].append(
+                {
+                    "round": round_no,
+                    "n_edges": fp[0],
+                    "secs": round(time.monotonic() - t0, 3),
+                }
+            )
         if fp == prev_fp:
             converged = True
             break
@@ -324,6 +401,8 @@ def connected_components_star(
         # connectivity and each component's minimum vertex, so the local
         # union-find over the contracted edges yields the original labels.
         if fp[0] <= _LOCAL_SOLVE_EDGES:
+            if stats is not None:
+                stats["local_finish"] = True
             return finish(_solve_local(cur))
     if not converged:
         raise RuntimeError(

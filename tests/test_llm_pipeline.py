@@ -103,6 +103,28 @@ def test_connected_components_chains_and_cycles(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
 
 
+def test_cc_distributed_rounds_above_local_threshold(spark):
+    """UNPATCHED scale stress: a planted-chain graph whose edge count
+    exceeds _LOCAL_SOLVE_EDGES, so both CC variants take their REAL
+    distributed branches (no monkeypatching) — label propagation runs
+    diameter-many shuffle rounds, large/small star contracts — and both
+    must match the closed-form ground truth exactly. This is the in-suite
+    companion of tools/bench_cc_scale.py (which runs 3x bigger and
+    records per-round shuffle volumes into BENCH_CC_SCALE.md)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import graph
+
+    n_comp, chain = 360_000, 4  # 1.08M edges > 1M threshold, diameter 3
+    edges = graph.chain_graph(spark, n_comp, chain)
+    truth = F.col("vertex") - (F.col("vertex") % chain)
+    for fn in (graph.connected_components, graph.connected_components_star):
+        stats: dict = {}
+        labels = fn(edges, stats=stats)
+        assert stats["mode"] == "distributed", f"{fn.__name__} took local path"
+        assert stats["rounds"], f"{fn.__name__} recorded no distributed rounds"
+        assert labels.where(F.col("component") != truth).count() == 0
+        assert labels.count() == n_comp * chain
+
+
 def test_dedup_clusters_label_twin_pairs_together(spark):
     """Every planted exact twin lands in its twin's cluster: run the
     clustering over near-dup pairs of the twinned corpus."""
