@@ -1,0 +1,124 @@
+"""Generate synthetically scaled fixture tables for scaling-exponent runs.
+
+The driver ships sf{0.001,0.01,0.1}; confirming the near-linear scaling
+claims in DESIGN.md needs at least one point ~10x beyond the bench scale.
+This tool replicates the sf0.1 tables ``--factor`` times with
+referential-integrity-preserving key offsets (each replica's keys live in
+a disjoint stride; region/nation stay fixed — they are constant-size dims
+at every TPC-H scale), writing ``{out}/{table}.parquet`` dirs that
+catalog.load_table reads exactly like driver fixtures.
+
+Replicas are DECORRELATED so scaled runs measure plan scaling, not
+planted-duplicate explosions:
+- documents: replica r > 0 rotates the lowercase alphabet by r
+  (``translate``) — token counts/lengths/structure preserved, but no
+  shingle survives across replicas, so near-dup pair counts scale ~10x,
+  not ~45x (every doc would otherwise gain 9 exact twins and the
+  pair-emitting queries would measure the DATA, not the plan);
+- embeddings: replica r > 0 adds a deterministic per-(row, dim, replica)
+  jitter of up to ~0.6% — cosine structure is preserved approximately,
+  exact-twin collapse (cosine == 1.0 pairs) is avoided.
+
+Usage: python tools/gen_scaled_fixtures.py [--factor 10]
+       [--base /root/testdata/sf0.1] [--out /tmp/sparkgraft_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+#: id-ish columns per table and their replica stride (strides are far above
+#: any base key so replica key spaces can never collide)
+KEY_STRIDES: dict[str, dict[str, int]] = {
+    "customer": {"c_custkey": 10_000_000},
+    "supplier": {"s_suppkey": 10_000_000},
+    "part": {"p_partkey": 10_000_000},
+    "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 100_000_000,
+        "l_partkey": 10_000_000,
+        "l_suppkey": 10_000_000,
+    },
+    "events": {"event_id": 100_000_000, "user_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+FIXED_DIMS = ("region", "nation")
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sparkgraft_sf1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.catalog import (
+        load_table,
+    )
+    from custom_python_etl_data_connector_rohitharumugams_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("gen-scaled-fixtures")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    for t in FIXED_DIMS:
+        load_table(spark, args.base, t).write.mode("overwrite").parquet(
+            str(out / f"{t}.parquet")
+        )
+        print(f"{t}: copied (fixed dim)")
+
+    for t, strides in KEY_STRIDES.items():
+        base = load_table(spark, args.base, t)
+        replicas = []
+        for r in range(args.factor):
+            rep = base
+            for col, stride in strides.items():
+                rep = rep.withColumn(
+                    col, (F.col(col) + F.lit(r * stride)).cast("long")
+                )
+            if r > 0 and t == "documents":
+                rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
+                rep = rep.withColumn("text", F.translate("text", ALPHA, rot))
+            if r > 0 and t == "embeddings":
+                # factory closure: pyspark counts ALL lambda params
+                # (including defaults) when inferring HOF arity, so a
+                # `_r=r` default would read as a 3-arg lambda
+                def _jitter(rr):
+                    def f(x, j):
+                        return (
+                            x
+                            + ((F.col("vec_id") + j.cast("long") * rr) % 13 - 6)
+                            .cast("float")
+                            * F.lit(0.001)
+                        ).cast("float")
+
+                    return f
+
+                rep = rep.withColumn(
+                    "embedding", F.transform("embedding", _jitter(r))
+                )
+            replicas.append(rep)
+        scaled = replicas[0]
+        for rep in replicas[1:]:
+            scaled = scaled.unionByName(rep)
+        scaled.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+        print(f"{t}: x{args.factor} -> {out / t}.parquet")
+
+    print(f"done: {out}")
+
+
+if __name__ == "__main__":
+    main()
