@@ -90,8 +90,11 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math_lineitem_report",        # F3
     "scalar_map_event_totals",            # F6 F7
     "scalar_hash_customer_keys",          # F8
-    # streaming batch-equivalents
-    "stream_tumbling_event_counts",       # T1
+    # streaming batch-equivalents (T1 rides stream_watermark_late_drop's
+    # tumbling agg — the watermark query is the strictly more informative
+    # row: real availableNow streaming execution + a-priori late-drop
+    # oracle; stream_tumbling_event_counts stays pytest-parity-covered)
+    "stream_watermark_late_drop",         # T4 T1
     "stream_sliding_event_volume",        # T2
     "stream_session_windows",             # T3
     "stream_dedup_user_event_types",      # T5
