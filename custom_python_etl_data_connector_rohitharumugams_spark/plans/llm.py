@@ -599,10 +599,11 @@ def llm_ann_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_kmeans_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-k coarse-quantizer training: k=300 exceeds
     _KMEANS_LITERAL_MAX_K (256), so assignment takes kmeans_train's
-    BROADCAST-JOIN branch (corpus x broadcast-centers join + per-vector
-    min-struct, similarity.py) instead of the literal-centers projection —
-    the code path a production nlist (thousands of cells) always uses,
-    here exercised and oracled rather than left to unit scope. Invariant
+    Arrow-batched GEMM branch (one BLAS |x|^2 - 2 X.C^T + |c|^2 product
+    per batch against the closure-shipped center matrix — shuffle-free,
+    similarity.py) instead of the literal-centers projection — the code
+    path a production nlist (thousands of cells) always uses, here
+    exercised and oracled rather than left to unit scope. Invariant
     form: every vector assigned exactly once, cell ids bounded by k, and
     the inertia sequence non-increasing across 3 Lloyd's iterations
     (Lloyd's guarantee — holds regardless of float rounding)."""

@@ -277,6 +277,41 @@ class TestKmeansTrain:
         assert len(inertias) == 3
         assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
 
+    def test_gemm_branch_matches_literal_branch(self, spark, monkeypatch):
+        """The large-k GEMM assignment (|x|^2 - 2 X.C^T + |c|^2 per Arrow
+        batch) must produce the SAME assignments and inertia trajectory as
+        the literal-centers fold at the same k — forced by dropping the
+        branch threshold to 0. Near-equality on inertia (GEMM sums in a
+        different float order); exact equality on cluster membership."""
+        from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators import similarity
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        lit_assign, lit_inertias = similarity.kmeans_train(e, k=5, iters=2)
+        lit = {r["vec_id"]: r["cid"] for r in lit_assign.collect()}
+        monkeypatch.setattr(similarity, "_KMEANS_LITERAL_MAX_K", 0)
+        gemm_assign, gemm_inertias = similarity.kmeans_train(e, k=5, iters=2)
+        gemm = {r["vec_id"]: r["cid"] for r in gemm_assign.collect()}
+        assert gemm == lit
+        for a, b in zip(lit_inertias, gemm_inertias):
+            assert abs(a - b) <= 1e-6 * max(a, 1.0)
+
+    def test_large_k_gemm_assignment_plan_is_shuffle_free(self, spark, monkeypatch):
+        """The GEMM branch is a narrow mapInPandas stage: no Exchange, no
+        join — the property that makes large-nlist training scan-shaped
+        at 100 TB (the replaced broadcast-join form shuffled the corpus
+        through a (vec_id, vec) re-group every iteration)."""
+        from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+        from custom_python_etl_data_connector_rohitharumugams_spark.operators import similarity
+
+        monkeypatch.setattr(similarity, "_KMEANS_LITERAL_MAX_K", 0)
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        assign, _ = similarity.kmeans_train(e, k=5, iters=1)
+        plan = assign._jdf.queryExecution().executedPlan().toString()
+        for node in ("Exchange", "CartesianProduct", "BroadcastHashJoin"):
+            assert node not in plan, f"GEMM assignment planned a {node}:\n{plan[:600]}"
+        assert "MapInPandas" in plan
+
     def test_small_k_assignment_plan_is_shuffle_free(self, spark):
         from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
         from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
