@@ -435,18 +435,63 @@ def ivf_learned_topk(
     sample and the assignment becomes a shuffle-free literal-centers
     projection — both paths exist in kmeans_train already.
     """
-    assign, _inertias = kmeans_train(
-        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col
-    )
-    learned = corpus.join(
-        assign.select(F.col("vec_id").alias(id_col), F.col("cid").alias("__ivf_cell")),
-        id_col,
-    )
+    learned = attach_learned_cells(corpus, n_lists, train_iters, id_col, vec_col)
     return ivf_topk(
         queries,
         learned,
         k=k,
         nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        list_col="__ivf_cell",
+    )
+
+
+def attach_learned_cells(
+    corpus: DataFrame,
+    n_lists: int,
+    train_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the k-means coarse quantizer and attach each corpus vector's
+    learned cell as ``__ivf_cell`` — the shared quantizer-fit front end of
+    :func:`ivf_learned_topk` and :func:`ivf_pq_learned_topk` (one place
+    defines how assignments become inverted lists)."""
+    assign, _inertias = kmeans_train(
+        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col
+    )
+    return corpus.join(
+        assign.select(F.col("vec_id").alias(id_col), F.col("cid").alias("__ivf_cell")),
+        id_col,
+    )
+
+
+def ivf_pq_learned_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 40,
+    n_lists: int = 10,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The fully learned compressed index: k-means coarse quantizer
+    (shared :func:`attach_learned_cells`) + PQ codes + ADC pruning + exact
+    re-rank — :func:`ivf_pq_topk` over LEARNED inverted lists instead of a
+    metadata column. This is the complete production IVF-PQ shape: both
+    the cell structure and the code compression are fit to the data; the
+    probe/ADC/rerank tail is byte-identical to the label-partitioned
+    variant, so the two can never drift in ranking discipline."""
+    learned = attach_learned_cells(corpus, n_lists, train_iters, id_col, vec_col)
+    return ivf_pq_topk(
+        queries,
+        learned,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
         id_col=id_col,
         vec_col=vec_col,
         list_col="__ivf_cell",

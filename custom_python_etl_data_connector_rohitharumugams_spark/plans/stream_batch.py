@@ -315,15 +315,21 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"wm_late_{uuid.uuid4().hex[:12]}"
+    cp = tempfile.mkdtemp(prefix="sg_wm_cp_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg_wm_cp_"))
+        .option("checkpointLocation", cp)
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("watermark replay query did not finish in 300 s")
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("watermark replay query did not finish in 300 s")
+    finally:
+        import shutil
+
+        shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
     return spark.table(name)

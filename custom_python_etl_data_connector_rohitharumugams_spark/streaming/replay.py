@@ -74,9 +74,30 @@ def split_events_with_late(
     percentile split bounds, spaced mtimes for stable file order)."""
     assert out_dir.endswith("_replay"), "replay dirs are suffixed _replay"
     os.makedirs(out_dir, exist_ok=True)
+    e = load_table(spark, sf_dir, "events")
+    # Slices are a pure function of (fixture content, n_ontime_slices,
+    # LATE_SET_SQL) and fixture dirs are read-only by contract
+    # (TESTDATA.md), so a complete previous build is REUSED: the marker
+    # records the source row count + params and is written only after a
+    # successful build, so a partial/crashed build never validates. This
+    # halves the bench cost of every watermark-replay run after the first.
+    import json as _json
+
+    marker = f"{out_dir}/_built.json"
+    want = {"n_events": e.count(), "n_ontime_slices": n_ontime_slices,
+            "late_sql": LATE_SET_SQL}
+    if os.path.exists(marker):
+        try:
+            if _json.load(open(marker)) == want and len(
+                _glob.glob(f"{out_dir}/slice-*.parquet")
+            ) == n_ontime_slices + 1:
+                return out_dir
+        except (ValueError, OSError):
+            pass
     for stale in _glob.glob(f"{out_dir}/slice-*.parquet"):
         os.remove(stale)
-    e = load_table(spark, sf_dir, "events")
+    if os.path.exists(marker):
+        os.remove(marker)
     late = e.where(F.expr(LATE_SET_SQL))
     ontime = e.where(~F.expr(LATE_SET_SQL))
     bounds = ontime.select(
@@ -108,6 +129,8 @@ def split_events_with_late(
         stamp = _time.time() - 100 * (len(slices) - i)
         os.utime(dest, (stamp, stamp))
         shutil.rmtree(tmp)
+    with open(marker, "w") as fh:
+        _json.dump(want, fh)
     return out_dir
 
 
