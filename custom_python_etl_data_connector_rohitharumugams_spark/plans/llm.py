@@ -269,7 +269,18 @@ def ngram_jaccard_pairs_df(spark: SparkSession, d: DataFrame) -> DataFrame:
     query + degree histogram): DF-capped postings intersection with the
     rounded |inter|/|union| similarity. One place to change the rounding,
     union formula, or pair condition — the consumers and their oracles
-    (NGRAM_JACCARD_SQL, embedded verbatim downstream) stay in lockstep."""
+    (NGRAM_JACCARD_SQL, embedded verbatim downstream) stay in lockstep.
+
+    Deliberately NOT materialized: the self-join's two sides re-derive the
+    postings pipeline (alias-renamed copies defeat ReuseExchange — 11
+    exchanges audited), but a localCheckpoint of the EXPLODED postings
+    (~100 shingle rows per doc, larger than the corpus itself) measured
+    2.9 s vs 1.6 s recomputed at sf0.1 — writing+rereading the explosion
+    costs more than the second pipelined scan, and the same holds at
+    100 TB unless the postings are a persisted index. The persisted-index
+    form lives in llm_incremental_dedup_admission, where one side is the
+    index by definition and materializing measured FASTER (13 -> 5
+    exchanges)."""
     sized = sized_cold_postings(spark, d)
     return jaccard_intersections(
         sized, sized, F.col("a.doc_id") < F.col("b.doc_id")
