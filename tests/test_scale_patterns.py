@@ -202,6 +202,9 @@ def test_no_python_in_unexpected_query_plans(spark):
         "udtf_tokenize_part_names",              # U1-U4: the UDF mechanism itself
         "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
         "llm_ann_lsh_topk",                      # mapInPandas hyperplane GEMM
+        "llm_kmeans_large_k",                    # mapInPandas assignment GEMM
+                                                 # (the large-k branch IS the
+                                                 # Arrow-vectorized operator)
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
         "agg_heavy_hitters_event_types",         # mapInPandas Misra-Gries sketch
         # hierarchical CC finish: single-task union-find over the CONTRACTED
