@@ -498,6 +498,67 @@ def ivf_pq_learned_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    n_clusters: int = 10,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the learned k-means quantizer (shared :func:`attach_learned_cells`)
+    and, WITHIN each cluster only, drop every vector whose cosine to a
+    lower-id cluster-mate reaches ``threshold`` (keep-first discipline —
+    the survivor is the smallest id, matching the dedup family's
+    keeper convention). Returns (vec_id, cell, dropped).
+
+    This is the standard embedding-space answer to near-duplicates that
+    share no n-grams (paraphrases, re-encodings): the all-pairs cosine is
+    quadratic, so SemDeDup bounds it by clustering first — semantic
+    duplicates land in the same cell (identical vectors provably do:
+    assignment is a deterministic function of the vector), and the
+    quadratic term shrinks from N^2 to k * (N/k)^2 = N^2/k.
+
+    Scale shape: training is the kmeans_train contract; the per-cluster
+    pass is ONE applyInPandas GEMM per cell — size k so a cell's matrix
+    (N/k x d floats) fits an executor, i.e. k ~= N*d*8 / a-few-hundred-MB,
+    exactly the ``cosine_near_pairs`` block-sizing rule but with
+    data-driven blocks that respect semantic locality instead of hash
+    blocks that must enumerate every block pair.
+    """
+    import numpy as np
+
+    cells = attach_learned_cells(
+        corpus, n_clusters, train_iters, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("__ivf_cell").alias("cell"),
+    )
+
+    def dedup_cell(key, pdf):
+        import pandas as pd
+
+        if not len(pdf):
+            return pd.DataFrame({"vec_id": [], "cell": [], "dropped": []})
+        order = pdf["vec_id"].to_numpy(dtype=np.int64).argsort()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.array(pdf["vec"].to_numpy()[order].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        # ids ascend along both axes, so the strict lower triangle is
+        # exactly the "lower-id mate" relation
+        hit = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": key[0], "dropped": hit}
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        dedup_cell, schema="vec_id long, cell int, dropped boolean"
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG dependency)."""
     return [

@@ -614,6 +614,49 @@ def llm_ann_ivf_pq_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_semantic_dedup",
+    tags=("L2", "L3", "U3"),
+    oracle="""
+    SELECT CAST(COUNT(*)
+                + SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_planted,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           TRUE AS planted_all_dropped
+    FROM embeddings
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (operators/similarity.
+    semantic_dedup): learned k-means cells bound the quadratic cosine pass
+    to within-cell GEMMs (N^2 -> N^2/k), keep-first inside each cell.
+    Planted-invariant form, like the MinHash/SimHash recall queries: every
+    vec_id % 10 == 0 vector is cloned under a high id, and the oracle
+    states a priori that (a) every clone is dropped — identical vectors
+    provably share a cell (assignment is a deterministic function of the
+    vector) and cosine exactly 1 >= 0.99 against a lower id — and
+    (b) NOTHING ELSE is: the fixture's strongest organic pair sits far
+    below the 0.99 threshold (max observed ~0.6), so n_kept equals the
+    original corpus exactly. Engine-exact with zero float comparisons in
+    the check."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    out = S.semantic_dedup(e.unionByName(planted), threshold=0.99)
+    is_clone = F.col("vec_id") >= 10_000_000
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(is_clone.cast("long")).cast("bigint").alias("n_planted"),
+        F.sum((~F.col("dropped")).cast("long")).cast("bigint").alias("n_kept"),
+        (
+            F.sum((is_clone & ~F.col("dropped")).cast("long")) == 0
+        ).alias("planted_all_dropped"),
+    )
+
+
+@query(
     "llm_kmeans_large_k",
     tags=("L3",),
     oracle="""
