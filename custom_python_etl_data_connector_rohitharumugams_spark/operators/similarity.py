@@ -545,7 +545,12 @@ def semantic_dedup(
         order = pdf["vec_id"].to_numpy(dtype=np.int64).argsort()
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
         mat = np.array(pdf["vec"].to_numpy()[order].tolist(), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero vectors have no direction: norm-guard to 1 keeps their rows
+        # all-zero, so they never match anything (kept as singletons)
+        # instead of emitting NaN cosines that silently break the
+        # identical-vectors-are-dropped invariant
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0.0, 1.0, norms)
         sims = mat @ mat.T
         # ids ascend along both axes, so the strict lower triangle is
         # exactly the "lower-id mate" relation

@@ -410,26 +410,37 @@ def llm_simhash_banded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-#: DuckDB CTE chain ending in exact_topk(query_id, neighbor_id, rank, sim)
-#: — brute-force cosine top-5 for the vec_id < 20 query set, the shared
-#: ground truth for llm_cosine_topk and both ANN recall oracles.
-COSINE_TOPK_CTES = """
-    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
-    scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(range(1, len(q.embedding) + 1),
-                             i -> CAST(q.embedding[i] AS DOUBLE)
-                                  * CAST(c.embedding[i] AS DOUBLE))),
+def cos_sim_sql(a: str, b: str, digits: int) -> str:
+    """DuckDB cosine-similarity expression mirroring functions/vectors'
+    dot/norm op-for-op (cast-to-double per element, left fold from 0), so
+    per-row similarities are bit-identical to the Spark side before
+    rounding. ONE definition for every oracle that compares cosines
+    (exact-top-k CTEs, filtered search, decontamination) — a parity tweak
+    to the fold lands in all of them at once instead of drifting across
+    hand-maintained copies."""
+    return f"""ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, len({a}) + 1),
+                             i -> CAST({a}[i] AS DOUBLE)
+                                  * CAST({b}[i] AS DOUBLE))),
                          (a, b) -> a + b)
                  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(q.embedding,
+                         list_transform({a},
                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                          (a, b) -> a + b))
                     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(c.embedding,
+                         list_transform({b},
                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                         (a, b) -> a + b))), 6) AS sim
+                         (a, b) -> a + b))), {digits})"""
+
+
+#: DuckDB CTE chain ending in exact_topk(query_id, neighbor_id, rank, sim)
+#: — brute-force cosine top-5 for the vec_id < 20 query set, the shared
+#: ground truth for llm_cosine_topk and both ANN recall oracles.
+COSINE_TOPK_CTES = f"""
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos_sim_sql("q.embedding", "c.embedding", 6)} AS sim
         FROM q JOIN embeddings c ON q.vec_id != c.vec_id
     ),
     exact_topk AS (
@@ -642,10 +653,10 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check."""
     e = load_table(spark, sf_dir, "embeddings")
     planted = e.where(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
     )
     out = S.semantic_dedup(e.unionByName(planted), threshold=0.99)
-    is_clone = F.col("vec_id") >= 10_000_000
+    is_clone = F.col("vec_id") >= PLANT_OFFSET
     return out.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.sum(is_clone.cast("long")).cast("bigint").alias("n_planted"),
@@ -1211,7 +1222,7 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_embedding_decontamination",
     tags=("L9", "L3", "J3", "A5"),
-    oracle="""
+    oracle=f"""
     WITH bench AS (
         SELECT vec_id, embedding FROM embeddings WHERE label = 0
     ),
@@ -1220,19 +1231,7 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sims AS (
         SELECT c.vec_id, c.label,
-               ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(range(1, len(c.embedding) + 1),
-                             i -> CAST(c.embedding[i] AS DOUBLE)
-                                  * CAST(b.embedding[i] AS DOUBLE))),
-                         (a, b) -> a + b)
-                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(c.embedding,
-                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                         (a, b) -> a + b))
-                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(b.embedding,
-                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                         (a, b) -> a + b))), 4) AS sim
+               {cos_sim_sql("c.embedding", "b.embedding", 4)} AS sim
         FROM corp c CROSS JOIN bench b
     ),
     pv AS (
@@ -1352,25 +1351,13 @@ def llm_audit_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_filtered_cosine_topk",
     tags=("L3", "J1", "W4", "F5"),
-    oracle="""
+    oracle=f"""
     WITH q AS (
         SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 5
     ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(range(1, len(q.embedding) + 1),
-                             i -> CAST(q.embedding[i] AS DOUBLE)
-                                  * CAST(c.embedding[i] AS DOUBLE))),
-                         (a, b) -> a + b)
-                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(q.embedding,
-                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                         (a, b) -> a + b))
-                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list_transform(c.embedding,
-                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                         (a, b) -> a + b))), 6) AS sim
+               {cos_sim_sql("q.embedding", "c.embedding", 6)} AS sim
         FROM q JOIN embeddings c
           ON c.label = q.label AND c.vec_id <> q.vec_id
     )

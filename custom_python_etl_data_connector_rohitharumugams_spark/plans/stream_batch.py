@@ -258,7 +258,8 @@ def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFr
     WITH mx AS (SELECT MAX(ts) AS m FROM events)
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_sec,
            COUNT(*) AS cnt,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
     FROM events, mx
     WHERE NOT (ts < TIMESTAMP '2024-01-05' AND event_id % 10 = 0)
       AND floor(epoch(ts) / 600) * 600 + 600 <= epoch(m) - 86400
@@ -289,6 +290,13 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — which is what makes the result batch-computable and the
     check exact rather than rows-only. This is the named-CORRECTNESS
     complement of the cross-batch state tests in tests/test_streaming.py.
+
+    Parity discipline: each event's value is quantized to INTEGER CENTS
+    BEFORE aggregation, so the per-window total is an exact integer sum —
+    order-independent by construction, which matters doubly here because
+    the streaming side accumulates across micro-batches in an order no
+    batch engine reproduces (a post-hoc ROUND(SUM(double)) would inherit
+    the half-cent drift this repo's EWMA fix documents).
     """
     import tempfile
     import uuid
@@ -306,12 +314,14 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
         )
         .select(
             F.col("win.start").cast("long").alias("win_start_sec"),
             "cnt",
-            "total_value",
+            "total_value_cents",
         )
     )
     name = f"wm_late_{uuid.uuid4().hex[:12]}"

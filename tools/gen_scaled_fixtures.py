@@ -33,21 +33,27 @@ REPO = Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-#: id-ish columns per table and their replica stride (strides are far above
-#: any base key so replica key spaces can never collide)
+#: id-ish columns per table and their replica stride. Strides must clear
+#: BOTH any base key AND the planted-invariant id space: the planted
+#: MinHash/SimHash/SemDeDup queries clone fixture rows at id +
+#: PLANT_OFFSET (10_000_000, plans/llm.py), so a 10M doc_id/vec_id stride
+#: would make replica r+1's real ids collide with replica r's clones —
+#: duplicate ids, join fan-out, and corrupted invariant booleans at the
+#: scaled tier. 1e9 strides keep every replica's [base, base + 10M + N)
+#: planted span disjoint.
 KEY_STRIDES: dict[str, dict[str, int]] = {
-    "customer": {"c_custkey": 10_000_000},
-    "supplier": {"s_suppkey": 10_000_000},
-    "part": {"p_partkey": 10_000_000},
-    "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+    "customer": {"c_custkey": 1_000_000_000},
+    "supplier": {"s_suppkey": 1_000_000_000},
+    "part": {"p_partkey": 1_000_000_000},
+    "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 1_000_000_000},
     "lineitem": {
-        "l_orderkey": 100_000_000,
-        "l_partkey": 10_000_000,
-        "l_suppkey": 10_000_000,
+        "l_orderkey": 1_000_000_000,
+        "l_partkey": 1_000_000_000,
+        "l_suppkey": 1_000_000_000,
     },
-    "events": {"event_id": 100_000_000, "user_id": 10_000_000},
-    "documents": {"doc_id": 10_000_000},
-    "embeddings": {"vec_id": 10_000_000},
+    "events": {"event_id": 1_000_000_000, "user_id": 1_000_000_000},
+    "documents": {"doc_id": 1_000_000_000},
+    "embeddings": {"vec_id": 1_000_000_000},
 }
 FIXED_DIMS = ("region", "nation")
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
