@@ -656,7 +656,18 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
     )
     out = S.semantic_dedup(e.unionByName(planted), threshold=0.99)
-    is_clone = F.col("vec_id") >= PLANT_OFFSET
+    # clones are identified by EXACT id membership (broadcast semi of the
+    # planted id set), not by magnitude — `vec_id >= PLANT_OFFSET` breaks
+    # on scaled tiers where real ids exceed the offset (the sf1 fixtures
+    # stride ids by 1e9; see tools/gen_scaled_fixtures.py)
+    out = out.join(
+        F.broadcast(
+            planted.select("vec_id").withColumn("__is_clone", F.lit(True))
+        ),
+        "vec_id",
+        "left",
+    )
+    is_clone = F.coalesce(F.col("__is_clone"), F.lit(False))
     return out.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.sum(is_clone.cast("long")).cast("bigint").alias("n_planted"),
