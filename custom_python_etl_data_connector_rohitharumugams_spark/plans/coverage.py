@@ -19,6 +19,7 @@ INVENTORY: dict[str, str] = {
     "S5": "parquet scan",
     "S6": "JSON / CSV scan",
     "S7": "document-store sink",
+    "S7b": "training-shard sink + manifest verify",
     "S8": "streaming source (event replay)",
     "S9": "streaming sinks",
     # 2.2 projection / filter
@@ -109,6 +110,11 @@ PYTEST_COVERAGE: dict[str, list[str]] = {
         "tests/test_connector.py::test_end_to_end_upsert_idempotent; "
         "tests/test_scale_patterns.py::test_streaming_foreachbatch_into_docsink",
         "sources/docsink.py",
+    ],
+    "S7b": [
+        "tests/test_llm_pipeline.py::TestShardSink (roundtrip, manifest, "
+        "tamper detection)",
+        "sources/shardsink.py",
     ],
     "S8": ["tests/test_streaming.py (events_stream replay)", "streaming/replay.py"],
     "S9": ["tests/test_streaming.py (memory sink + foreachBatch)", "streaming/ops.py"],

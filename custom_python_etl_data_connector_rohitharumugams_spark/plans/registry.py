@@ -59,10 +59,20 @@ _PRIORITY: tuple[str, ...] = (
     # core scan/projection/filter/agg/sort + connector landings
     "pricing_summary",              # S5 P1 P2 A1 O1
     "connector_json_landing",       # S6 P4 P5
+    # connector infrastructure, driver-checked end-to-end (round 5: these
+    # turned the last pytest-only SURVEY ids into oracle rows — the demo
+    # REST API is in-package and deterministic, the sinks round-trip
+    # through /tmp, and S8/S9 ride stream_watermark_late_drop)
+    "connector_rest_extract_e2e",   # S1 S2 S3 S4
+    "connector_docsink_roundtrip",  # S7
+    "connector_shardsink_manifest", # S7b F8
+    "connector_key_sanitization_report",  # P3
     "analytics_unshipped_revenue_top10",  # J1 J3 A1 O2 W4
     # join family
     "join_full_outer_nation_balance",     # J2 F4
-    "join_semi_urgent_customers",         # J4
+    # (J4 rides llm_benchmark_overlap; join_semi_urgent_customers was
+    # evicted for the round-5 connector queries and stays
+    # pytest-parity-covered, like every other evicted entry)
     "join_range_price_bands",             # J5
     "join_interval_ship_window",          # J6 F2
     "asof_purchase_last_click",           # J7
@@ -79,7 +89,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_event_gaps",                  # W2 F2 (dedicated analytic-window
                                           # row: decouples W2's correctness
                                           # signal from the streaming family)
-    "window_running_revenue",             # W3
+    # (W3 rides stream_running_totals_update_log and
+    # llm_sequence_packing; window_running_revenue evicted round 5)
     # order/set/dedup family (O1 on pricing_summary — evicted variants stay
     # pytest-parity-covered)
     "setop_union_priority_extremes",      # O3
@@ -89,7 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_string_part_report",          # F1
     "scalar_math_lineitem_report",        # F3
     "scalar_map_event_totals",            # F6 F7
-    "scalar_hash_customer_keys",          # F8
+    # (F8 rides llm_exact_dedup_documents / llm_stratified_split /
+    # connector_shardsink_manifest; scalar_hash_customer_keys evicted
+    # round 5)
     # streaming batch-equivalents (T1 rides stream_watermark_late_drop's
     # tumbling agg — the watermark query is the strictly more informative
     # row: real availableNow streaming execution + a-priori late-drop
@@ -110,7 +123,9 @@ _PRIORITY: tuple[str, ...] = (
     # LLM-data operators (oracled)
     "llm_exact_dedup_documents",          # L1 O5 F8
     "llm_token_stats_by_lang",            # L4 A1 F5
-    "llm_ngram_jaccard_pairs",            # L2 J1 F5
+    # (L2 rides llm_minhash/simhash/hot_shingle/dedup_clusters, J1 rides
+    # analytics_unshipped_revenue_top10, F5 rides llm_token_stats_by_lang;
+    # llm_ngram_jaccard_pairs evicted round 5)
     "llm_cosine_topk",                    # L3 J8 W4 F5
     # (llm_embedding_near_dup left the window for window_event_gaps: its L2/L3
     # tags are each carried by 3+ other in-window queries; it stays registered

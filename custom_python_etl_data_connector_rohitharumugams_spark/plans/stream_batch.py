@@ -253,7 +253,11 @@ def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFr
 
 @query(
     "stream_watermark_late_drop",
-    tags=("T4", "T1"),
+    # S8/S9 are earned, not borrowed: this query executes a real
+    # readStream file source over the replay fixture (S8) and a memory
+    # sink driven by writeStream/availableNow (S9) — the streaming I/O
+    # surface itself runs under the driver's oracle here
+    tags=("T4", "T1", "S8", "S9"),
     oracle="""
     WITH mx AS (SELECT MAX(ts) AS m FROM events)
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_sec,
