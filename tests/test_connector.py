@@ -662,3 +662,24 @@ def test_run_connector_empty_batch_metrics_are_zero(spark, api_url, tmp_path):
     pipeline.run_connector(spark, cfg, metrics_out=metrics)
     assert metrics["rows_landed"] == 0
     assert metrics["null_key_rows"] == 0
+
+
+def test_driver_window_connector_queries_are_repeatable(spark):
+    """The four round-5 connector queries sit INSIDE the driver's 50-query
+    window and the bench executes every query 2-3x per process — so each
+    must be invocation-idempotent: the demo-API singleton survives re-use
+    (including its one-shot 429), the sink roundtrips rebuild their /tmp
+    state, and results are byte-stable across calls."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    for name in (
+        "connector_rest_extract_e2e",
+        "connector_docsink_roundtrip",
+        "connector_shardsink_manifest",
+        "connector_key_sanitization_report",
+    ):
+        first = sorted(tuple(r) for r in qs[name].fn(spark, sf).collect())
+        second = sorted(tuple(r) for r in qs[name].fn(spark, sf).collect())
+        assert first == second and first, f"{name} not repeatable"
