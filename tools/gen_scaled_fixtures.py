@@ -98,6 +98,13 @@ def main() -> None:
             if r > 0 and t == "documents":
                 rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
                 rep = rep.withColumn("text", F.translate("text", ALPHA, rot))
+            if r > 0 and t == "part":
+                # decorrelate part names too: otherwise every ER block key
+                # (noun token, brand) collects 10 identical name copies and
+                # the blocked-edit-distance query measures a planted
+                # pair explosion instead of plan scaling
+                rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
+                rep = rep.withColumn("p_name", F.translate("p_name", ALPHA, rot))
             if r > 0 and t == "embeddings":
                 # factory closure: pyspark counts ALL lambda params
                 # (including defaults) when inferring HOF arity, so a
