@@ -108,7 +108,10 @@ def connector_rest_extract_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fakeapi import DEMO_TOKEN, DEMO_TOKEN_ENV, demo_api_url
 
     P.register_sources(spark)
-    os.environ.setdefault(DEMO_TOKEN_ENV, DEMO_TOKEN)
+    # explicit assignment, not setdefault: a stale/foreign value in this
+    # (repo-namespaced) env var would send a wrong bearer token and fail
+    # the whole driver row with an unretried 401
+    os.environ[DEMO_TOKEN_ENV] = DEMO_TOKEN
     return (
         spark.read.format("restapi")
         .option("base_url", demo_api_url())

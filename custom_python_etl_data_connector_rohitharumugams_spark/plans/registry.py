@@ -107,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     # tumbling agg — the watermark query is the strictly more informative
     # row: real availableNow streaming execution + a-priori late-drop
     # oracle; stream_tumbling_event_counts stays pytest-parity-covered)
-    "stream_watermark_late_drop",         # T4 T1
+    "stream_watermark_late_drop",         # T4 T1 S8 S9
     "stream_sliding_event_volume",        # T2
     "stream_session_windows",             # T3
     "stream_dedup_user_event_types",      # T5

@@ -672,7 +672,8 @@ def test_driver_window_connector_queries_are_repeatable(spark):
     state, and results are byte-stable across calls."""
     from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
 
-    sf = "/root/testdata/sf0.001"
+    from .conftest import SMOKE_SF_DIR as sf
+
     qs = all_queries()
     for name in (
         "connector_rest_extract_e2e",

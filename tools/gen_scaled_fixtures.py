@@ -15,9 +15,13 @@ planted-duplicate explosions:
   shingle survives across replicas, so near-dup pair counts scale ~10x,
   not ~45x (every doc would otherwise gain 9 exact twins and the
   pair-emitting queries would measure the DATA, not the plan);
-- embeddings: replica r > 0 adds a deterministic per-(row, dim, replica)
-  jitter of up to ~0.6% — cosine structure is preserved approximately,
-  exact-twin collapse (cosine == 1.0 pairs) is avoided.
+- embeddings: replica r > 0 rotates the dimension order by 5*r —
+  norm-preserving, and cosines between replicas of the same base vector
+  drop to ~0, so near-dup/semantic-dedup/decontamination queries see 10x
+  the data, not 10 planted twins of everything;
+- part: replica r > 0 alphabet-rotates p_name (same rationale: the
+  blocked-ER query's (noun, brand) blocks must not collect 10 identical
+  name copies).
 
 Usage: python tools/gen_scaled_fixtures.py [--factor 10]
        [--base /root/testdata/sf0.1] [--out /tmp/sparkgraft_sf1]
@@ -106,22 +110,23 @@ def main() -> None:
                 rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
                 rep = rep.withColumn("p_name", F.translate("p_name", ALPHA, rot))
             if r > 0 and t == "embeddings":
-                # factory closure: pyspark counts ALL lambda params
-                # (including defaults) when inferring HOF arity, so a
-                # `_r=r` default would read as a 3-arg lambda
-                def _jitter(rr):
-                    def f(x, j):
-                        return (
-                            x
-                            + ((F.col("vec_id") + j.cast("long") * rr) % 13 - 6)
-                            .cast("float")
-                            * F.lit(0.001)
-                        ).cast("float")
-
-                    return f
-
+                # per-replica DIMENSION ROTATION: norm-preserving, and the
+                # cosine between any two replicas of the same base vector
+                # drops to ~0 (random dims land on random dims). The
+                # previous additive jitter (max ~0.6%/element) left
+                # cross-replica cosines at ~0.9995 — ABOVE every
+                # similarity threshold in the suite, so scaled runs
+                # measured a planted 10-twin explosion, not plan scaling.
+                # Rotation amounts differ per replica, so replica-vs-
+                # replica pairs decorrelate too (rot_a(v) . rot_b(v) =
+                # v . rot_{b-a}(v)).
+                dim = 64
                 rep = rep.withColumn(
-                    "embedding", F.transform("embedding", _jitter(r))
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", r * 5 + 1, dim - r * 5),
+                        F.slice("embedding", 1, r * 5),
+                    ),
                 )
             replicas.append(rep)
         scaled = replicas[0]

@@ -14,7 +14,6 @@ Usage:
 
 from __future__ import annotations
 
-import math
 import sys
 from pathlib import Path
 
@@ -26,14 +25,7 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
-SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
-
-
-def canon(v):
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
-    return v
 
 
 def main() -> int:
@@ -54,6 +46,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_ORACLE}/{t}.parquet')"
         )
+    # ONE compare implementation: the pytest mirror's type-tagged canon
+    # (tests/parity.py) — a local reimplementation here would miss the
+    # int-vs-float drift (123 == 123.0 in Python, a MISMATCH in the
+    # driver's value hash) that tests/parity._canon exists to catch
+    from tests.parity import assert_frames_match
+
     qs, osql = E.queries(), E.oracle_sql()
     names = args or (list(qs) if run_all else list(qs)[:50])
     fails, rows_only = [], []
@@ -64,18 +62,11 @@ def main() -> int:
             print(f"  {name}: rows-only ({len(sp)} rows)")
             continue
         du = con.execute(osql[name]).fetchdf()
-        cols = sorted(sp.columns)
-        ok = cols == sorted(du.columns) and sorted(
-            [tuple(canon(x) for x in r)
-             for r in sp[cols].itertuples(index=False, name=None)], key=repr
-        ) == sorted(
-            [tuple(canon(x) for x in r)
-             for r in du[sorted(du.columns)].itertuples(index=False, name=None)],
-            key=repr,
-        )
-        if not ok:
+        try:
+            assert_frames_match(sp, du, name)
+        except AssertionError as e:
             fails.append(name)
-            print(f"  {name}: MISMATCH ({len(sp)} spark vs {len(du)} oracle rows)")
+            print(f"  {name}: MISMATCH — {e}")
     print(f"checked {len(names)} ({len(rows_only)} rows-only)")
     print("RESULT:", fails or "ALL MATCH")
     spark.stop()
