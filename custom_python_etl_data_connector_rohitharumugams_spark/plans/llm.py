@@ -1275,6 +1275,50 @@ def llm_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.benchmark_decontamination(e, benchmark_label=0, threshold=0.3)
 
 
+def llm_embedding_decontamination_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCALE-PATH decontamination (similarity.benchmark_decontamination_gemm:
+    one float64 BLAS GEMM per Arrow batch against the closure-shipped
+    benchmark matrix — 4.4x the fold variant at sf0.1, 23x at sf1) under
+    a planted-contamination invariant: every third benchmark vector is
+    cloned INTO the corpus under a reserved label, and a correct
+    decontaminator MUST flag all of them at max_sim exactly 1.0 (identical
+    normalized vectors; round-4 makes the 1.0 engine-exact). The
+    bit-mirrorable fold variant (llm_embedding_decontamination) keeps the
+    exact per-label oracle; this query pins the GEMM path with an oracle
+    the engine cannot fake — planted recall plus the exact similarity
+    ceiling."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = (
+        e.where((F.col("label") == 0) & (F.col("vec_id") % 3 == 0))
+        .withColumn("vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET))
+        .withColumn("label", F.lit(99))
+    )
+    out = S.benchmark_decontamination_gemm(
+        e.unionByName(planted), benchmark_label=0, threshold=0.3
+    )
+    return out.where(F.col("label") == 99).select(
+        F.col("n_vectors").cast("bigint").alias("n_planted"),
+        (F.col("n_contaminated") == F.col("n_vectors")).alias(
+            "planted_all_flagged"
+        ),
+        F.col("max_sim"),
+    )
+
+
+query(
+    "llm_embedding_decontamination_planted",
+    tags=("L9", "L3"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS planted_all_flagged,
+           CAST(1.0 AS DOUBLE) AS max_sim
+    FROM embeddings WHERE label = 0 AND vec_id % 3 = 0
+    """,
+)(llm_embedding_decontamination_planted)
+
+
 @query(
     "llm_neardup_degree_histogram",
     tags=("L2", "L11", "A1", "F5"),
