@@ -148,12 +148,16 @@ def main() -> None:
     }
     (_REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1, sort_keys=True))
 
+    # stdout carries 1-decimal per-query values: at 142 queries the
+    # 3-decimal form exceeded the driver's ~1.9 KB stdout tail and the
+    # fallback dropped the map entirely; full precision is in
+    # BENCH_DETAIL.json either way
     line = json.dumps(
         {
             "metric": "total sec over all named queries (keymap: BENCH_DETAIL.json)",
             "value": total,
             "unit": "sec",
-            "queries": {k: timings[n] for k, n in sorted(keymap.items())},
+            "queries": {k: round(timings[n], 1) for k, n in sorted(keymap.items())},
             "sf": sf_val,
         },
         separators=(",", ":"),
