@@ -219,6 +219,100 @@ def connector_shardsink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "connector_incremental_sync",
+    tags=("S1", "S2", "S3", "S4", "S7"),
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS first_sync_rows,
+           CAST(5 AS BIGINT) AS delta_sync_rows,
+           CAST(12 AS BIGINT) AS total_rows,
+           CAST(12 AS BIGINT) AS distinct_keys,
+           CAST(1709251200 + 11 * 3600 AS BIGINT) AS final_wm_epoch,
+           ROUND(SUM(CAST(i AS DOUBLE) * 2.5), 2) AS total_value
+    FROM range(12) t(i)
+    """,
+)
+def connector_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (watermark-delta) connector sync as a driver-checked
+    query — the reference's scheduled re-run story (README.md:24-29:
+    ingestion timestamps "to support audits or updates") at engine level:
+
+    1. first sync: the demo API exposes items 0..7 (``max_id=7``); the full
+       extract→transform→load pipeline lands them (8 rows observed by the
+       write action's CollectMetrics);
+    2. the upstream grows to items 0..11; the second, ``incremental=True``
+       run reads the landed collection's high-water mark (max
+       ``updated_at`` = item 7's), nudges it back one microsecond
+       (pipeline._ge_boundary) and asks the API for ``?since=...`` — the
+       server's strictly-greater filter re-delivers boundary item 7 plus
+       the four new items (5 rows on the wire, NOT 12: the delta transfer
+       is what the ``delta_sync_rows`` column proves);
+    3. the key-based docsink upsert makes the boundary re-delivery
+       idempotent: 12 rows, 12 distinct keys, watermark advanced to item
+       11's update time.
+
+    Every number is a priori (the demo dataset is a pure formula —
+    ``updated_at(i) = 2024-03-01 + i hours``, ``value = i * 2.5``), so the
+    oracle states the full sync contract without consulting the engine.
+    Each run resets the demo API's rate limiter, so the first request 429s
+    and the bounded-retry path (S4) runs on the wire in BOTH syncs
+    regardless of which registered query touched the API earlier.
+    """
+    import os
+    import shutil
+    import tempfile
+    from dataclasses import replace
+
+    from ..sources import pipeline as P
+    from ..sources.docsink import read_collection
+    from ..sources.fakeapi import (
+        DEMO_TOKEN,
+        DEMO_TOKEN_ENV,
+        demo_api_url,
+        reset_rate_limit,
+    )
+
+    os.environ[DEMO_TOKEN_ENV] = DEMO_TOKEN
+    base = f"{tempfile.gettempdir()}/sg_incsync_{Path(sf_dir.rstrip('/')).name}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = P.ConnectorConfig(
+        name="items",
+        base_url=f"{demo_api_url()}?max_id=7",
+        sink_dir=base,
+        record_schema="id bigint, name string, value double, updated_at string",
+        key_col="id",
+        timestamp_cols={"updated_at": ""},
+        required_cols=["id"],
+        since_col="updated_at",
+        since_param="since",
+        source_options={
+            "auth_env": DEMO_TOKEN_ENV,
+            "mode": "offset",
+            "num_partitions": "2",
+            "max_pages": "4",
+            "page_size": "4",
+        },
+    )
+    reset_rate_limit()
+    m1: dict = {}
+    P.run_connector(spark, cfg, incremental=True, metrics_out=m1)  # first: full
+    reset_rate_limit()
+    m2: dict = {}
+    P.run_connector(
+        spark, replace(cfg, base_url=f"{demo_api_url()}?max_id=11"),
+        incremental=True, metrics_out=m2,
+    )
+    back = read_collection(spark, base, "items_raw")
+    return back.agg(
+        F.lit(int(m1["rows_landed"])).cast("bigint").alias("first_sync_rows"),
+        F.lit(int(m2["rows_landed"])).cast("bigint").alias("delta_sync_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+        F.count_distinct("id").cast("bigint").alias("distinct_keys"),
+        F.max(F.col("updated_at").cast("long")).alias("final_wm_epoch"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
     "connector_key_sanitization_report",
     tags=("P3",),
     oracle="""

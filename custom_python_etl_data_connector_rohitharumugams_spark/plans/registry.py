@@ -46,110 +46,82 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # The driver's correctness gate records only a prefix of the registered
 # queries (round 1 captured exactly the first 50 of 84). This explicit
-# priority list is a minimal set cover: 50 queries whose tag union equals the
-# tag union of the whole registry, so every SURVEY SS2 operator that is
-# driver-checkable gets a CORRECTNESS row. Cheap, broad-coverage queries come
-# first; the expensive sketch/ANN invariant runs close the window; the
-# remaining (redundant-coverage) queries register afterwards and stay covered
-# by the pytest parity mirror. As of round 3 every window entry carries an
-# oracle — the sketch/ANN queries are invariant-form (planted-dup / exact
-# top-k recall booleans the oracle states a priori), so the window has zero
-# rows-only entries.
+# priority list is a set cover: 50 queries whose tag union equals the tag
+# union of the whole registry, so every SURVEY SS2 operator gets a
+# CORRECTNESS row each round. Every entry carries an oracle (the sketch/ANN
+# queries are invariant-form), so the window has zero rows-only entries.
+#
+# ROTATION (round 6 onward): the window is re-composed each round to move
+# queries that never earned a driver CORRECTNESS row into the recorded
+# prefix, until all registered queries have first-party driver evidence.
+# The floor on rotation speed is structural: 21 slots are pinned because
+# their tags have no other carrier (the streaming family T2/T3/T5-T8, UDF
+# mechanisms U1/U4, connector infra S*/P3/P5, J5/J8, A7/U2, L6-L8/L13 each
+# ride exactly one or two queries — all already driver-checked), leaving 29
+# rotating slots per round. Round 6: 31 first-time names (29 rotated in +
+# the two new connector_incremental_sync / stream_checkpoint_recovery
+# rows); the 29 still-unchecked queries take the rotating slots in round 7.
+# Evicted queries stay registered and pytest-parity-covered (tests/
+# test_oracle_parity.py runs all of them under the driver's compare).
 _PRIORITY: tuple[str, ...] = (
-    # core scan/projection/filter/agg/sort + connector landings
+    # --- pinned slots: sole carriers of their SS2 tags -------------------
     "pricing_summary",              # S5 P1 P2 A1 O1
-    "connector_json_landing",       # S6 P4 P5
-    # connector infrastructure, driver-checked end-to-end (round 5: these
-    # turned the last pytest-only SURVEY ids into oracle rows — the demo
-    # REST API is in-package and deterministic, the sinks round-trip
-    # through /tmp, and S8/S9 ride stream_watermark_late_drop)
-    "connector_rest_extract_e2e",   # S1 S2 S3 S4
-    "connector_docsink_roundtrip",  # S7
+    "connector_csv_landing",        # S6 P5
+    "connector_incremental_sync",   # S1 S2 S3 S4 S7 (NEW round 6: watermark
+                                    # delta-sync roundtrip — supersedes the
+                                    # r5 rest-extract/docsink rows, which
+                                    # stay registered + parity-covered)
     "connector_shardsink_manifest", # S7b F8
     "connector_key_sanitization_report",  # P3
-    "analytics_unshipped_revenue_top10",  # J1 J3 A1 O2 W4
-    # join family
-    "join_full_outer_nation_balance",     # J2 F4
-    # (J4 rides llm_benchmark_overlap; join_semi_urgent_customers was
-    # evicted for the round-5 connector queries and stays
-    # pytest-parity-covered, like every other evicted entry)
-    "join_range_price_bands",             # J5
-    "join_interval_ship_window",          # J6 F2
-    "asof_purchase_last_click",           # J7
-    # (J8 rides llm_cosine_topk's crossJoin; join_cross_region_segment is
-    # pytest-parity-covered)
-    # aggregation family (A2 rides llm_hot_shingle_cap, A5 rides
-    # llm_quality_filter_report; evicted variants stay pytest-covered)
-    "agg_rollup_pricing",                 # A4
-    "agg_stats_percentiles",              # A6
-    "udaf_weighted_avg_price",            # A7 U2
-    # window family (W4/O2 ride llm_cosine_topk and
-    # analytics_unshipped_revenue_top10)
-    "window_rank_customers_by_balance",   # W1
-    "window_event_gaps",                  # W2 F2 (dedicated analytic-window
-                                          # row: decouples W2's correctness
-                                          # signal from the streaming family)
-    # (W3 rides stream_running_totals_update_log and
-    # llm_sequence_packing; window_running_revenue evicted round 5)
-    # order/set/dedup family (O1 on pricing_summary — evicted variants stay
-    # pytest-parity-covered)
-    "setop_union_priority_extremes",      # O3
-    "setop_intersect_repeat_customers",   # O4
-    # scalar function families (F5 rides llm_token_stats_by_lang /
-    # llm_cosine_topk; scalar_array_embedding_report is pytest-covered)
-    "scalar_string_part_report",          # F1
-    "scalar_math_lineitem_report",        # F3
-    "scalar_map_event_totals",            # F6 F7
-    # (F8 rides llm_exact_dedup_documents / llm_stratified_split /
-    # connector_shardsink_manifest; scalar_hash_customer_keys evicted
-    # round 5)
-    # streaming batch-equivalents (T1 rides stream_watermark_late_drop's
-    # tumbling agg — the watermark query is the strictly more informative
-    # row: real availableNow streaming execution + a-priori late-drop
-    # oracle; stream_tumbling_event_counts stays pytest-parity-covered)
-    "stream_watermark_late_drop",         # T4 T1 S8 S9
-    "stream_sliding_event_volume",        # T2
-    "stream_session_windows",             # T3
-    "stream_dedup_user_event_types",      # T5
-    "stream_static_join_enrichment",      # T7
-    "stream_stream_interval_join",        # T8 J6
-    "stream_running_totals_update_log",   # T6 W3 (stateful processor's
-                                          # update-mode emission log, batch form)
-    # UDF mechanisms + multimodal (multimodal_media_metadata is
-    # pytest-covered; L5/F8 stay covered below)
-    "udf_scalar_name_clean",              # U1
-    "udtf_tokenize_part_names",           # U4
-    "multimodal_decode_features",         # L5 U3
-    # LLM-data operators (oracled)
-    "llm_exact_dedup_documents",          # L1 O5 F8
-    "llm_token_stats_by_lang",            # L4 A1 F5
-    # (L2 rides llm_minhash/simhash/hot_shingle/dedup_clusters, J1 rides
-    # analytics_unshipped_revenue_top10, F5 rides llm_token_stats_by_lang;
-    # llm_ngram_jaccard_pairs evicted round 5)
-    "llm_cosine_topk",                    # L3 J8 W4 F5
-    # (llm_embedding_near_dup left the window for window_event_gaps: its L2/L3
-    # tags are each carried by 3+ other in-window queries; it stays registered
-    # and pytest-parity-covered)
-    # training-data pipeline extensions
-    "llm_chunk_documents",                # L6 F5
-    "llm_sequence_packing",               # L7 W3
-    "llm_pii_scrub",                      # L8 F1
-    "llm_benchmark_overlap",              # L9 J4
-    "llm_stratified_split",               # L10 F8
-    "llm_dedup_clusters",                 # L11 L2 (F4 rides join_full_outer)
-    "llm_corpus_build",                   # L1 L9 L10 (flagship e2e pipeline)
-    "llm_hot_shingle_cap",                # L2 A2 (df-cap semantics pinned)
-    "llm_quality_filter_report",          # L12 A5
-    "llm_domain_mixture_plan",            # L13 A1
-    "llm_repetition_filter",              # L14 F5
-    # invariant-form sketch/ANN queries run last inside the window
-    "agg_approx_distinct_parts",          # A3
-    "llm_minhash_near_dup",               # L2
-    "llm_simhash_near_dup",               # L2
-    "llm_ann_lsh_topk",                   # L3
-    "llm_ann_ivf_topk",                   # L3
+    "join_range_price_bands",       # J5
+    "join_cross_region_segment",    # J8
+    "udaf_weighted_avg_price",      # A7 U2
+    "udf_scalar_name_clean",        # U1
+    "udtf_tokenize_part_names",     # U4
+    "stream_checkpoint_recovery",   # T4 T1 S8 S9 (NEW round 6: restart from
+                                    # checkpoint — strictly more informative
+                                    # than the r5 watermark row it rotates out)
+    "stream_sliding_event_volume",  # T2
+    "stream_session_windows",       # T3 W2
+    "stream_dedup_user_event_types",    # T5 O5
+    "stream_static_join_enrichment",    # T7 J1
+    "stream_stream_interval_join",      # T8 J6
+    "stream_running_totals_update_log", # T6 W3
+    "llm_chunk_documents",          # L6 F5
+    "llm_sequence_packing",         # L7 W3
+    "llm_pii_scrub",                # L8 F1
+    "llm_domain_mixture_plan",      # L13 A1
+    # --- rotating slots: round-6 cohort (never driver-checked in r1-r5) --
+    "asof_next_purchase_within_2d", # J7 F2
+    "sql_recursive_month_series",   # F2 J2 A1
+    "sql_waiting_suppliers",        # J4 J1 O2
+    "analytics_value_outliers_iqr", # A6 J3 P2 A5
+    "sql_approx_topk_brands",       # A3 O2
+    "sql_grouping_sets_revenue",    # A4 A1
+    "sql_window_distribution",      # W1
+    "window_ewma_daily_revenue",    # W3 F5 F2 A1
+    "setop_except_lapsed_customers",    # O4
+    "sql_unpivot_customer_metrics", # F6 O3
+    "scalar_json_event_stats",      # F7
+    "dq_constraint_report",         # P4 A5 F4 A2
+    "multimodal_frame_sample",      # L5 U3
+    "udf_grouped_zscore",           # U3
+    "llm_paragraph_dedup",          # L1 L2 F5
+    "llm_tfidf_top_terms",          # L4 W4 F3
+    "llm_unigram_logprob_scores",   # L4 L12 F3
+    "llm_boilerplate_ngrams",       # L12 L14 F5
+    "llm_audit_sample_per_source",  # L10 W4 F8
+    "llm_embedding_decontamination_planted",  # L9 L3
+    "dedup_blocked_edit_distance",  # L2 F1 J1 A5
+    "llm_dedup_clusters_star",      # L11 L2
+    "llm_neardup_degree_histogram", # L2 L11 A1 F5
+    "llm_incremental_dedup_admission",  # L1 L2
+    "llm_simhash_banded_near_dup",  # L2
+    "llm_semantic_dedup",           # L2 L3 U3
+    "llm_kmeans_large_k",           # L3
+    "llm_ann_ivf_learned_topk",     # L3
+    "llm_ann_ivf_pq_learned_topk",  # L3
 )
-
 
 def priority_names() -> tuple[str, ...]:
     return _PRIORITY

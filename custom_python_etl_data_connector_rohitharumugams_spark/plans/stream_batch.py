@@ -251,14 +251,13 @@ def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@query(
-    "stream_watermark_late_drop",
-    # S8/S9 are earned, not borrowed: this query executes a real
-    # readStream file source over the replay fixture (S8) and a memory
-    # sink driven by writeStream/availableNow (S9) — the streaming I/O
-    # surface itself runs under the driver's oracle here
-    tags=("T4", "T1", "S8", "S9"),
-    oracle="""
+#: A-priori emission set of the watermarked replay (shared by
+#: stream_watermark_late_drop and stream_checkpoint_recovery): on-time
+#: events only (the planted late set is dropped by a correct watermark),
+#: restricted to windows whose end the final watermark passed — exactly
+#: what append mode emits. See stream_watermark_late_drop's docstring for
+#: why each clause is decidable without consulting the engine.
+_WM_REPLAY_ORACLE = """
     WITH mx AS (SELECT MAX(ts) AS m FROM events)
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_sec,
            COUNT(*) AS cnt,
@@ -268,7 +267,37 @@ def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFr
     WHERE NOT (ts < TIMESTAMP '2024-01-05' AND event_id % 10 = 0)
       AND floor(epoch(ts) / 600) * 600 + 600 <= epoch(m) - 86400
     GROUP BY win_start_sec
-    """,
+    """
+
+
+def _watermarked_tumbling_agg(sdf: DataFrame) -> DataFrame:
+    """The replay queries' shared plan: 1-day watermark, 10-minute tumbling
+    windows, integer-cents totals (order-independent across micro-batches)."""
+    return (
+        sdf.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start_sec"),
+            "cnt",
+            "total_value_cents",
+        )
+    )
+
+
+@query(
+    "stream_watermark_late_drop",
+    # S8/S9 are earned, not borrowed: this query executes a real
+    # readStream file source over the replay fixture (S8) and a memory
+    # sink driven by writeStream/availableNow (S9) — the streaming I/O
+    # surface itself runs under the driver's oracle here
+    tags=("T4", "T1", "S8", "S9"),
+    oracle=_WM_REPLAY_ORACLE,
 )
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 under REAL streaming execution: a watermarked tumbling aggregate
@@ -313,21 +342,7 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{tempfile.gettempdir()}/sg_wm_{os.path.basename(sf_dir.rstrip('/'))}_replay",
     )
     sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
-    agg = (
-        sdf.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "10 minutes").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
-            .cast("long")
-            .alias("total_value_cents"),
-        )
-        .select(
-            F.col("win.start").cast("long").alias("win_start_sec"),
-            "cnt",
-            "total_value_cents",
-        )
-    )
+    agg = _watermarked_tumbling_agg(sdf)
     name = f"wm_late_{uuid.uuid4().hex[:12]}"
     cp = tempfile.mkdtemp(prefix="sg_wm_cp_")
     q = (
@@ -347,3 +362,125 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
     return spark.table(name)
+
+
+def _run_replay_to_log(
+    spark: SparkSession, stage_dir: str, checkpoint: str, log_dir: str
+) -> None:
+    """One availableNow pass of the watermarked replay aggregate over
+    whatever slice files ``stage_dir`` currently holds, appending every
+    append-mode emission (plus its micro-batch id) to a parquet log via
+    foreachBatch — the durable-sink side of the recovery story. The
+    checkpoint is NOT cleaned here: resuming from it is the point."""
+    from ..streaming.replay import events_stream
+
+    sdf = events_stream(spark, stage_dir, max_files_per_trigger=1)
+    agg = _watermarked_tumbling_agg(sdf)
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("replay pass did not finish in 300 s")
+
+
+def _ckptrec_paths(sf_dir: str) -> tuple[str, str, str]:
+    """(stage, checkpoint, emission-log) dirs for the recovery query —
+    shared with tests/test_streaming.py's batch-level assertions."""
+    import tempfile
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    t = tempfile.gettempdir()
+    return (
+        f"{t}/sg_ckptrec_{sf}_stage_replay",
+        f"{t}/sg_ckptrec_{sf}_cp",
+        f"{t}/sg_ckptrec_{sf}_log",
+    )
+
+
+@query(
+    "stream_checkpoint_recovery",
+    # the full streaming durability surface under the oracle: readStream
+    # file source (S8), foreachBatch parquet sink (S9), tumbling agg (T1),
+    # watermark state (T4) — RESTORED FROM CHECKPOINT across a restart
+    tags=("T4", "T1", "S8", "S9"),
+    oracle=_WM_REPLAY_ORACLE,
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/S8/S9 across a RESTART: the watermarked replay aggregate runs on
+    the FIRST on-time slice, STOPS, and restarts from the SAME checkpoint
+    after two more files land — the planted-late slice first, then the
+    second on-time slice. This is the engine form of the reference's
+    durable "audits or updates" contract (README.md:24-29): a scheduled
+    re-run continues where the last one committed, neither recomputing nor
+    re-emitting.
+
+    The returned frame is the union of every append-mode emission across
+    BOTH runs (the foreachBatch parquet log). The a-priori oracle
+    (_WM_REPLAY_ORACLE) makes each leg of recovery load-bearing:
+
+    - watermark recovery: run 2's FIRST batch is the late slice (early
+      events, ids % 10 = 0) under the restored watermark — max(slice-0
+      ts) - 1 day, ~9 days past the late windows' ends. A watermark lost
+      at restart starts unset, ADMITS those events into windows run 1
+      already emitted and evicted, and re-emits them as late-only
+      duplicates => duplicate win_start_sec rows => hash mismatch;
+    - state-store recovery: the tumbling window straddling the
+      slice-0/slice-1 time boundary has events on both sides of the
+      restart; its count is correct only if run 2 merges slice-1 events
+      into the partial aggregate recovered from run 1's state => a lost
+      state store undercounts it => mismatch;
+    - source-offset recovery: re-processing slice-0 in run 2 would
+      re-aggregate and re-emit its already-evicted windows => duplicates
+      => mismatch.
+
+    Run 2 is observably load-bearing: every window past run 1's final
+    watermark can only be emitted after the restart
+    (tests/test_streaming.py asserts the log's run-2 batch ids carry
+    those emissions and that no window is ever emitted twice).
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.replay import split_events_with_late
+
+    # reuse the watermark query's slice build (marker-validated, shared)
+    built = split_events_with_late(
+        spark,
+        sf_dir,
+        f"{tempfile.gettempdir()}/sg_wm_{os.path.basename(sf_dir.rstrip('/'))}_replay",
+    )
+    stage, cp, log_dir = _ckptrec_paths(sf_dir)
+    for d in (stage, cp, log_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(stage)
+    import glob as _glob
+
+    slices = sorted(_glob.glob(f"{built}/slice-*.parquet"))  # 0,1 on-time; 2 late
+    shutil.copy2(slices[0], stage)
+    _run_replay_to_log(spark, stage, cp, log_dir)  # run 1: first slice only
+    # restart delivery order is pinned by mtime (the file source's batch
+    # order): the LATE slice lands first — straight into the recovered
+    # watermark's drop zone — then the remaining on-time slice
+    now = _time.time()
+    for i, s in enumerate((slices[2], slices[1])):
+        dest = f"{stage}/{os.path.basename(s)}"
+        shutil.copy2(s, dest)
+        os.utime(dest, (now + 100 * i, now + 100 * i))
+    _run_replay_to_log(spark, stage, cp, log_dir)  # run 2: SAME checkpoint
+    return spark.read.parquet(log_dir).select(
+        "win_start_sec", "cnt", "total_value_cents"
+    )

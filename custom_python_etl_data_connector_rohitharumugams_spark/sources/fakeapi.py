@@ -18,6 +18,7 @@ driver materializes it, so the server must outlive the query function.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -27,16 +28,34 @@ DEMO_TOKEN = "demo-token"
 DEMO_TOKEN_ENV = "SPARK_GRAFT_DEMO_TOKEN"
 N_ITEMS = 12
 PAGE_SIZE = 4
+#: 2024-03-01T00:00:00 — item i's server-side update time is this + i hours,
+#: a pure formula both the incremental-sync query's oracle (epoch arithmetic
+#: in DuckDB) and the server's ``since`` filter evaluate identically
+BASE_UPDATED_EPOCH = 1_709_251_200
+
+
+def updated_at(i: int) -> str:
+    """ISO-8601 (naive/UTC) update timestamp for item ``i``."""
+    t = _dt.datetime(2024, 3, 1) + _dt.timedelta(hours=i)
+    return t.isoformat()
 
 
 def record(i: int) -> dict:
-    return {"id": i, "name": f"item{i}", "value": i * 2.5}
+    return {"id": i, "name": f"item{i}", "value": i * 2.5,
+            "updated_at": updated_at(i)}
 
 
 class _DemoApi(BaseHTTPRequestHandler):
-    #: first request per server answers 429 + Retry-After, so every fresh
-    #: process exercises the bounded-retry/backoff path (S4) on real HTTP
+    #: first request per rate-limit epoch answers 429 + Retry-After, so the
+    #: bounded-retry/backoff path (S4) runs on real HTTP. Checked-and-set
+    #: under a lock (ThreadingHTTPServer serves partitions concurrently, so
+    #: an unsynchronized flag could 429 several first requests — harmless
+    #: but imprecise). Coverage is once per process by default; queries that
+    #: need THEIR OWN 429 (the registered extract/sync rows) call
+    #: :func:`reset_rate_limit` first, so per-query S4 coverage never
+    #: depends on registry execution order.
     rate_limited_once = False
+    _rl_lock = threading.Lock()
 
     def log_message(self, *args) -> None:  # noqa: D102 — silence
         pass
@@ -45,14 +64,26 @@ class _DemoApi(BaseHTTPRequestHandler):
         if self.headers.get("Authorization") != f"Bearer {DEMO_TOKEN}":
             self._send(401, {"error": "unauthorized"})
             return
-        if not _DemoApi.rate_limited_once:
+        with _DemoApi._rl_lock:
+            limited = not _DemoApi.rate_limited_once
             _DemoApi.rate_limited_once = True
+        if limited:
             self._send(429, {"error": "rate limited"}, {"Retry-After": "0.05"})
             return
         q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+        max_id = int(q.get("max_id", N_ITEMS - 1))
+        since = q.get("since")
+        ids = range(min(max_id, N_ITEMS - 1) + 1)
+        if since is not None:
+            # strictly-greater semantics: the connector's _ge_boundary nudge
+            # exists precisely so a > server re-delivers boundary records
+            cut = _dt.datetime.fromisoformat(since)
+            ids = [i for i in ids if _dt.datetime.fromisoformat(updated_at(i)) > cut]
+        else:
+            ids = list(ids)
         page = int(q.get("page", 0))
         lo = page * PAGE_SIZE
-        data = [record(i) for i in range(lo, min(lo + PAGE_SIZE, N_ITEMS))]
+        data = [record(i) for i in ids[lo:lo + PAGE_SIZE]]
         self._send(200, {"data": data, "next_cursor": None})
 
     def _send(self, code: int, body: dict, headers: dict | None = None) -> None:
@@ -63,6 +94,12 @@ class _DemoApi(BaseHTTPRequestHandler):
             self.send_header(k, v)
         self.end_headers()
         self.wfile.write(payload)
+
+
+def reset_rate_limit() -> None:
+    """Arm the next request to receive a fresh 429 (see _DemoApi docstring)."""
+    with _DemoApi._rl_lock:
+        _DemoApi.rate_limited_once = False
 
 
 _LOCK = threading.Lock()

@@ -300,3 +300,39 @@ def test_stateful_resume_from_checkpoint_is_batch_deterministic(spark, tmp_path)
     # and the emission log is byte-identical batch by batch
     for (_, got), (_, want) in zip(run1 + run2, ref):
         assert _sorted(got) == _sorted(want)
+
+
+def test_checkpoint_recovery_run2_emissions_and_exactly_once(spark):
+    """Batch-level teeth for the stream_checkpoint_recovery query (its
+    oracle row checks WHAT was emitted; this checks WHEN and HOW OFTEN):
+
+    - no window is ever emitted twice across the restart (exactly-once
+      through the foreachBatch log, no upsert healing involved);
+    - run 2 (the restart) emits real rows: every window past run 1's final
+      watermark can only close after the restarted run advances the
+      recovered watermark with slice-1;
+    - run-2 emissions arrive under run-2 batch ids (ids strictly greater
+      than run 1's), i.e. the restart resumed the batch sequence instead
+      of starting a fresh query.
+    """
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import (
+        stream_batch as SB,
+    )
+
+    out = SB.stream_checkpoint_recovery(spark, SF).toPandas()
+    _, _, log_dir = SB._ckptrec_paths(SF)
+    log = spark.read.parquet(log_dir).toPandas()
+    assert len(log) == len(out) > 0
+    # exactly-once: window key unique across the whole two-run log
+    assert log["win_start_sec"].is_unique
+    # run 1 = first slice only => its emissions stop at max(slice-0 ts)-1d;
+    # everything later is run 2's. Derive the boundary from the staged file.
+    stage, _, _ = SB._ckptrec_paths(SF)
+    s0 = spark.read.parquet(f"{stage}/slice-0.parquet")
+    wm1 = s0.agg(F.max(F.col("ts").cast("long"))).collect()[0][0] - 86400
+    run2_rows = log[log["win_start_sec"] + 600 > wm1]
+    run1_rows = log[log["win_start_sec"] + 600 <= wm1]
+    assert len(run2_rows) > 0 and len(run1_rows) > 0
+    # batch-id ordering: every run-2 window carries a batch id strictly
+    # greater than every run-1 window's (resumed sequence, not restarted)
+    assert run2_rows["batch_id"].min() > run1_rows["batch_id"].max()
