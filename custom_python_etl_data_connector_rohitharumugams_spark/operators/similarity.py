@@ -151,13 +151,23 @@ def benchmark_decontamination_gemm(
         .select(F.col(vec_col).alias("v"))
         .collect()
     )
-    bmat = np.array([list(r["v"]) for r in bench_rows], dtype=np.float64)
-    bnorm = np.linalg.norm(bmat, axis=1, keepdims=True)
-    bmat /= np.where(bnorm == 0.0, 1.0, bnorm)
 
     corp = e.where(F.col(label_col) != benchmark_label).select(
         F.col(label_col).alias("label"), F.col(vec_col).alias("vec")
     )
+    if not bench_rows:
+        # no benchmark rows: same graceful degradation as the fold variant
+        # (its broadcast crossJoin goes empty => empty aggregate frame) —
+        # an empty bmat would otherwise crash np.linalg.norm(axis=1)
+        return corp.select(
+            "label",
+            F.lit(0).cast("bigint").alias("n_vectors"),
+            F.lit(0).cast("bigint").alias("n_contaminated"),
+            F.lit(0.0).alias("max_sim"),
+        ).limit(0)
+    bmat = np.array([list(r["v"]) for r in bench_rows], dtype=np.float64)
+    bnorm = np.linalg.norm(bmat, axis=1, keepdims=True)
+    bmat /= np.where(bnorm == 0.0, 1.0, bnorm)
 
     def score(batches):
         import pandas as pd
@@ -566,6 +576,9 @@ def semantic_dedup(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_budget_bytes: int = 256 << 20,
+    max_cell_rows: int | None = None,
+    max_split_depth: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with the learned k-means quantizer (shared :func:`attach_learned_cells`)
@@ -581,22 +594,137 @@ def semantic_dedup(
     assignment is a deterministic function of the vector), and the
     quadratic term shrinks from N^2 to k * (N/k)^2 = N^2/k.
 
+    The per-task matrix is BOUNDED, not hoped-for, by three guardrails:
+
+    1. exact-duplicate collapse BEFORE the quadratic pass: rows sharing a
+       vector keep only the lowest id (one window over the vector column —
+       cosine of identical vectors is exactly 1 >= any threshold <= 1, so
+       the flags are unchanged by construction). A boilerplate flood of a
+       million identical embeddings costs one shuffle, not one (10^6)^2
+       GEMM. Zero vectors are exempt (no direction, kept as singletons —
+       same contract as the GEMM's norm guard below).
+    2. the cluster count is sized from corpus stats, not fixed: the row
+       cap is ``cell_budget_bytes / (d * 8)`` (``max_cell_rows``
+       overrides) and training starts at ``max(n_clusters, ceil(N /
+       cap))`` cells — the documented N*d*8/budget rule, computed.
+    3. hot-cell recursion: cells still above the cap after training (a
+       skewed corpus can collapse into one cell regardless of k) are
+       re-split by a joint 2-iteration k-means over the oversized cells'
+       rows; the LAST level is a guaranteed splitter — rank over a fixed
+       projection, chopped into cap-sized chunks — so the bound holds even
+       for geometry k-means cannot separate (a tight line blob defeats the
+       lowest-id init). Sub-cells respect semantic locality (the k-means
+       levels; the projection chunks preserve locality along the
+       projection); near-dup pairs split across a sub-cell boundary are
+       the same documented approximation SemDeDup makes at the top level,
+       and identical vectors can never separate (k-means assignment is a
+       deterministic function of the vector, and identical vectors were
+       already collapsed before any splitting). The planted-skew pytest
+       (tests/test_llm_ops.py) pins the bound.
+
     Scale shape: training is the kmeans_train contract; the per-cluster
-    pass is ONE applyInPandas GEMM per cell — size k so a cell's matrix
-    (N/k x d floats) fits an executor, i.e. k ~= N*d*8 / a-few-hundred-MB,
-    exactly the ``cosine_near_pairs`` block-sizing rule but with
-    data-driven blocks that respect semantic locality instead of hash
-    blocks that must enumerate every block pair.
+    pass is ONE applyInPandas GEMM per cell, each cell's matrix capped at
+    ``cap * d`` float64s — ``cosine_near_pairs``'s block-sizing rule but
+    with data-driven blocks that respect semantic locality instead of
+    hash blocks that must enumerate every block pair. Driver-side
+    transfers stay bounded: a 1-row head, a count, and one per-cell count
+    frame per split level (<= #cells rows).
     """
     import numpy as np
 
+    head = corpus.select(vec_col).head(1)
+    if not head:
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, cell int, dropped boolean"
+        )
+    dim = len(head[0][0])
+    cap = max_cell_rows or max(1024, cell_budget_bytes // (dim * 8))
+    n_total = corpus.count()
+    k_eff = max(n_clusters, math.ceil(n_total / cap))
+
     cells = attach_learned_cells(
-        corpus, n_clusters, train_iters, id_col, vec_col
+        corpus, k_eff, train_iters, id_col, vec_col
     ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         F.col("__ivf_cell").alias("cell"),
     )
+
+    # guardrail 1: exact-duplicate collapse (flags unchanged, see docstring)
+    is_zero = (
+        F.aggregate(
+            F.col("vec"), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+        == 0.0
+    )
+    wv = Window.partitionBy("vec").orderBy("vec_id")
+    marked = cells.withColumn("__rn", F.row_number().over(wv))
+    exact_dups = marked.where((F.col("__rn") > 1) & ~is_zero).select(
+        "vec_id", "cell", F.lit(True).alias("dropped")
+    )
+    reps = marked.where((F.col("__rn") == 1) | is_zero).drop("__rn")
+
+    # guardrail 3: re-split cells the trained quantizer left above the cap
+    next_cell = k_eff
+    for level in range(max_split_depth):
+        over = (
+            reps.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > cap)
+            .collect()
+        )
+        if not over:
+            break
+        hot_ids = [r["cell"] for r in over]
+        hot = reps.where(F.col("cell").isin(hot_ids))
+        cold = reps.where(~F.col("cell").isin(hot_ids))
+        if level < max_split_depth - 1:
+            # locality-preserving level: one joint Lloyd's pass over every
+            # oversized cell's rows (a single training regardless of how
+            # many cells are hot)
+            k_sub = min(
+                max(2, math.ceil(sum(r["n"] for r in over) / cap)), 1024
+            )
+            sub, _ = kmeans_train(
+                hot, k=k_sub, iters=2, id_col="vec_id", vec_col="vec"
+            )
+            reassigned = hot.drop("cell").join(
+                sub.select(
+                    "vec_id", (F.col("cid") + F.lit(next_cell)).alias("cell")
+                ),
+                "vec_id",
+            )
+            next_cell += k_sub
+        else:
+            # guaranteed level: rank each hot cell along a fixed projection
+            # and chop into cap-sized chunks — every resulting cell is
+            # <= cap by construction, whatever the geometry. Chunk ids pack
+            # as (dense hot-cell index, chunk) so no two cells collide.
+            h = F.lit(_hyperplanes(1, dim)[0])
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("vec"), h, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            max_chunks = math.ceil(max(r["n"] for r in over) / cap)
+            wc = Window.partitionBy("cell").orderBy("__proj", "vec_id")
+            reassigned = (
+                hot.withColumn("__proj", proj)
+                .withColumn("__rn", F.row_number().over(wc))
+                .withColumn(
+                    "cell",
+                    (
+                        F.lit(next_cell)
+                        + (F.array_position(F.lit(hot_ids), F.col("cell")) - 1)
+                        * max_chunks
+                        + F.floor((F.col("__rn") - 1) / cap)
+                    ).cast("int"),
+                )
+            )
+            next_cell += len(hot_ids) * max_chunks
+        reps = cold.unionByName(reassigned.select("vec_id", "vec", "cell"))
 
     def dedup_cell(key, pdf):
         import pandas as pd
@@ -620,9 +748,12 @@ def semantic_dedup(
             {"vec_id": ids, "cell": key[0], "dropped": hit}
         )
 
-    return cells.groupBy("cell").applyInPandas(
+    rep_out = reps.groupBy("cell").applyInPandas(
         dedup_cell, schema="vec_id long, cell int, dropped boolean"
     )
+    # collapsed exact clones re-enter the result flagged dropped, carrying
+    # their pre-split cell id (identical to their keeper's original cell)
+    return rep_out.unionByName(exact_dups)
 
 
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:

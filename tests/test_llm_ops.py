@@ -541,3 +541,50 @@ def test_ivf_pq_generous_rerank_equals_ivf(spark):
     assert sorted(map(tuple, pq[key].values.tolist())) == sorted(
         map(tuple, ivf[key].values.tolist())
     )
+
+
+def test_semantic_dedup_hot_cell_cap_under_planted_skew(spark):
+    """Hot-cell guardrail (similarity.semantic_dedup): 60% of the corpus
+    is a tight line blob — geometry that collapses into ONE trained cell
+    and that the lowest-id k-means init splits poorly — yet every
+    per-cell GEMM stays within max_cell_rows (the projection-rank level
+    guarantees the cap whatever the geometry). Vectors are pairwise
+    distinct and below threshold, so the flags must be all-keep: the
+    bound may not change semantics."""
+    rows = [(i, [50.0, i * 0.001] + [0.0] * 6) for i in range(240)]
+    rows += [
+        (i, [i * 1.0, 400.0 - i, float((i * i) % 89), 1.0] + [0.0] * 4)
+        for i in range(240, 400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(
+        df, threshold=1.01, n_clusters=4, max_cell_rows=50
+    ).toPandas()
+    per_cell = out.groupby("cell").size()
+    assert len(out) == 400 and not out["dropped"].any()
+    assert per_cell.max() <= 50
+
+
+def test_semantic_dedup_exact_flood_collapses_before_gemm(spark):
+    """Exact-duplicate collapse: a flood of identical vectors (the
+    degenerate skew no spatial split can separate) never reaches the
+    quadratic pass — the keeper is the lowest id, every clone is dropped,
+    and the GEMM cells hold only distinct vectors (so the per-cell row
+    count stays under the cap even though one vector repeats 300x)."""
+    base = [(i, [float(i + 1), 2.0, 3.0, 5.0]) for i in range(100)]
+    flood = [(1000 + i, [9.0, 9.0, 9.0, 9.0]) for i in range(300)]
+    df = spark.createDataFrame(
+        base + [(999, [9.0, 9.0, 9.0, 9.0])] + flood,
+        "vec_id long, embedding array<double>",
+    )
+    out = S.semantic_dedup(
+        df, threshold=0.9999, n_clusters=4, max_cell_rows=50
+    ).toPandas()
+    assert len(out) == 401
+    clones = out[out.vec_id >= 1000]
+    assert len(clones) == 300 and clones["dropped"].all()
+    assert not out[out.vec_id == 999]["dropped"].iloc[0]  # keeper survives
+    # distinct-vector cells stay capped; the 300 collapsed clones report
+    # their keeper's cell but never entered a GEMM task
+    kept_cells = out[out.vec_id < 1000].groupby("cell").size()
+    assert kept_cells.max() <= 50
