@@ -518,6 +518,19 @@ def ivf_learned_topk(
     )
 
 
+#: per-corpus-frame cache of trained cell maps, keyed weakly by the corpus
+#: DataFrame (catalog.load_table returns ONE frame per (sf_dir, table) per
+#: session, so the learned-ANN queries and semantic_dedup share entries).
+#: kmeans_train is EAGER (one action per Lloyd's iteration at call time)
+#: and deterministic, so reuse is a pure cost win: without it every
+#: learned-index query retrains an identical quantizer. The cached map is
+#: only (vec_id, cell) — two integer columns, persisted MEMORY_AND_DISK;
+#: at 100 TB this is the "quantizer artifact" a production index stores
+#: beside the data, never the corpus itself. Entries die with the frame
+#: (and thus with the session); training params are part of the key.
+_LEARNED_CELLS: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = None  # type: ignore[assignment]
+
+
 def attach_learned_cells(
     corpus: DataFrame,
     n_lists: int,
@@ -527,15 +540,31 @@ def attach_learned_cells(
 ) -> DataFrame:
     """Train the k-means coarse quantizer and attach each corpus vector's
     learned cell as ``__ivf_cell`` — the shared quantizer-fit front end of
-    :func:`ivf_learned_topk` and :func:`ivf_pq_learned_topk` (one place
-    defines how assignments become inverted lists)."""
-    assign, _inertias = kmeans_train(
-        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col
-    )
-    return corpus.join(
-        assign.select(F.col("vec_id").alias(id_col), F.col("cid").alias("__ivf_cell")),
-        id_col,
-    )
+    :func:`ivf_learned_topk`, :func:`ivf_pq_learned_topk` and
+    :func:`semantic_dedup` (one place defines how assignments become
+    inverted lists). The trained (vec_id, cell) map is cached per
+    (corpus frame, params) — see ``_LEARNED_CELLS``."""
+    global _LEARNED_CELLS
+    if _LEARNED_CELLS is None:
+        from weakref import WeakKeyDictionary
+
+        _LEARNED_CELLS = WeakKeyDictionary()
+    key = (n_lists, train_iters, id_col, vec_col)
+    try:
+        cache = _LEARNED_CELLS.setdefault(corpus, {})
+    except TypeError:  # frame not weak-referenceable: train uncached
+        cache = None
+    cellmap = cache.get(key) if cache is not None else None
+    if cellmap is None:
+        assign, _inertias = kmeans_train(
+            corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col
+        )
+        cellmap = assign.select(
+            F.col("vec_id").alias(id_col), F.col("cid").alias("__ivf_cell")
+        ).persist()
+        if cache is not None:
+            cache[key] = cellmap
+    return corpus.join(cellmap, id_col)
 
 
 def ivf_pq_learned_topk(
@@ -650,6 +679,43 @@ def semantic_dedup(
         F.col("__ivf_cell").alias("cell"),
     )
 
+    def dedup_cell(key, pdf):
+        import pandas as pd
+
+        if not len(pdf):
+            return pd.DataFrame({"vec_id": [], "cell": [], "dropped": []})
+        order = pdf["vec_id"].to_numpy(dtype=np.int64).argsort()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.array(pdf["vec"].to_numpy()[order].tolist(), dtype=np.float64)
+        # zero vectors have no direction: norm-guard to 1 keeps their rows
+        # all-zero, so they never match anything (kept as singletons)
+        # instead of emitting NaN cosines that silently break the
+        # identical-vectors-are-dropped invariant
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(norms == 0.0, 1.0, norms)
+        sims = mat @ mat.T
+        # ids ascend along both axes, so the strict lower triangle is
+        # exactly the "lower-id mate" relation
+        hit = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame({"vec_id": ids, "cell": key[0], "dropped": hit})
+
+    def dedup_pass(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("cell").applyInPandas(
+            dedup_cell, schema="vec_id long, cell int, dropped boolean"
+        )
+
+    # fast path: if the trained partition already respects the cap (the
+    # common, non-skewed case), run the direct per-cell GEMM — the
+    # guardrails below then cost exactly ONE small per-cell count action
+    if (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+        .count()
+        == 0
+    ):
+        return dedup_pass(cells)
+
     # guardrail 1: exact-duplicate collapse (flags unchanged, see docstring)
     is_zero = (
         F.aggregate(
@@ -726,34 +792,9 @@ def semantic_dedup(
             next_cell += len(hot_ids) * max_chunks
         reps = cold.unionByName(reassigned.select("vec_id", "vec", "cell"))
 
-    def dedup_cell(key, pdf):
-        import pandas as pd
-
-        if not len(pdf):
-            return pd.DataFrame({"vec_id": [], "cell": [], "dropped": []})
-        order = pdf["vec_id"].to_numpy(dtype=np.int64).argsort()
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
-        mat = np.array(pdf["vec"].to_numpy()[order].tolist(), dtype=np.float64)
-        # zero vectors have no direction: norm-guard to 1 keeps their rows
-        # all-zero, so they never match anything (kept as singletons)
-        # instead of emitting NaN cosines that silently break the
-        # identical-vectors-are-dropped invariant
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat /= np.where(norms == 0.0, 1.0, norms)
-        sims = mat @ mat.T
-        # ids ascend along both axes, so the strict lower triangle is
-        # exactly the "lower-id mate" relation
-        hit = np.tril(sims >= threshold, k=-1).any(axis=1)
-        return pd.DataFrame(
-            {"vec_id": ids, "cell": key[0], "dropped": hit}
-        )
-
-    rep_out = reps.groupBy("cell").applyInPandas(
-        dedup_cell, schema="vec_id long, cell int, dropped boolean"
-    )
     # collapsed exact clones re-enter the result flagged dropped, carrying
     # their pre-split cell id (identical to their keeper's original cell)
-    return rep_out.unionByName(exact_dups)
+    return dedup_pass(reps).unionByName(exact_dups)
 
 
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
