@@ -408,3 +408,72 @@ def test_vector_search_round4_plan_shapes(spark):
     d = _physical_plan(qs["llm_embedding_decontamination"].fn(spark, SF))
     assert "CartesianProduct" not in d
     assert "BroadcastNestedLoopJoin" in d  # bounded benchmark side broadcast
+
+
+def test_skew_mitigation_identical_under_planted_skew(spark):
+    """In-suite twin of tools/bench_skew.py (BENCH_SKEW.md): one key
+    carries 50% of the fact side. Asserts the three properties the bench
+    relies on, at test scale:
+
+    - salted_join reproduces the naive join exactly on the skewed key;
+    - the salt actually spreads the straggler: the heaviest reduce
+      partition's row share (Spark's own pmod(hash, P) placement) drops
+      by at least 4x vs hash(k) alone;
+    - AQE's runtime skew split engages on this shape when its thresholds
+      see the skew (final adaptive plan carries skew=true).
+    """
+    n, keys = 200_000, 500
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(keys))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(keys)))
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 101).cast("long").alias("v"),
+    )
+    dim = spark.range(keys + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("long").alias("w")
+    )
+    salted = salted_join(fact, dim, on="k", salt=16)
+    plain = fact.join(dim, "k")
+    agg = lambda df: tuple(  # noqa: E731 — exact integer aggregate
+        df.agg(F.count(F.lit(1)), F.sum(F.col("v") * F.col("w"))).collect()[0]
+    )
+    assert agg(salted) == agg(plain)
+
+    n_part = 32
+
+    def max_share(cols):
+        top = (
+            fact.groupBy(F.pmod(F.hash(*cols), F.lit(n_part)).alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return top / n
+
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(16))
+    assert max_share(["k"]) >= 0.5  # the planted straggler is real
+    assert max_share(["k", salt_col]) * 4 <= max_share(["k"])
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # 8k: the hot partition's COMPRESSED shuffle size at test scale is
+        # well under the production default — the threshold must see it
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k").agg(F.count(F.lit(1)))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
