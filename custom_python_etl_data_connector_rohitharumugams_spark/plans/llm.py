@@ -499,12 +499,16 @@ def _exact_ground_truth(e: DataFrame) -> DataFrame:
     return truth
 
 
-def _ann_recall_report(exact: DataFrame, ann: DataFrame) -> DataFrame:
+def _ann_recall_report(
+    exact: DataFrame, ann: DataFrame, floor: tuple[int, int] = (1, 4)
+) -> DataFrame:
     """One row: exact-baseline stats (count, rank-weighted checksum — both
-    oracle-reproducible) plus recall_ok = |ANN hits in exact top-k| >= 25%
-    of the exact set. Measured recall on the driver fixture is ~0.43 (LSH)
-    / ~0.42 (IVF, nprobe=3/10), so 0.25 is margin, not tuning. Integer
-    arithmetic (hits * 4 >= n_exact) keeps the cutoff engine-exact.
+    oracle-reproducible) plus recall_ok = |ANN hits in exact top-k| >=
+    ``floor`` (a fraction as num/den; default 1/4). Measured recall on the
+    driver fixture is ~0.43 (LSH) / ~0.42 (IVF, nprobe=3/10), so 0.25 is
+    margin, not tuning; the hifi PQ variant raises the gate to 4/5 against
+    its measured 0.88. Integer arithmetic (hits * den >= num * n_exact)
+    keeps the cutoff engine-exact.
 
     Single pass over the exact baseline: the ANN pair set (<= Q*k rows)
     broadcasts onto a left join and the hit count rides the same aggregate
@@ -527,7 +531,9 @@ def _ann_recall_report(exact: DataFrame, ann: DataFrame) -> DataFrame:
             "n_queries",
             "n_exact",
             "truth_checksum",
-            (F.col("__hits") * 4 >= F.col("n_exact")).alias("recall_ok"),
+            (F.col("__hits") * floor[1] >= F.col("n_exact") * floor[0]).alias(
+                "recall_ok"
+            ),
         )
     )
 
@@ -654,6 +660,29 @@ def llm_ann_ivf_pq_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_report(
         _exact_ground_truth(e),
         S.ivf_pq_learned_topk(q, e, k=5, nprobe=3, rerank=120, n_lists=10, train_iters=2),
+    )
+
+
+@query("llm_ann_ivf_pq_hifi_topk", tags=("L3",), oracle=ANN_RECALL_ORACLE)
+def llm_ann_ivf_pq_hifi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-FIDELITY operating point of the learned IVF-PQ index: more
+    probes (nprobe=6 of 10 learned cells) and a larger exact-rerank budget
+    (400 ADC survivors per query) buy recall 0.88 at the driver fixture vs
+    the standard point's 0.62 — and this query's gate is raised to 0.8
+    (hits * 5 >= 4 * n_exact), not the family's 0.25 floor, so the oracle
+    row actually pins the high-recall contract. Same quantizer artifact as
+    the other learned queries (shared training via attach_learned_cells);
+    the full recall-vs-cost pareto, including the absolute-budget
+    degradation at 10x corpus and how nprobe/rerank must scale with N, is
+    recorded in DESIGN.md's IVF-PQ section."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return _ann_recall_report(
+        _exact_ground_truth(e),
+        S.ivf_pq_learned_topk(
+            q, e, k=5, nprobe=6, rerank=400, n_lists=10, train_iters=2
+        ),
+        floor=(4, 5),
     )
 
 
