@@ -62,6 +62,23 @@ KEY_STRIDES: dict[str, dict[str, int]] = {
 FIXED_DIMS = ("region", "nation")
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+#: multipliers coprime to 26 — with the 26 shifts they give 312 distinct
+#: affine letter permutations, so text replicas stay pairwise-decorrelated
+#: far beyond the 26-replica period where the plain Caesar rotation used
+#: through round 5 silently repeated (r=0 and r=26 would share identical
+#: text under different ids — a planted exact-dup explosion at factor 27+)
+_MULTS = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def _alpha_perm(r: int) -> str:
+    """Affine permutation of ALPHA for replica ``r``: idx -> (a*idx + b)
+    mod 26 with a = coprime multiplier cycled every 26 replicas, b = r mod
+    26. r=0 is the identity; permutations are pairwise distinct for
+    r < 312."""
+    a = _MULTS[(r // 26) % len(_MULTS)]
+    b = r % 26
+    return "".join(ALPHA[(a * i + b) % 26] for i in range(26))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -100,15 +117,17 @@ def main() -> None:
                     col, (F.col(col) + F.lit(r * stride)).cast("long")
                 )
             if r > 0 and t == "documents":
-                rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
-                rep = rep.withColumn("text", F.translate("text", ALPHA, rot))
+                rep = rep.withColumn(
+                    "text", F.translate("text", ALPHA, _alpha_perm(r))
+                )
             if r > 0 and t == "part":
                 # decorrelate part names too: otherwise every ER block key
                 # (noun token, brand) collects 10 identical name copies and
                 # the blocked-edit-distance query measures a planted
                 # pair explosion instead of plan scaling
-                rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
-                rep = rep.withColumn("p_name", F.translate("p_name", ALPHA, rot))
+                rep = rep.withColumn(
+                    "p_name", F.translate("p_name", ALPHA, _alpha_perm(r))
+                )
             if r > 0 and t == "embeddings":
                 # per-replica DIMENSION ROTATION: norm-preserving, and the
                 # cosine between any two replicas of the same base vector
@@ -121,13 +140,22 @@ def main() -> None:
                 # replica pairs decorrelate too (rot_a(v) . rot_b(v) =
                 # v . rot_{b-a}(v)).
                 dim = 64
-                rep = rep.withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice("embedding", r * 5 + 1, dim - r * 5),
-                        F.slice("embedding", 1, r * 5),
-                    ),
-                )
+                # rotate by (r*5) % dim: beyond factor 13 the raw r*5
+                # would exceed dim and F.slice would get a non-positive
+                # length, silently writing empty/invalid embeddings into
+                # the scaled tier. A zero effective rotation (r*5 ≡ 0 mod
+                # dim, first at r=13 approaching dim stride wrap) keeps
+                # the column untouched rather than concat'ing empty
+                # slices.
+                rot_by = (r * 5) % dim
+                if rot_by:
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", rot_by + 1, dim - rot_by),
+                            F.slice("embedding", 1, rot_by),
+                        ),
+                    )
             replicas.append(rep)
         scaled = replicas[0]
         for rep in replicas[1:]:
