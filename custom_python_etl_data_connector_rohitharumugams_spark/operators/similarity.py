@@ -191,6 +191,11 @@ def benchmark_decontamination_gemm(
     )
 
 
+#: per-chunk similarity-entry budget for the in-task GEMM tiling (~128 MB
+#: of float64 sims); the A-side chunk size is this divided by |B|
+_GEMM_CHUNK_ELEMS = 16_000_000
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float,
@@ -216,6 +221,15 @@ def cosine_near_pairs(
     executor; total compute is the unavoidable all-pairs N^2/2 regardless
     of tiling, and each block is read n_blocks times. No driver collect,
     no broadcast: the corpus never has to fit on any single node.
+
+    Peak memory is bounded by TWO levels of tiling: the block pairing
+    above distributes the work, and inside each task the GEMM runs in
+    A-side row chunks of <= ``_GEMM_CHUNK_ELEMS`` similarity entries
+    (~128 MB float64) — the sims matrix, not the vectors, is what
+    explodes quadratically, so an undersized ``n_blocks`` degrades to
+    more chunk iterations instead of an executor OOM (a 30x fixture with
+    the default 4 blocks crashed workers on a single 80 GB sims
+    allocation before this bound existed).
     """
     import numpy as np
 
@@ -250,19 +264,35 @@ def cosine_near_pairs(
         mat = np.array(pdf["__vec"].tolist(), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         if b1 == b2:  # diagonal tile: strict upper triangle by id
-            sims = np.round(mat @ mat.T, 4)
-            li, ri = np.nonzero((sims > threshold) & (ids[:, None] < ids[None, :]))
-            id1, id2, s = ids[li], ids[ri], sims[li, ri]
+            a_ids, b_ids = ids, ids
+            a_mat, b_mat = mat, mat
         else:  # off-diagonal tile: A x B, then orient each pair as (lo, hi)
             a_mask = pdf["__blk"].to_numpy() == b1
             a_ids, b_ids = ids[a_mask], ids[~a_mask]
+            a_mat, b_mat = mat[a_mask], mat[~a_mask]
             if not len(a_ids) or not len(b_ids):
                 return empty
-            sims = np.round(mat[a_mask] @ mat[~a_mask].T, 4)
-            li, ri = np.nonzero(sims > threshold)
-            a, b = a_ids[li], b_ids[ri]
-            id1, id2, s = np.minimum(a, b), np.maximum(a, b), sims[li, ri]
-        return pd.DataFrame({f"{id_col}_1": id1, f"{id_col}_2": id2, "cos_sim": s})
+        chunk = max(1, _GEMM_CHUNK_ELEMS // len(b_ids))
+        parts = []
+        for lo in range(0, len(a_ids), chunk):
+            sims = np.round(a_mat[lo : lo + chunk] @ b_mat.T, 4)
+            mask = sims > threshold
+            if b1 == b2:  # strict upper triangle by id, per chunk
+                mask &= a_ids[lo : lo + chunk, None] < b_ids[None, :]
+            li, ri = np.nonzero(mask)
+            if not len(li):
+                continue
+            a, b = a_ids[lo + li], b_ids[ri]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        f"{id_col}_1": np.minimum(a, b),
+                        f"{id_col}_2": np.maximum(a, b),
+                        "cos_sim": sims[li, ri],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return keyed.groupBy("__b1", "__b2").applyInPandas(gemm, schema=out_schema)
 

@@ -477,3 +477,19 @@ def test_skew_mitigation_identical_under_planted_skew(spark):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_cosine_near_pairs_chunk_size_invariant(spark, monkeypatch):
+    """The in-task GEMM chunking (second tiling level — what bounds peak
+    sims memory when a block is oversized) is an execution detail too:
+    forcing single-digit-row chunks must return the exact pair set of the
+    unchunked run, including across the diagonal tile's triangle mask."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = sorted(map(tuple, S.cosine_near_pairs(emb, 0.35, n_blocks=2).collect()))
+    monkeypatch.setattr(S, "_GEMM_CHUNK_ELEMS", 7)  # a few rows per chunk
+    tiny = sorted(map(tuple, S.cosine_near_pairs(emb, 0.35, n_blocks=2).collect()))
+    assert tiny == base and len(base) > 0
