@@ -146,7 +146,12 @@ def main() -> None:
     # tripped the length fallback and dropped the per-query map entirely),
     # and the full name->sec map goes to BENCH_DETAIL.json next to this
     # script, keyed back via "keymap".
-    keymap = {f"q{i:03d}": n for i, n in enumerate(sorted(timings))}
+    # 2-hex-char keys: at 145 queries the q000-style 4-char keys put the
+    # stdout line at ~1.84 KB — within a value-digit of the 1.9 KB driver
+    # tail and the map-dropping fallback below. 10 chars/entry leaves
+    # ~350 B headroom for further registry growth (cap 256 queries; raise
+    # to :03x alongside the budget math if the registry ever passes it)
+    keymap = {f"{i:02x}": n for i, n in enumerate(sorted(timings))}
     detail = {
         "metric": "total wall-clock over all named queries",
         "value": total,

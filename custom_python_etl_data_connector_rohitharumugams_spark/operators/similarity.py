@@ -13,6 +13,7 @@ Two tiers, per the 100 TB design:
 from __future__ import annotations
 
 import math
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -558,7 +559,9 @@ def ivf_learned_topk(
 #: at 100 TB this is the "quantizer artifact" a production index stores
 #: beside the data, never the corpus itself. Entries die with the frame
 #: (and thus with the session); training params are part of the key.
-_LEARNED_CELLS: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = None  # type: ignore[assignment]
+_LEARNED_CELLS: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
+    WeakKeyDictionary()
+)
 
 
 def attach_learned_cells(
@@ -574,11 +577,6 @@ def attach_learned_cells(
     :func:`semantic_dedup` (one place defines how assignments become
     inverted lists). The trained (vec_id, cell) map is cached per
     (corpus frame, params) — see ``_LEARNED_CELLS``."""
-    global _LEARNED_CELLS
-    if _LEARNED_CELLS is None:
-        from weakref import WeakKeyDictionary
-
-        _LEARNED_CELLS = WeakKeyDictionary()
     key = (n_lists, train_iters, id_col, vec_col)
     try:
         cache = _LEARNED_CELLS.setdefault(corpus, {})

@@ -14,6 +14,8 @@ operators.similarity; additional recall checks live in tests/test_llm_ops.py.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -472,7 +474,7 @@ ANN_RECALL_ORACLE = f"""
 #: compare to the IDENTICAL brute-force top-5 of the standard probe set, so
 #: recomputing the Q x N scan per query is pure waste. Bounded: <= Q*k rows
 #: of (ids, rank, sim), persisted; entries die with the corpus frame.
-_EXACT_TRUTH: "WeakKeyDictionary[DataFrame, DataFrame]" = None  # type: ignore[assignment]
+_EXACT_TRUTH: "WeakKeyDictionary[DataFrame, DataFrame]" = WeakKeyDictionary()
 
 
 def _exact_ground_truth(e: DataFrame) -> DataFrame:
@@ -480,11 +482,6 @@ def _exact_ground_truth(e: DataFrame) -> DataFrame:
     corpus ``e`` — cached per corpus frame, see ``_EXACT_TRUTH``. The
     standalone llm_cosine_topk query keeps its own uncached plan (its J8
     crossJoin shape is part of what the audit pins)."""
-    global _EXACT_TRUTH
-    if _EXACT_TRUTH is None:
-        from weakref import WeakKeyDictionary
-
-        _EXACT_TRUTH = WeakKeyDictionary()
     try:
         cached = _EXACT_TRUTH.get(e)
     except TypeError:
