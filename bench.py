@@ -42,12 +42,17 @@ def main() -> None:
     # at 30x would spend minutes on already-proven linear queries); the
     # driver never sets this, so the per-round contract is unchanged
     only = os.environ.get("SPARK_GRAFT_QUERIES")
+    detail_path = _REPO / "BENCH_DETAIL.json"
     if only:
         names = [n.strip() for n in only.split(",") if n.strip()]
         missing = [n for n in names if n not in qdefs]
         if missing:
             raise SystemExit(f"unknown query names in SPARK_GRAFT_QUERIES: {missing}")
         qdefs = {n: qdefs[n] for n in names}
+        # subset runs must never clobber the committed per-round sf0.1
+        # artifact (tools/scaling_report.py asserts its sf) — they land in
+        # a sibling file the caller renames (e.g. BENCH_SF3_DETAIL.json)
+        detail_path = _REPO / "BENCH_SUBSET_DETAIL.json"
     # Warm-up pass: run EVERY query once. Each query's first execution pays
     # one-off JIT costs for its generated whole-stage-codegen classes and
     # any engine machinery it alone exercises (VariantType parse, Arrow UDF
@@ -162,7 +167,7 @@ def main() -> None:
         "host_stall_sec_detected": stall_sec,
         "stall_reruns": reruns,
     }
-    (_REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1, sort_keys=True))
+    detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True))
 
     # stdout carries 1-decimal per-query values: at 142 queries the
     # 3-decimal form exceeded the driver's ~1.9 KB stdout tail and the

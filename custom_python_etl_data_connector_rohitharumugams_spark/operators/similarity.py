@@ -559,6 +559,15 @@ def ivf_learned_topk(
 #: at 100 TB this is the "quantizer artifact" a production index stores
 #: beside the data, never the corpus itself. Entries die with the frame
 #: (and thus with the session); training params are part of the key.
+#:
+#: Persist lifetime, stated honestly: callers that pass a THROWAWAY frame
+#: (e.g. semantic_dedup's per-call corpus-union) get no cross-call hit —
+#: the weak entry dies with the frame — but the persist still pays for
+#: itself WITHIN the call (the cap check, split levels, and final GEMM
+#: each re-consume the assignment). Spark's CacheManager holds those
+#: per-call cached blocks until session end (DataFrame persist is not
+#: GC-evicted); each is two integer columns, so the residue is KBs per
+#: call, bounded by run count, never corpus-sized.
 _LEARNED_CELLS: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
     WeakKeyDictionary()
 )
@@ -661,9 +670,17 @@ def semantic_dedup(
        GEMM. Zero vectors are exempt (no direction, kept as singletons —
        same contract as the GEMM's norm guard below).
     2. the cluster count is sized from corpus stats, not fixed: the row
-       cap is ``cell_budget_bytes / (d * 8)`` (``max_cell_rows``
-       overrides) and training starts at ``max(n_clusters, ceil(N /
-       cap))`` cells — the documented N*d*8/budget rule, computed.
+       cap is ``isqrt(cell_budget_bytes / 8)`` — sized for the cell's
+       QUADRATIC sims matrix (rows^2 float64s), the term that actually
+       explodes, not the linear vector matrix (a vector-sized cap of
+       budget/(d*8) rows would admit cells whose rows^2 * 8B sims
+       allocation is terabytes) — and training starts at
+       ``max(n_clusters, ceil(N / cap))`` cells. ``max_cell_rows``
+       overrides. As the hard backstop, the per-cell GEMM itself runs in
+       A-side row chunks of <= ``_GEMM_CHUNK_ELEMS`` sims entries (the
+       ``cosine_near_pairs`` discipline), so even a cell the splitter
+       could not bring under the cap degrades to more chunk iterations,
+       never an executor OOM.
     3. hot-cell recursion: cells still above the cap after training (a
        skewed corpus can collapse into one cell regardless of k) are
        re-split by a joint 2-iteration k-means over the oversized cells'
@@ -680,12 +697,13 @@ def semantic_dedup(
        (tests/test_llm_ops.py) pins the bound.
 
     Scale shape: training is the kmeans_train contract; the per-cluster
-    pass is ONE applyInPandas GEMM per cell, each cell's matrix capped at
-    ``cap * d`` float64s — ``cosine_near_pairs``'s block-sizing rule but
-    with data-driven blocks that respect semantic locality instead of
-    hash blocks that must enumerate every block pair. Driver-side
-    transfers stay bounded: a 1-row head, a count, and one per-cell count
-    frame per split level (<= #cells rows).
+    pass is one chunked applyInPandas GEMM per cell (sims work capped at
+    ``cap^2`` entries by the splitter, peak sims MEMORY at
+    ``_GEMM_CHUNK_ELEMS`` by the chunk loop) — ``cosine_near_pairs``'s
+    two-level tiling but with data-driven blocks that respect semantic
+    locality instead of hash blocks that must enumerate every block pair.
+    Driver-side transfers stay bounded: a 1-row head, a count, and one
+    per-cell count frame per split level (<= #cells rows).
     """
     import numpy as np
 
@@ -695,7 +713,7 @@ def semantic_dedup(
             [], "vec_id long, cell int, dropped boolean"
         )
     dim = len(head[0][0])
-    cap = max_cell_rows or max(1024, cell_budget_bytes // (dim * 8))
+    cap = max_cell_rows or max(1024, math.isqrt(cell_budget_bytes // 8))
     n_total = corpus.count()
     k_eff = max(n_clusters, math.ceil(n_total / cap))
 
@@ -721,10 +739,18 @@ def semantic_dedup(
         # identical-vectors-are-dropped invariant
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat /= np.where(norms == 0.0, 1.0, norms)
-        sims = mat @ mat.T
-        # ids ascend along both axes, so the strict lower triangle is
-        # exactly the "lower-id mate" relation
-        hit = np.tril(sims >= threshold, k=-1).any(axis=1)
+        # chunked GEMM (the cosine_near_pairs discipline): peak sims
+        # memory <= _GEMM_CHUNK_ELEMS float64s whatever the cell size
+        chunk = max(1, _GEMM_CHUNK_ELEMS // len(ids))
+        hit = np.zeros(len(ids), dtype=bool)
+        for lo in range(0, len(ids), chunk):
+            sims = mat[lo : lo + chunk] @ mat.T
+            # ids ascend along both axes: "a strictly-lower-id mate
+            # reaches threshold" == any hit left of the diagonal
+            mask = (sims >= threshold) & (
+                ids[lo : lo + chunk, None] > ids[None, :]
+            )
+            hit[lo : lo + chunk] = mask.any(axis=1)
         return pd.DataFrame({"vec_id": ids, "cell": key[0], "dropped": hit})
 
     def dedup_pass(frame: DataFrame) -> DataFrame:
@@ -745,12 +771,7 @@ def semantic_dedup(
         return dedup_pass(cells)
 
     # guardrail 1: exact-duplicate collapse (flags unchanged, see docstring)
-    is_zero = (
-        F.aggregate(
-            F.col("vec"), F.lit(0.0), lambda a, x: a + x.cast("double") * x
-        )
-        == 0.0
-    )
+    is_zero = norm(F.col("vec")) == 0.0
     wv = Window.partitionBy("vec").orderBy("vec_id")
     marked = cells.withColumn("__rn", F.row_number().over(wv))
     exact_dups = marked.where((F.col("__rn") > 1) & ~is_zero).select(
@@ -794,14 +815,7 @@ def semantic_dedup(
             # and chop into cap-sized chunks — every resulting cell is
             # <= cap by construction, whatever the geometry. Chunk ids pack
             # as (dense hot-cell index, chunk) so no two cells collide.
-            h = F.lit(_hyperplanes(1, dim)[0])
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col("vec"), h, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
+            proj = dot(F.col("vec"), F.lit(_hyperplanes(1, dim)[0]))
             max_chunks = math.ceil(max(r["n"] for r in over) / cap)
             wc = Window.partitionBy("cell").orderBy("__proj", "vec_id")
             reassigned = (

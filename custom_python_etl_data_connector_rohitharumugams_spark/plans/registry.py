@@ -60,7 +60,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # ride exactly one or two queries — all already driver-checked), leaving 29
 # rotating slots per round. Round 6: 31 first-time names (29 rotated in +
 # the two new connector_incremental_sync / stream_checkpoint_recovery
-# rows); the 29 still-unchecked queries take the rotating slots in round 7.
+# rows); the 30 still-unchecked queries (29 older + the round-6-registered
+# llm_ann_ivf_pq_hifi_topk, which sits outside this window) take the
+# rotating slots in round 7.
 # Evicted queries stay registered and pytest-parity-covered (tests/
 # test_oracle_parity.py runs all of them under the driver's compare).
 _PRIORITY: tuple[str, ...] = (

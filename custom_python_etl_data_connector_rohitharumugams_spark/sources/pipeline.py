@@ -146,17 +146,27 @@ def incremental_watermark(spark: SparkSession, cfg: ConnectorConfig) -> str | No
 
     A bounded 1-row aggregate — the only thing that crosses to the driver
     is one timestamp, regardless of collection size; the scan itself prunes
-    to the ``since_col`` column."""
+    to the ``since_col`` column.
+
+    The max is rendered to text ENGINE-SIDE (a cast in the session
+    timezone) and collected as a string: collecting the TimestampType
+    value would hand PySpark a datetime in the driver OS's local zone
+    (``collect`` converts via ``fromtimestamp``, ignoring
+    ``spark.sql.session.timeZone``), silently shifting the ``since``
+    param on any non-UTC host — and a shifted watermark makes the next
+    delta sync skip real records forever."""
     from .docsink import read_collection
 
     try:
         existing = read_collection(spark, cfg.sink_dir, f"{cfg.name}_raw")
     except Exception:  # noqa: BLE001 — path absent => first run, full extract
         return None
-    wm = existing.agg(F.max(cfg.since_col).alias("wm")).collect()[0].wm
-    if wm is None:
-        return None
-    return wm.isoformat() if hasattr(wm, "isoformat") else str(wm)
+    wm = (
+        existing.agg(F.max(cfg.since_col).cast("string").alias("wm"))
+        .collect()[0]
+        .wm
+    )
+    return wm
 
 
 def _ge_boundary(wm: str) -> str:

@@ -143,10 +143,20 @@ def main() -> None:
                 # rotate by (r*5) % dim: beyond factor 13 the raw r*5
                 # would exceed dim and F.slice would get a non-positive
                 # length, silently writing empty/invalid embeddings into
-                # the scaled tier. A zero effective rotation (r*5 ≡ 0 mod
-                # dim, first at r=13 approaching dim stride wrap) keeps
-                # the column untouched rather than concat'ing empty
-                # slices.
+                # the scaled tier. gcd(5, 64) = 1, so the 64 rotations are
+                # pairwise distinct for r < 64 and the only identity is
+                # r = 0 (guarded below: concat of empty slices would
+                # corrupt the column). Replica 64 would repeat replica 0's
+                # embeddings verbatim — the same silent-period bug the
+                # affine text permutations fix — so factors past the
+                # rotation period are refused rather than silently
+                # planting cross-replica exact duplicates.
+                assert args.factor <= dim, (
+                    f"embedding rotation repeats at replica {dim}: factor "
+                    f"{args.factor} would plant cross-replica exact dups — "
+                    "add a second norm-preserving transform (e.g. per-"
+                    "replica sign patterns) before generating this tier"
+                )
                 rot_by = (r * 5) % dim
                 if rot_by:
                     rep = rep.withColumn(
