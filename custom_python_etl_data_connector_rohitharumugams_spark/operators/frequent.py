@@ -2,7 +2,7 @@
 summaries.
 
 The sketch pass runs inside ``mapInPandas``: each partition is reduced to a
-summary of at most ``c`` counters plus one sentinel row carrying the
+summary of at most ``c`` counters plus one META row carrying the
 partition's row count. Summaries are MERGEABLE (Agarwal, Cormode, Huang,
 Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012): adding two summaries
 counter-wise and then trimming to the ``c`` largest by subtracting the
@@ -10,6 +10,16 @@ counter-wise and then trimming to the ``c`` largest by subtracting the
 per-batch ``value_counts`` (an exact summary) can be merged into the running
 summary instead of replaying the stream item-by-item — the per-batch work is
 a vectorized pandas count, not a Python loop over rows.
+
+Summary shape: ``(key, est, is_meta)``. The row count travels in a row with
+``is_meta=True`` and a NULL key — OUT OF BAND, never as a reserved key
+value, so no data value can collide with it (the previous in-band
+``"\\x00__rows__"`` sentinel both clobbered a real key equal to it and
+forced the key column to be a string). NULL keys are counted like any other
+key (``value_counts(dropna=False)``), matching SQL GROUP BY semantics where
+NULL forms a group that CAN reach a HAVING threshold; the caller carries
+null-candidacy through a dedicated flag because ``collect_set`` drops
+NULLs.
 
 Guarantee used by the caller: the total undercount across a partition of
 ``n_p`` rows is at most ``n_p / (c + 1)``, so ANY key with true global
@@ -22,14 +32,12 @@ emitted rows.
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Iterator
-
-#: sentinel key for the per-partition row-count row emitted alongside the
-#: counter rows (lets one scan produce both the candidates and the total).
-ROWS_SENTINEL = "\x00__rows__"
+from collections.abc import Hashable, Iterable, Iterator
 
 
-def mg_merge(counters: dict[str, int], batch_counts: dict[str, int], c: int) -> dict[str, int]:
+def mg_merge(
+    counters: dict[Hashable, int], batch_counts: dict[Hashable, int], c: int
+) -> dict[Hashable, int]:
     """Merge an exact batch count-dict into a running MG summary, trimming
     to at most ``c`` counters (mergeable-summaries trim)."""
     for v, n in batch_counts.items():
@@ -44,19 +52,30 @@ def mg_partition_summary(
     batches: Iterable["pd.DataFrame"], column: str, c: int
 ) -> Iterator["pd.DataFrame"]:  # noqa: F821 (pd imported lazily)
     """``mapInPandas`` generator: fold every Arrow batch of one partition
-    into a single <=(c+1)-row summary DataFrame (counter rows + sentinel
-    row-count row). Null keys are not counted (``value_counts`` drops NaN);
-    they still contribute to the sentinel row count, matching SQL GROUP BY
-    semantics where a NULL group never reaches a HAVING count threshold."""
+    into a single <=(c+1)-row summary DataFrame with columns
+    ``(column, est, is_meta)`` — counter rows (``is_meta=False``; a NULL
+    key row represents the NULL group) plus one row-count meta row
+    (``is_meta=True``, NULL key). Works for any Arrow-compatible key type:
+    keys pass through untouched, nothing is injected into the key space."""
     import pandas as pd
 
-    counters: dict[str, int] = {}
+    counters: dict[Hashable, int] = {}
     n_rows = 0
     for pdf in batches:
         n_rows += len(pdf)
+        # dropna=False: the NULL group is a real group (see module doc);
+        # pandas reports it as NaN/None — normalize to None so merged
+        # counters use one canonical null key
+        vc = pdf[column].value_counts(dropna=False)
         counters = mg_merge(
-            counters, {v: int(n) for v, n in pdf[column].value_counts().items()}, c
+            counters,
+            {
+                (None if pd.isna(v) else v): int(n)
+                for v, n in vc.items()
+            },
+            c,
         )
-    out = dict(counters)
-    out[ROWS_SENTINEL] = n_rows
-    yield pd.DataFrame({column: list(out), "est": list(out.values())})
+    keys = list(counters) + [None]
+    ests = list(counters.values()) + [n_rows]
+    metas = [False] * len(counters) + [True]
+    yield pd.DataFrame({column: keys, "est": ests, "is_meta": metas})

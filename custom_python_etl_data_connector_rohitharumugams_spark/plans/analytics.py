@@ -898,7 +898,6 @@ def agg_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     full key space is never shuffled), and the total-row count rides the
     sketch pass (one sentinel row per partition) so the input is scanned
     exactly twice."""
-    from ..operators.frequent import ROWS_SENTINEL as SENTINEL
     from ..operators.frequent import mg_partition_summary
 
     C = 64
@@ -908,22 +907,35 @@ def agg_heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
 
     e = load_table(spark, sf_dir, "events")
     summ = e.select("event_type").mapInPandas(
-        mg_summaries, "event_type string, est bigint"
+        mg_summaries, "event_type string, est bigint, is_meta boolean"
     )
     # Candidate set AND total row count folded into ONE 1-row aggregate so
     # the sketch subtree is evaluated once (two separate consumers would
     # re-run the sketch scan — Spark shares no subtrees across branches).
+    # NULL candidacy travels as its own flag: collect_set drops NULLs, but
+    # SQL's GROUP BY forms a NULL group that CAN pass HAVING, and the
+    # recount below must include it for the oracle to match on null-heavy
+    # key columns.
     sketch = summ.agg(
-        F.sum(
-            F.when(F.col("event_type") == SENTINEL, F.col("est"))
-        ).alias("n_total"),
+        F.sum(F.when(F.col("is_meta"), F.col("est"))).alias("n_total"),
         F.collect_set(
-            F.when(F.col("event_type") != SENTINEL, F.col("event_type"))
+            F.when(~F.col("is_meta"), F.col("event_type"))
         ).alias("cands"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    ~F.col("is_meta") & F.col("event_type").isNull(), F.lit(True)
+                )
+            ),
+            F.lit(False),
+        ).alias("null_cand"),
     )
     return (
         e.crossJoin(F.broadcast(sketch))
-        .where(F.array_contains("cands", F.col("event_type")))
+        .where(
+            F.array_contains("cands", F.col("event_type"))
+            | (F.col("null_cand") & F.col("event_type").isNull())
+        )
         .groupBy("event_type", "n_total")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .where(F.col("n_events") * C > F.col("n_total"))

@@ -58,14 +58,28 @@ def write_collection(
     favor of the incoming batch. mode="append": blind append (audit log
     style). Returns the collection path.
     """
+    if mode not in ("append", "upsert"):
+        # validated BEFORE any branch: the old post-first-write check let an
+        # unknown mode silently land data on a fresh collection and only
+        # raise on the SECOND call
+        raise ValueError(f"unknown docsink mode: {mode}")
     spark = df.sparkSession
     path = _collection_path(base_dir, collection)
     meta = _read_meta(path) if os.path.isdir(path) else None
     if meta is not None:
         # the on-disk bucket count is authoritative: a caller-supplied value
         # that differs would hash keys into the wrong partitions and break
-        # the upsert invariant silently
+        # the upsert invariant silently. The recorded key_col is a CONTRACT,
+        # not a default: merging by a different key would both miss existing
+        # rows (bucketed under the old key's hash) and collapse distinct
+        # documents sharing the new key — and then rewrite the meta,
+        # destroying the evidence. Fail loudly instead.
         n_buckets = int(meta["n_buckets"])
+        if meta.get("key_col", key_col) != key_col:
+            raise ValueError(
+                f"collection {collection!r} was created with key_col="
+                f"{meta['key_col']!r}; refusing to upsert by {key_col!r}"
+            )
     # NULL keys: xxhash64(NULL) returns the seed (42), NOT NULL, so all
     # null-key rows deterministically share bucket pmod(42, n_buckets) and
     # participate in the pruned merge like any other key. The coalesce is
@@ -80,8 +94,22 @@ def write_collection(
         # ingested_at is query-constant (current_timestamp), so every row in
         # the batch ties — a content-hash tiebreak makes the winner a pure
         # function of the data, so re-running the same batch keeps the same
-        # row instead of picking one arbitrarily per shuffle order
-        content_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        # row instead of picking one arbitrarily per shuffle order. Each
+        # column contributes its NULL-ness alongside its value: xxhash64
+        # skips NULL inputs while carrying the seed, so (k, 'a', NULL) and
+        # (k, NULL, 'a') would otherwise hash identically and the "pure
+        # function of the data" claim would fail exactly on rows differing
+        # only in which columns are null.
+        content_hash = F.xxhash64(
+            *[
+                part
+                for c in df.columns
+                for part in (
+                    F.col(c).isNull().cast("string"),
+                    F.col(c).cast("string"),
+                )
+            ]
+        )
         wb = Window.partitionBy(key_col).orderBy(
             F.col(INGESTED_COL).desc(), content_hash.desc()
         )
@@ -91,17 +119,28 @@ def write_collection(
             .drop("__rn")
         )
 
-    if mode == "append" or not os.path.isdir(path):
+    # first-write detection is BY DATA, not by directory existence: an
+    # empty first batch (or a crash between meta and data) leaves a
+    # parquet-less directory, and routing the next batch into the upsert
+    # branch would crash parquet schema inference there forever
+    has_data = os.path.isdir(path) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    )
+    if mode == "append" or not has_data:
+        # meta BEFORE data: a crash in between leaves meta + no parquet,
+        # which the has_data check above routes back here with the
+        # RECORDED n_buckets (read at the top) — the reverse order could
+        # leave committed 8-bucket data and no meta, and the next writer's
+        # default bucket count would prune the wrong partitions and
+        # silently duplicate keys
+        os.makedirs(path, exist_ok=True)
+        _write_meta(path, n_buckets, key_col)
         (
             stamped.write.mode("append")
             .partitionBy(BUCKET_COL)
             .parquet(path)
         )
-        _write_meta(path, n_buckets, key_col)
         return path
-
-    if mode != "upsert":
-        raise ValueError(f"unknown docsink mode: {mode}")
 
     # persist: the batch is consumed twice (touched-bucket collect + final
     # write); without it a non-deterministic source (live REST extract) could

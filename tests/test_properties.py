@@ -307,28 +307,61 @@ def test_misra_gries_never_misses_a_heavy_hitter(stream, n_parts, c):
     import pandas as pd
 
     from custom_python_etl_data_connector_rohitharumugams_spark.operators.frequent import (
-        ROWS_SENTINEL,
         mg_partition_summary,
     )
 
     keys = [str(v) for v in stream]
     parts = [keys[i::n_parts] for i in range(n_parts)]
     candidates: set[str] = set()
-    total_from_sentinels = 0
+    total_from_meta = 0
     for part in parts:
         # feed each partition as two pandas batches (exercises the merge)
         half = len(part) // 2
         batches = [pd.DataFrame({"k": part[:half]}), pd.DataFrame({"k": part[half:]})]
         (summary,) = list(mg_partition_summary(iter(batches), "k", c))
         for _, row in summary.iterrows():
-            if row["k"] == ROWS_SENTINEL:
-                total_from_sentinels += int(row["est"])
+            if row["is_meta"]:
+                total_from_meta += int(row["est"])
             else:
                 candidates.add(row["k"])
         assert len(summary) <= c + 1
-    assert total_from_sentinels == len(keys)
+    assert total_from_meta == len(keys)
     n = len(keys)
     true_counts = Counter(keys)
     for k, freq in true_counts.items():
         if freq * c > n:
             assert k in candidates, (k, freq, n, c)
+
+
+def test_misra_gries_null_group_and_hostile_keys():
+    """The MG summary's meta row is OUT OF BAND: NULL keys form a real,
+    candidate-eligible group (SQL GROUP BY semantics — the previous
+    in-band sentinel silently dropped them), a data value equal to the old
+    sentinel string is an ordinary key, and non-string key types pass
+    through without string coercion."""
+    import pandas as pd
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.frequent import (
+        mg_partition_summary,
+    )
+
+    # 90 NULLs + 8 of a hostile literal + 2 others: NULL is the heavy key
+    keys = [None] * 90 + ["\x00__rows__"] * 8 + ["a", "b"]
+    (summary,) = list(
+        mg_partition_summary(iter([pd.DataFrame({"k": keys})]), "k", 4)
+    )
+    meta = summary[summary["is_meta"]]
+    cands = summary[~summary["is_meta"]]
+    assert len(meta) == 1 and int(meta["est"].iloc[0]) == 100
+    by_key = {k: int(v) for k, v in zip(cands["k"], cands["est"])}
+    assert by_key.get(None) == 90  # the NULL group is a candidate
+    assert by_key.get("\x00__rows__") == 8  # hostile literal uncorrupted
+
+    # integer keys survive Arrow-compatible (no string sentinel mixed in)
+    (isum,) = list(
+        mg_partition_summary(
+            iter([pd.DataFrame({"k": [7, 7, 7, 8]})]), "k", 4
+        )
+    )
+    ints = isum[~isum["is_meta"]]
+    assert {k: int(v) for k, v in zip(ints["k"], ints["est"])} == {7: 3, 8: 1}

@@ -188,3 +188,57 @@ def test_salted_agg_sum_spreads_constant_values(spark):
     salted = df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(8)))
     n_buckets = salted.select(SALT_COL).distinct().count()
     assert n_buckets == 8, f"constant values landed in {n_buckets} salt bucket(s)"
+
+
+def test_docsink_empty_first_batch_does_not_brick_collection(spark, tmp_path):
+    """An empty first batch used to leave a parquet-less directory that
+    made every later upsert crash on schema inference; first-write
+    detection is now by data, so the next real batch lands normally."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources import docsink
+
+    base = str(tmp_path)
+    empty = spark.createDataFrame([], "id long, v string")
+    docsink.write_collection(empty, base, "c", key_col="id")
+    full = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    docsink.write_collection(full, base, "c", key_col="id")
+    back = docsink.read_collection(spark, base, "c")
+    assert sorted(r.id for r in back.collect()) == [1, 2]
+
+
+def test_docsink_rejects_key_col_change_and_bad_mode(spark, tmp_path):
+    """The recorded key_col is a contract (a different key would merge
+    wrongly AND rewrite the evidence), and an unknown mode fails before
+    any data lands — even on a fresh collection."""
+    import pytest
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources import docsink
+
+    base = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="unknown docsink mode"):
+        docsink.write_collection(df, base, "c", key_col="id", mode="overwrite")
+    import os
+
+    assert not os.path.isdir(f"{base}/c")  # nothing landed
+    docsink.write_collection(df, base, "c", key_col="id")
+    with pytest.raises(ValueError, match="key_col"):
+        docsink.write_collection(df, base, "c", key_col="name")
+
+
+def test_docsink_content_hash_distinguishes_null_layouts(spark, tmp_path):
+    """Within-batch dedup tiebreak: rows differing only in WHICH columns
+    are null must hash differently (xxhash64 skips nulls, so value-only
+    hashing made (k, 'a', NULL) and (k, NULL, 'a') tie arbitrarily). The
+    winner must be the same under either input order."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources import docsink
+
+    rows = [(1, "a", None), (1, None, "a")]
+    winners = []
+    for i, batch in enumerate((rows, rows[::-1])):
+        base = str(tmp_path / f"v{i}")
+        df = spark.createDataFrame(batch, "id long, x string, y string")
+        docsink.write_collection(df, base, "c", key_col="id")
+        out = docsink.read_collection(spark, base, "c").collect()
+        assert len(out) == 1
+        winners.append((out[0].x, out[0].y))
+    assert winners[0] == winners[1]
