@@ -129,13 +129,18 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
                 continue
             ids, fids, sizes, digests = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["data"]):
-                if payload is None:  # media-less doc: no frames, not a crash
+                # a NULL id or media-less doc yields no frames, not a
+                # crash: Arrow hands a nullable long column to pandas as
+                # float64 with NaN, and appending that NaN would blow up
+                # the int64 Series below (the one-null-row-kills-the-job
+                # failure decode_media already guards against)
+                if payload is None or pd.isna(doc_id):
                     continue
                 n = len(payload)
                 for k in range(n_frames):
                     lo, hi = k * n // n_frames, (k + 1) * n // n_frames
                     frame = payload[lo:hi]
-                    ids.append(doc_id)
+                    ids.append(int(doc_id))
                     fids.append(k)
                     sizes.append(len(frame))
                     digests.append(hashlib.md5(frame).hexdigest())

@@ -45,11 +45,22 @@ def asof_join(
     the same key — pandas ``merge_asof`` semantics, distributed.
 
     ``tiebreak``: optional right-side column ordering simultaneous right rows
-    (the greatest wins); required for determinism when ``right_ts`` can tie.
+    (the greatest wins, in the column's OWN ordering — strings, timestamps
+    and numerics all work); required for determinism when ``right_ts`` can
+    tie.
     ``tolerance_sec``: if set, matches farther than this many seconds from
     the left timestamp are nulled out (the row is kept — merge_asof
-    behavior). Timestamps compare via ``unix_micros``; numeric ts columns
-    compare in their own units.
+    behavior). Timestamps compare via ``unix_micros`` (NTZ columns are
+    reinterpreted in the session zone first — safe for the DELTA, which
+    cancels any fixed offset); numeric ts columns compare in their own
+    units.
+
+    NULL timestamps: pandas ``merge_asof`` refuses them; the distributed
+    contract here is permissive-but-inert — right rows with a NULL
+    ``right_ts`` can never be "nearest" (they are excluded up front, where
+    the sort's NULLS FIRST/LAST default would otherwise attach them as
+    bogus matches), and left rows with a NULL ``left_ts`` are kept with
+    every ``asof_<col>`` NULL.
     Output columns: all of ``left`` + ``asof_<col>`` for each value col.
 
     Forward direction reuses the same single-shuffle union+window plan with
@@ -67,6 +78,10 @@ def asof_join(
             f"value_cols (or their asof_<col> output names) collide with "
             f"left columns: {sorted(overlap)}"
         )
+    # a NULL-ts right row has no position on the time axis: excluded here,
+    # or the window sort's NULLS FIRST/LAST default would hand it out as a
+    # "nearest" match (see docstring)
+    right = right.where(F.col(right_ts).isNotNull())
 
     # the nearest right ROW travels as one struct, not per-column: a struct
     # is non-null for every right row even when its fields are NULL, so
@@ -78,14 +93,21 @@ def asof_join(
         *[F.col(c) for c in value_cols], F.col(right_ts).alias("__src_ts")
     )
     pack_type = right.select(pack.alias("p")).schema["p"].dataType
+    # the tiebreak orders in its own type (a cast('long') would crash on
+    # string tiebreaks under ANSI, or NULL them all out with ANSI off —
+    # destroying exactly the determinism the parameter provides)
+    if tiebreak:
+        tie = F.col(tiebreak)
+        tie_type = right.schema[tiebreak].dataType
+    else:
+        tie, tie_type = F.lit(0).cast("long"), "long"
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(pack_type).alias("__asof_pack"),
-        F.lit(None).cast("long").alias("__asof_tie"),
+        F.lit(None).cast(tie_type).alias("__asof_tie"),
     )
-    tie = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         *[F.col(k) for k in keys],
@@ -103,20 +125,34 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     nearest = F.last("__asof_pack", ignorenulls=True).over(w)
+    # NULL-ts left rows have no as-of position: their asof_* outputs are
+    # forced NULL instead of whatever the NULLS FIRST/LAST sort placement
+    # happened to carry into their frame
+    valid = F.col("__asof_ts").isNotNull()
     carried = unioned.select(
         *[c for c in left.columns],
         F.col(_SIDE).alias(_SIDE),
-        *[nearest[c].alias(f"asof_{c}") for c in value_cols],
-        nearest["__src_ts"].alias("__asof_src_ts"),
+        *[F.when(valid, nearest[c]).alias(f"asof_{c}") for c in value_cols],
+        F.when(valid, nearest["__src_ts"]).alias("__asof_src_ts"),
         F.col("__asof_ts").alias("__asof_lts"),
     )
     out = carried.where(F.col(_SIDE) == 1).drop(_SIDE)
     if tolerance_sec is not None:
         from pyspark.sql.types import TimestampType, TimestampNTZType
 
-        is_ts = isinstance(right.schema[right_ts].dataType, (TimestampType, TimestampNTZType))
+        rt = right.schema[right_ts].dataType
+        is_ts = isinstance(rt, (TimestampType, TimestampNTZType))
+        is_ntz = isinstance(rt, TimestampNTZType)
 
         def _num(c):
+            if is_ntz:
+                # unix_micros only accepts TIMESTAMP; reinterpret NTZ in
+                # the session zone first. The DELTA below cancels any
+                # fixed session-zone offset (both sides shift equally) —
+                # only a DST transition INSIDE the tolerance window on a
+                # non-UTC, DST-observing session zone could skew it, and
+                # the engine session pins UTC
+                c = c.cast("timestamp")
             return F.unix_micros(c) / 1e6 if is_ts else c.cast("double")
 
         delta = (

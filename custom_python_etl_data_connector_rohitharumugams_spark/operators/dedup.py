@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-MERSENNE_P = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -110,18 +109,23 @@ def minhash_signatures(
     """Per-doc MinHash signature (array<bigint> length ``num_perm``) from a
     shingle-postings frame.
 
-    Permutation i is the affine family h_i(x) = (a_i*x + b_i) mod p over the
-    32-bit-folded shingle hash; every permutation is two integer ops per
-    posting inside ONE partial-aggregating groupBy.
+    Each slot i is ``min over shingles of xxhash64(i, shingle)`` — the
+    slot index is an extra hash INPUT, so the ``num_perm`` functions are
+    genuinely independent draws. The textbook affine family
+    ``(a*h + b) mod p`` is NOT usable here without 128-bit arithmetic:
+    keeping ``a*h`` under the int64 ANSI-overflow ceiling forces
+    ``a*h + b < p``, the mod never wraps, every "permutation" becomes
+    order-preserving in ``h`` — and then ALL slots are minimized by the
+    same shingle, collapsing the signature to a bijection of one value
+    (band collision probability degenerates from 1-(1-J^r)^b to exactly
+    J; this module shipped that way through round 6 and the planted-dup
+    oracles never noticed because identical docs still collide). All
+    slots still compute inside ONE partial-aggregating groupBy.
     """
-    coeffs = [(2 * i + 1, 104729 * (i + 1) % MERSENNE_P) for i in range(num_perm)]
-    # fold the 64-bit hash to 32 bits: ANSI mode (Spark 4 default) raises on
-    # int64 overflow, so a*x must stay below 2^63
-    h32 = F.pmod(F.xxhash64("shingle"), F.lit(1 << 32))
     mins = postings.groupBy("doc_id").agg(
         *[
-            F.min(F.pmod(a * h32 + b, F.lit(MERSENNE_P))).alias(f"m{i}")
-            for i, (a, b) in enumerate(coeffs)
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+            for i in range(num_perm)
         ]
     )
     return mins.select(
@@ -198,6 +202,10 @@ def jaccard_verify(
     p = postings.withColumn("__n", F.count(F.lit(1)).over(w))
     p1 = p.select(F.col("doc_id").alias("doc_id_1"), "shingle", F.col("__n").alias("n1"))
     p2 = p.select(F.col("doc_id").alias("doc_id_2"), "shingle", F.col("__n").alias("n2"))
+    # explicit hint: "pairs are few" is the operator's contract, but above
+    # the auto-broadcast threshold Spark would otherwise shuffle the full
+    # postings relation twice — the exact cost this shape exists to avoid
+    pairs = F.broadcast(pairs)
     return (
         pairs.join(p1, "doc_id_1")
         .join(p2, ["doc_id_2", "shingle"])
@@ -321,7 +329,9 @@ def simhash_near_pairs(
     sh: DataFrame, blocking: DataFrame, max_hamming: int = 28
 ) -> DataFrame:
     """Hamming-close pairs among docs sharing a blocking key (bounded
-    comparison set; ``simhash_banded_pairs`` is the full-corpus variant)."""
+    comparison set; ``simhash_banded_pairs`` is the full-corpus variant).
+    Deduplicated like the banded variant: a pair sharing SEVERAL blocking
+    keys must still appear once, or pair-level aggregates double-count."""
     a = sh.join(blocking, "doc_id").select(
         F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh_1"), "block"
     )
@@ -336,4 +346,5 @@ def simhash_near_pairs(
             F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
     )

@@ -76,7 +76,22 @@ def write_training_shards(
     nondeterministic upstream (live extract, sampling) — describe rows the
     files don't contain, so verify would fail healthy shards. A ``_meta``
     entry records the layout parameters so the consumer-side verify needs
-    no out-of-band knowledge."""
+    no out-of-band knowledge.
+
+    The manifest itself is written with local-filesystem IO: fail FAST on
+    an object-store/remote ``out_dir`` (``s3://`` etc.) rather than
+    complete the expensive corpus write and then crash on the tiny JSON.
+    The remote-store port writes the manifest through the same Hadoop
+    FileSystem handle as the parquet (one ``FileSystem.create`` call) —
+    not done here because no remote FS exists in this environment to test
+    it against."""
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            f"write_training_shards writes its manifest via local-file IO; "
+            f"remote out_dir {out_dir!r} would complete the parquet write "
+            "and then fail on the manifest — use a local path, or port the "
+            "manifest IO to the Hadoop FileSystem API first"
+        )
     sharded = df.withColumn(SHARD_COL, shard_assignment(F.col(id_col), n_shards))
     (
         sharded.repartition(split_col, SHARD_COL)

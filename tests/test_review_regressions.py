@@ -242,3 +242,126 @@ def test_docsink_content_hash_distinguishes_null_layouts(spark, tmp_path):
         assert len(out) == 1
         winners.append((out[0].x, out[0].y))
     assert winners[0] == winners[1]
+
+
+def test_minhash_permutations_are_independent(spark):
+    """The affine family (a*h+b) mod p with int64-safe coefficients never
+    wraps, making every slot order-preserving — all slots minimized by the
+    SAME shingle and the whole signature a bijection of one value (band
+    collision prob collapses from 1-(1-J^r)^b to J). The seeded per-slot
+    hash must give two ~50%-Jaccard docs signatures that AGREE on some
+    slots and DISAGREE on others."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h X Y")],
+        "doc_id bigint, text string",
+    )
+    sigs = {
+        r.doc_id: list(r.signature)
+        for r in D.minhash_signatures(D.shingle_postings(docs), num_perm=16).collect()
+    }
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2]))
+    assert 0 < agree < 16, f"degenerate signature: {agree}/16 slots agree"
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    """NULL-ts right rows must never match; NULL-ts left rows are kept
+    with NULL asof values — in BOTH directions (the window sort's NULLS
+    FIRST/LAST defaults used to hand out bogus matches)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, None, 101)], "k int, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 777), (1, None, 999)], "k int, ts long, val long"
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r.lid: r.asof_val
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                value_cols=["val"], direction=direction,
+            ).collect()
+        }
+        assert out[101] is None, f"{direction}: null-ts left row matched"
+        expected = 777 if direction == "backward" else None
+        assert out[100] == expected, f"{direction}: {out[100]}"
+
+
+def test_asof_join_string_tiebreak_orders_in_own_type(spark):
+    """A string tiebreak used to be cast('long') — ANSI crash or silent
+    all-NULL nondeterminism. It must order lexically, greatest wins."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 5, 111, "evt_a"), (1, 5, 222, "evt_b")],
+        "k int, ts long, val long, code string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["val"], tiebreak="code",
+    ).collect()
+    assert out[0].asof_val == 222  # 'evt_b' > 'evt_a' wins
+
+
+def test_asof_tolerance_works_on_ntz_timestamps(spark):
+    """tolerance_sec on TIMESTAMP_NTZ columns used to crash analysis
+    (unix_micros rejects NTZ); deltas must compute and gate matches."""
+    import datetime as dt
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, 0), (1, t0 + dt.timedelta(hours=2), 1)],
+        "k int, ts timestamp_ntz, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(seconds=30), 5)],
+        "k int, ts timestamp_ntz, val long",
+    )
+    out = {
+        r.lid: r.asof_val
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["val"], tolerance_sec=60,
+        ).collect()
+    }
+    assert out[0] == 5 and out[1] is None  # 30s within, 2h outside
+
+
+def test_simhash_near_pairs_dedups_multi_block_pairs(spark):
+    """A pair sharing several blocking keys must appear once, like the
+    banded variant — double-emission double-counts pair aggregates."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    sh = D.simhash(docs)
+    blocking = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B")], "doc_id bigint, block string"
+    )
+    pairs = D.simhash_near_pairs(sh, blocking, max_hamming=63).collect()
+    assert len(pairs) == 1
+
+
+def test_sample_frames_skips_null_doc_id(spark):
+    """A NULL doc_id with a real payload must yield no frames, not an
+    IntCastingNaNError that kills the task (Arrow hands nullable longs to
+    pandas as float64 + NaN)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import multimodal as M
+
+    rows = [
+        (1, ("img", bytearray(b"0123456789abcdef"))),
+        (None, ("img", bytearray(b"xxxxyyyy"))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media struct<kind string, data binary>"
+    )
+    out = M.sample_frames(df, n_frames=4).collect()
+    assert {r.doc_id for r in out} == {1} and len(out) == 4
