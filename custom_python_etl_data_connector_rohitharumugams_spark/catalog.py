@@ -45,6 +45,23 @@ _RESOLVED: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" =
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """``events.ts`` physical-shape normalization — THE single definition
+    (both fixture shapes documented in :func:`load_table`); the streaming
+    replay source reuses it so batch and stream can never drift on a new
+    fixture shape."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # integer `div` (not `/`): the ns value exceeds double's 53-bit
+        # mantissa, so float division would corrupt low-order digits.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type not in (None, "timestamp"):
+        # timestamp_ntz (or any future variant): session TZ is UTC, so a
+        # plain cast is a pure reinterpretation with no wall-clock shift.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-standard typing (cached per
     session — see ``_RESOLVED``).
@@ -68,16 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            # integer `div` (not `/`): the ns value exceeds double's 53-bit
-            # mantissa, so float division would corrupt low-order digits.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type != "timestamp":
-            # timestamp_ntz (or any future variant): session TZ is UTC, so a
-            # plain cast is a pure reinterpretation with no wall-clock shift.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if cache is not None:

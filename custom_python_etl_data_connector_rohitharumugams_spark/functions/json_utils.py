@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DataType, StructType
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 
 def sanitize_name(name: str) -> str:
@@ -30,8 +30,18 @@ def _rebuild(col: Column, dtype: DataType) -> Column:
         # guard: F.struct over a NULL struct would materialize a non-null
         # struct of all-null fields, silently un-nulling nested objects
         return F.when(col.isNotNull(), rebuilt)
-    if isinstance(dtype, ArrayType) and isinstance(dtype.elementType, (StructType, ArrayType)):
+    if isinstance(dtype, ArrayType) and isinstance(
+        dtype.elementType, (StructType, ArrayType, MapType)
+    ):
         return F.transform(col, lambda x: _rebuild(x, dtype.elementType))
+    if isinstance(dtype, MapType) and isinstance(
+        dtype.valueType, (StructType, ArrayType, MapType)
+    ):
+        # structs hiding inside map VALUES (from_json with a map schema)
+        # must be sanitized too — the silent `return col` passthrough used
+        # to ship dotted/$-prefixed nested names straight to the doc store.
+        # Map KEYS are data, not field names: left untouched.
+        return F.transform_values(col, lambda _, v: _rebuild(v, dtype.valueType))
     return col
 
 
@@ -61,6 +71,8 @@ def sanitize_field_names(df: DataFrame) -> DataFrame:
                 check_nested(f.dataType)
         elif isinstance(dtype, ArrayType):
             check_nested(dtype.elementType)
+        elif isinstance(dtype, MapType):
+            check_nested(dtype.valueType)
 
     check_nested(df.schema)
     return df.select(

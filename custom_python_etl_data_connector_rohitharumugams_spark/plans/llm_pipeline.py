@@ -319,10 +319,11 @@ def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_clusters",
-    tags=("L11", "L2"),
-    oracle=f"""
+#: ONE copy of the transitive-closure clustering oracle: both the
+#: label-propagation and large/small-star queries are pinned to the
+#: identical fixpoint, and a parity tweak cannot desynchronize them
+#: (same single-sourcing rule as CONTAMINATION_CTES).
+DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE
     pairs AS (
         SELECT doc_id_1, doc_id_2 FROM ({NGRAM_JACCARD_SQL}) WHERE jaccard >= 0.6
@@ -338,7 +339,13 @@ def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
-    """,
+"""
+
+
+@query(
+    "llm_dedup_clusters",
+    tags=("L11", "L2"),
+    oracle=DEDUP_CLUSTERS_ORACLE,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: transitive closure of the near-dup pair graph
@@ -362,23 +369,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_clusters_star",
     tags=("L11", "L2"),
-    oracle=f"""
-    WITH RECURSIVE
-    pairs AS (
-        SELECT doc_id_1, doc_id_2 FROM ({NGRAM_JACCARD_SQL}) WHERE jaccard >= 0.6
-    ),
-    sym AS (
-        SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
-        UNION ALL
-        SELECT doc_id_2 AS a, doc_id_1 AS b FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-        UNION
-        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    )
-    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
-    """,
+    oracle=DEDUP_CLUSTERS_ORACLE,
 )
 def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same transitive closure as llm_dedup_clusters, computed with the
@@ -401,8 +392,13 @@ def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {CONTAMINATION_CTES},
     keepers AS (
+        -- COALESCE: md5(NULL) is NULL, and grouping on it directly would
+        -- collapse ALL null-text docs into one survivor (the guard
+        -- operators/dedup.exact_dedup documents); null-text docs are each
+        -- their own identity in BOTH engines
         SELECT MIN(doc_id) AS doc_id
-        FROM documents GROUP BY md5(text)
+        FROM documents
+        GROUP BY COALESCE(md5(text), '__null__' || CAST(doc_id AS VARCHAR))
     ),
     clean AS (
         SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tokens,
@@ -433,7 +429,11 @@ def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_postings
 
     d = load_table(spark, sf_dir, "documents")
-    keepers = d.groupBy(F.md5("text").alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
+    dig = F.coalesce(
+        F.md5("text"),
+        F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
+    )
+    keepers = d.groupBy(dig.alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
     contaminated = (
         contamination_pairs(shingle_postings(d, shingle_n=3)).select("doc_id").distinct()
     )
@@ -512,10 +512,12 @@ def llm_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     avg_toklen = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    from ..functions.text import distinct_ratio as _distinct_ratio
+
+    div_ratio = _distinct_ratio(toks)  # the shared diversity signal (llm.py uses it too)
     len_ok = (n_tokens >= MIN_TOKENS) & (n_tokens <= MAX_TOKENS)
     toklen_ok = (avg_toklen >= MIN_AVG_TOKLEN) & (avg_toklen <= MAX_AVG_TOKLEN)
-    div_ok = distinct_ratio >= MIN_DISTINCT_RATIO
+    div_ok = div_ratio >= MIN_DISTINCT_RATIO
     scored = d.select(
         "source",
         (~len_ok).cast("bigint").alias("__len_fail"),

@@ -19,7 +19,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, normalize_event_ts
 
 
 def _events_glob(source: str) -> str:
@@ -32,8 +32,9 @@ def events_stream(
     """``readStream`` over the events parquet (file source).
 
     ``source`` is a fixture dir (``.../sf0.001``) or a ``*_replay`` dir from
-    :func:`split_events_for_replay`. The nanosecond ``ts`` is normalized to
-    TimestampType exactly like the batch catalog.
+    :func:`split_events_for_replay`. The ``ts`` column is normalized through
+    the SAME helper the batch catalog uses (catalog.normalize_event_ts), so
+    the streaming and batch sides of every plan see one type.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = _events_glob(source)
@@ -43,14 +44,57 @@ def events_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type not in (None, "timestamp"):
-        # timestamp_ntz fixture shape: pure reinterpretation under UTC session
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return normalize_event_ts(reader.parquet(path))
+
+
+def _time_slices(e: DataFrame, n_slices: int) -> list[DataFrame]:
+    """Split ``e`` into ``n_slices`` contiguous time ranges by approximate
+    ts percentiles. ``n_slices=1`` short-circuits (percentile_approx
+    rejects an empty percentage list)."""
+    if n_slices <= 1:
+        return [e]
+    bounds = e.select(
+        F.percentile_approx(
+            F.col("ts").cast("double"),
+            [i / n_slices for i in range(1, n_slices)],
+            10_000,
+        ).alias("bs")
+    ).collect()[0]["bs"]
+    slices = []
+    lo = None
+    for hi in list(bounds) + [None]:
+        sl = e
+        if lo is not None:
+            sl = sl.where(F.col("ts").cast("double") >= lo)
+        if hi is not None:
+            sl = sl.where(F.col("ts").cast("double") < hi)
+        slices.append(sl)
+        lo = hi
+    return slices
+
+
+def _write_slices(slices: list[DataFrame], out_dir: str) -> None:
+    """Write each frame as a single ``slice-<i>.parquet`` file with spaced
+    mtimes (the file stream source orders by modification time; sub-second
+    writes would make replay order ambiguous). STALE slices from a previous
+    build with a larger slice count are removed first — the replay glob
+    matches ``slice-*.parquet``, so a surviving old tail file would be
+    silently replayed a second time."""
+    import time as _time
+
+    assert out_dir.endswith("_replay"), "replay dirs are suffixed _replay"
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(f"{out_dir}/slice-*.parquet"):
+        os.remove(stale)
+    for i, sl in enumerate(slices):
+        tmp = f"{out_dir}/_tmp-slice-{i}"
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{out_dir}/slice-{i}.parquet"
+        shutil.move(part, dest)
+        stamp = _time.time() - 100 * (len(slices) - i)
+        os.utime(dest, (stamp, stamp))
+        shutil.rmtree(tmp)
 
 
 #: Planted-late-set predicate shared by :func:`split_events_with_late`, the
@@ -94,41 +138,13 @@ def split_events_with_late(
                 return out_dir
         except (ValueError, OSError):
             pass
-    for stale in _glob.glob(f"{out_dir}/slice-*.parquet"):
-        os.remove(stale)
     if os.path.exists(marker):
         os.remove(marker)
     late = e.where(F.expr(LATE_SET_SQL))
     ontime = e.where(~F.expr(LATE_SET_SQL))
-    bounds = ontime.select(
-        F.percentile_approx(
-            F.col("ts").cast("double"),
-            [i / n_ontime_slices for i in range(1, n_ontime_slices)],
-            10_000,
-        ).alias("bs")
-    ).collect()[0]["bs"]
-    slices = []
-    lo = None
-    for hi in list(bounds) + [None]:
-        sl = ontime
-        if lo is not None:
-            sl = sl.where(F.col("ts").cast("double") >= lo)
-        if hi is not None:
-            sl = sl.where(F.col("ts").cast("double") < hi)
-        slices.append(sl)
-        lo = hi
+    slices = _time_slices(ontime, n_ontime_slices)
     slices.append(late)  # replayed last: guaranteed behind the watermark
-    import time as _time
-
-    for i, sl in enumerate(slices):
-        tmp = f"{out_dir}/_tmp-slice-{i}"
-        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{out_dir}/slice-{i}.parquet"
-        shutil.move(part, dest)
-        stamp = _time.time() - 100 * (len(slices) - i)
-        os.utime(dest, (stamp, stamp))
-        shutil.rmtree(tmp)
+    _write_slices(slices, out_dir)
     with open(marker, "w") as fh:
         _json.dump(want, fh)
     return out_dir
@@ -139,32 +155,6 @@ def split_events_for_replay(
 ) -> str:
     """Write events as ``n_slices`` time-ordered single parquet files named
     ``slice-<i>.parquet`` under ``out_dir`` (must end with ``_replay``)."""
-    assert out_dir.endswith("_replay"), "replay dirs are suffixed _replay"
-    os.makedirs(out_dir, exist_ok=True)
     e = load_table(spark, sf_dir, "events")
-    bounds = e.select(
-        F.percentile_approx(
-            F.col("ts").cast("double"), [i / n_slices for i in range(1, n_slices)], 10_000
-        ).alias("bs")
-    ).collect()[0]["bs"]
-    lo = None
-    for i, hi in enumerate(list(bounds) + [None]):
-        sl = e
-        if lo is not None:
-            sl = sl.where(F.col("ts").cast("double") >= lo)
-        if hi is not None:
-            sl = sl.where(F.col("ts").cast("double") < hi)
-        tmp = f"{out_dir}/_tmp-slice-{i}"
-        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{out_dir}/slice-{i}.parquet"
-        shutil.move(part, dest)
-        # spaced mtimes: the file stream source orders by modification time,
-        # and sub-second writes would otherwise make replay order ambiguous
-        import time as _time
-
-        stamp = _time.time() - 100 * (n_slices - i)
-        os.utime(dest, (stamp, stamp))
-        shutil.rmtree(tmp)
-        lo = hi
+    _write_slices(_time_slices(e, n_slices), out_dir)
     return out_dir

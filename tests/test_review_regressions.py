@@ -19,6 +19,8 @@ from custom_python_etl_data_connector_rohitharumugams_spark.sources.restapi impo
     _retry_after_seconds,
 )
 
+SF = "/root/testdata/sf0.001"
+
 
 def test_sanitize_preserves_null_structs(spark):
     df = spark.createDataFrame(
@@ -365,3 +367,81 @@ def test_sample_frames_skips_null_doc_id(spark):
     )
     out = M.sample_frames(df, n_frames=4).collect()
     assert {r.doc_id for r in out} == {1} and len(out) == 4
+
+
+def test_sanitize_field_names_recurses_into_map_values(spark):
+    """Structs hiding inside map VALUES must be sanitized (the silent
+    passthrough shipped dotted names to the doc store); map keys are data
+    and stay untouched."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions.json_utils import (
+        sanitize_field_names,
+    )
+
+    df = spark.createDataFrame(
+        [({"k.ey": (1,)},)],
+        "m map<string, struct<`bad.field`: bigint>>",
+    )
+    clean = sanitize_field_names(df)
+    vt = clean.schema["m"].dataType.valueType
+    assert vt.names == ["bad_field"]
+    row = clean.collect()[0]
+    assert list(row.m.keys()) == ["k.ey"]  # keys are data, not names
+    assert row.m["k.ey"].bad_field == 1
+
+
+def test_replay_rebuild_removes_stale_slices(spark, tmp_path):
+    """Rebuilding a replay dir with fewer slices must remove the old tail
+    file — the slice-*.parquet glob would replay it a second time and
+    every aggregate over the dir would double-count."""
+    import glob
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.streaming.replay import (
+        split_events_for_replay,
+    )
+
+    out = str(tmp_path / "events_replay")
+    split_events_for_replay(spark, SF, out, n_slices=4)
+    assert len(glob.glob(f"{out}/slice-*.parquet")) == 4
+    split_events_for_replay(spark, SF, out, n_slices=2)
+    assert len(glob.glob(f"{out}/slice-*.parquet")) == 2
+    n = spark.read.parquet(f"{out}/slice-*.parquet").count()
+    from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+
+    assert n == load_table(spark, SF, "events").count()
+
+
+def test_replay_single_slice_build(spark, tmp_path):
+    """n_slices=1 used to crash percentile_approx with an empty
+    percentage list; it must produce one complete slice."""
+    import glob
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+    from custom_python_etl_data_connector_rohitharumugams_spark.streaming.replay import (
+        split_events_for_replay,
+    )
+
+    out = str(tmp_path / "one_replay")
+    split_events_for_replay(spark, SF, out, n_slices=1)
+    assert len(glob.glob(f"{out}/slice-*.parquet")) == 1
+    assert (
+        spark.read.parquet(f"{out}/slice-0.parquet").count()
+        == load_table(spark, SF, "events").count()
+    )
+
+
+def test_corpus_dedup_keeps_every_null_text_doc(spark):
+    """llm_corpus_build's keeper rule: null-text docs are each their own
+    identity (md5(NULL) is NULL; grouping on it directly collapses them
+    all into one survivor)."""
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text"), (4, "real text")],
+        "doc_id long, text string",
+    )
+    dig = F.coalesce(
+        F.md5("text"), F.concat(F.lit("__null__"), F.col("doc_id").cast("string"))
+    )
+    keepers = d.groupBy(dig.alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
+    kept = sorted(r.doc_id for r in keepers.collect())
+    assert kept == [1, 2, 3]  # both null-text docs kept; text dup collapsed
