@@ -35,10 +35,15 @@ from .registry import query
         FROM orders
     )
     SELECT c.constraint_name, c.metric, c.passed FROM m, LATERAL (VALUES
+        -- CAST AS DOUBLE before dividing: DuckDB's * 1.0 is DECIMAL
+        -- arithmetic (exact decimal rounding), Spark's side divides
+        -- binary doubles — the two can differ in the 6th digit on any
+        -- non-exact ratio (house parity rule; passes today only because
+        -- the fixture ratios are exactly 1.0)
         ('completeness_o_custkey',
-         ROUND(n_custkey * 1.0 / n_rows, 6), n_custkey = n_rows),
+         ROUND(CAST(n_custkey AS DOUBLE) / n_rows, 6), n_custkey = n_rows),
         ('uniqueness_o_orderkey',
-         ROUND(n_distinct_key * 1.0 / n_rows, 6), n_distinct_key = n_rows),
+         ROUND(CAST(n_distinct_key AS DOUBLE) / n_rows, 6), n_distinct_key = n_rows),
         ('positive_o_totalprice',
          CAST(n_nonpos_price AS DOUBLE), n_nonpos_price = 0),
         ('domain_o_orderstatus',

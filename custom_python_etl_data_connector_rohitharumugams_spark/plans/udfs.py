@@ -83,11 +83,20 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["l_extendedprice"].mean()
         sd = pdf["l_extendedprice"].std(ddof=1)
+        z = ((pdf["l_extendedprice"] - mu) / sd).round(4)
+        # degenerate groups (one row => sd NaN; constant prices => sd 0):
+        # the oracle's x / NULL (and /0) yields NULL, while pandas emits
+        # NaN/inf and Arrow ships those as double NaN — a hash MISMATCH.
+        # Align by nulling non-finite z (None in a float column crosses
+        # Arrow as null).
+        import numpy as np
+
+        z = z.where(np.isfinite(z), None)
         return pd.DataFrame(
             {
                 "l_orderkey": pdf["l_orderkey"],
                 "l_linenumber": pdf["l_linenumber"],
-                "price_z": ((pdf["l_extendedprice"] - mu) / sd).round(4),
+                "price_z": z,
             }
         )
 
@@ -114,6 +123,8 @@ def udtf_tokenize_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="p_partkey bigint, pos int, tok string")
     class Tokenize:
         def eval(self, partkey: int, name: str):
+            if name is None:  # oracle parity: unnest(string_split(NULL))
+                return  # emits zero rows; None.split would kill the job
             for pos, tok in enumerate(name.split(" ")):
                 yield partkey, pos, tok
 

@@ -25,13 +25,20 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
         key, _, val = line.partition("=")
         key, val = key.strip(), val.strip()
         if val[:1] in ("'", '"') and val.find(val[0], 1) != -1:
-            # quoted value: the LAST matching quote closes it (an inner
-            # quote as in PASSWORD='it's-secret' must not truncate the
-            # credential), provided anything after it is only an inline
-            # comment. Quoting protects a literal '#'.
+            # quoted value: prefer the FIRST matching quote when what
+            # follows it is only an inline comment (dotenv's rule —
+            # otherwise TOKEN='abc' # see 'docs' would absorb the comment
+            # because a quote inside the comment looks like the closer);
+            # fall back to the LAST matching quote so an inner apostrophe
+            # as in PASSWORD='it's-secret' still doesn't truncate the
+            # credential. Quoting protects a literal '#'.
+            first_close = val.find(val[0], 1)
+            first_trailer = val[first_close + 1 :].strip()
             close = val.rfind(val[0])
             trailer = val[close + 1 :].strip()
-            if trailer == "" or trailer.startswith("#"):
+            if first_trailer == "" or first_trailer.startswith("#"):
+                val = val[1:first_close]
+            elif trailer == "" or trailer.startswith("#"):
                 val = val[1:close]
             else:
                 # malformed: non-comment text after the closing quote
@@ -39,7 +46,6 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
                 # dotenv's behavior — and warn; keeping the quotes and
                 # trailer verbatim would silently hand the API a credential
                 # with quote characters embedded in it.
-                first_close = val.find(val[0], 1)
                 warnings.warn(
                     f"malformed .env line for key {key!r}: "
                     "text after the closing quote was ignored"

@@ -94,6 +94,18 @@ def resolve_auth_headers(options: dict) -> dict[str, str]:
     token = options.get("auth_token")
     if token is None and options.get("auth_env"):
         token = os.environ.get(options["auth_env"], "")
+        if not token:
+            # fail FAST with the cause: "" would pass the is-not-None check
+            # below and every page request would carry a malformed
+            # "Bearer " header — an opaque executor-side 401 storm
+            # (pipeline.extract guards this driver-side; this is the
+            # equivalent guard for direct .option("auth_env", ...) users)
+            raise ValueError(
+                f"auth_env {options['auth_env']!r} is unset or empty in the "
+                "process resolving credentials — pass the token via "
+                "auth_token (resolved where your .env was loaded) or ship "
+                "the variable via spark.executorEnv.*"
+            )
     if token is not None:
         scheme = options.get("auth_scheme", "Bearer")
         headers[options.get("auth_header", "Authorization")] = (
@@ -125,7 +137,11 @@ class _HttpClient:
             try:
                 req = urllib.request.Request(url, headers=self.headers)
                 with urllib.request.urlopen(req, timeout=30) as resp:
-                    body = resp.read().decode("utf-8")
+                    # errors="replace": a non-UTF-8 body (proxy error page,
+                    # misconfigured server) must flow into the declared
+                    # corrupt-record channel as a failed JSON parse, not
+                    # kill the task with an uncatchable UnicodeDecodeError
+                    body = resp.read().decode("utf-8", errors="replace")
                 try:
                     return body, json.loads(body)
                 except (json.JSONDecodeError, ValueError):
@@ -157,7 +173,12 @@ class RestApiReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", 4))
         self.base_url = options["base_url"]
         self.fields = [f.name for f in schema.fields]
-        self.auth_headers = resolve_auth_headers(options)  # driver-side
+        # resolved at READER CONSTRUCTION — a JVM-spawned planning worker,
+        # not the user's driver process (see resolve_auth_headers docstring);
+        # auth_env therefore only works when the variable reaches executor
+        # environments (spark.executorEnv.*), which is why pipeline.extract
+        # resolves credentials itself and passes auth_token
+        self.auth_headers = resolve_auth_headers(options)
         # columns the API is declared to filter server-side (option
         # ``pushable_params``, comma-separated); only these are pushed
         self.pushable = {
@@ -188,11 +209,24 @@ class RestApiReader(DataSourceReader):
         Anything else is returned to Spark to evaluate post-scan. Spark
         treats accepted filters as fully applied — hence the explicit
         ``pushable_params`` contract rather than guessing."""
+        # pagination/protocol params would OVERWRITE a same-named pushed
+        # filter in _url (params merge last) — Spark would then drop the
+        # filter from post-scan evaluation while no server ever saw it:
+        # silently wrong RESULTS. Filters on reserved names are handed
+        # back to Spark instead.
+        reserved = {
+            "page",
+            "page_size",
+            "cursor",
+            self.fields_param,
+            self.options.get("shard_param"),
+        }
         for f in filters:
             if (
                 isinstance(f, EqualTo)
                 and len(f.attribute) == 1
                 and f.attribute[0] in self.pushable
+                and f.attribute[0] not in reserved
                 and f.attribute[0] not in self.pushed_params  # two EqualTo on
                 # one column: accepting both would overwrite the first and
                 # Spark would drop BOTH from post-scan evaluation — push the
@@ -270,23 +304,28 @@ class RestApiReader(DataSourceReader):
             if not cursor:
                 break
 
+    def _corrupt_row(self, body: str, context: str) -> tuple:
+        """One corrupt-channel row (the PERMISSIVE contract), or a loud
+        error when the schema declared no corrupt column."""
+        if CORRUPT_COL not in self.fields:
+            raise ValueError(f"{context} (no {CORRUPT_COL} column declared): {body[:200]!r}")
+        return tuple(body if f == CORRUPT_COL else None for f in self.fields)
+
     def _emit(self, body: str, payload: object) -> tuple[list[tuple], bool]:
         """Map one page to schema-ordered tuples. Returns (rows, exhausted)."""
-        if payload is None:  # malformed JSON body
-            if CORRUPT_COL in self.fields:
-                row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
-                return [row], False
-            raise ValueError(f"malformed JSON page (no {CORRUPT_COL} column declared)")
+        if payload is None:
+            # malformed JSON body: same 200-with-garbage failure mode as
+            # the error-shaped dict below, same termination — record the
+            # page and STOP this partition's chain rather than fetching
+            # (and corrupting) every remaining page of a broken gateway
+            return [self._corrupt_row(body, "malformed JSON page")], True
         if isinstance(payload, dict) and "data" not in payload:
             # An error-shaped 200 body ({"error": ...}) is NOT silently
             # swallowed as an exhausted page (that would truncate the
             # extract with no signal) — but it DOES end this partition's
             # fetching: record one corrupt row and stop, instead of
             # hammering an already-erroring API once per remaining page.
-            if CORRUPT_COL in self.fields:
-                row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
-                return [row], True
-            raise ValueError(f"page payload has no 'data' field: {body[:200]!r}")
+            return [self._corrupt_row(body, "page payload has no 'data' field")], True
         records = payload["data"] if isinstance(payload, dict) else payload
         if records is None:
             # {"data": null} — servers commonly end pagination this way;
@@ -296,18 +335,22 @@ class RestApiReader(DataSourceReader):
             # a bare string/number/dict payload would otherwise iterate its
             # characters (silent zero rows) or crash the task — route it to
             # the corrupt channel like any other malformed page
-            if CORRUPT_COL in self.fields:
-                row = tuple(body if f == CORRUPT_COL else None for f in self.fields)
-                return [row], True
-            raise ValueError(f"page payload is not a record list: {body[:200]!r}")
-        rows = [
-            tuple(
-                json.dumps(rec) if f == "record" and f not in rec else rec.get(f)
-                for f in self.fields
-            )
-            for rec in records
-            if isinstance(rec, dict)
-        ]
+            return [self._corrupt_row(body, "page payload is not a record list")], True
+        rows = []
+        for rec in records:
+            if isinstance(rec, dict):
+                rows.append(
+                    tuple(
+                        json.dumps(rec) if f == "record" and f not in rec else rec.get(f)
+                        for f in self.fields
+                    )
+                )
+            else:
+                # a null/scalar entry among the records: PERMISSIVE means
+                # it lands in the corrupt channel, never silently vanishes
+                rows.append(
+                    self._corrupt_row(json.dumps(rec), "non-object record entry")
+                )
         return rows, len(records) == 0
 
 

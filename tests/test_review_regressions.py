@@ -445,3 +445,59 @@ def test_corpus_dedup_keeps_every_null_text_doc(spark):
     keepers = d.groupBy(dig.alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
     kept = sorted(r.doc_id for r in keepers.collect())
     assert kept == [1, 2, 3]  # both null-text docs kept; text dup collapsed
+
+
+def test_env_quoted_value_with_quoted_word_in_comment(tmp_path):
+    """TOKEN='abc' # see 'docs' — the last-quote rule used to absorb the
+    comment into the credential; the first-close-then-comment rule must
+    recover 'abc' while still supporting inner apostrophes."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.envconf import (
+        parse_env_file,
+    )
+
+    f = tmp_path / ".env"
+    f.write_text(
+        "TOKEN='abc' # see 'docs'\n"
+        "PASSWORD='it's-secret'\n"
+        'OTHER="x y" # "quoted" note\n'
+    )
+    env = parse_env_file(f)
+    assert env["TOKEN"] == "abc"
+    assert env["PASSWORD"] == "it's-secret"
+    assert env["OTHER"] == "x y"
+
+
+def test_resolve_auth_headers_rejects_empty_env_token():
+    """auth_env resolving to ''/unset must fail fast with the cause, not
+    send a malformed 'Bearer ' header into an executor-side 401 storm."""
+    import pytest as _pt
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.restapi import (
+        resolve_auth_headers,
+    )
+
+    with _pt.raises(ValueError, match="unset or empty"):
+        resolve_auth_headers({"auth_env": "SG_TEST_NO_SUCH_VAR"})
+
+
+def test_rest_emit_routes_non_dict_records_to_corrupt_channel(spark):
+    """A null/scalar entry among the records lands in _corrupt_record —
+    PERMISSIVE means nothing silently vanishes; and a malformed page ends
+    the partition's chain (done=True) like the error-dict page does."""
+    from pyspark.sql.types import StructType
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.restapi import (
+        RestApiReader,
+    )
+
+    schema = StructType.fromDDL("id bigint, _corrupt_record string")
+    rdr = RestApiReader(schema, {"base_url": "http://127.0.0.1/x"})
+    rows, done = rdr._emit(
+        '{"data": [{"id": 1}, null, {"id": 2}]}',
+        {"data": [{"id": 1}, None, {"id": 2}]},
+    )
+    assert len(rows) == 3 and not done
+    corrupt = [r for r in rows if r[1] is not None]
+    assert len(corrupt) == 1 and corrupt[0][0] is None
+    rows, done = rdr._emit("<html>boom</html>", None)
+    assert done and rows[0][1] == "<html>boom</html>"
