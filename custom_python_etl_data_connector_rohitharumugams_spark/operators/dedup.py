@@ -119,12 +119,16 @@ def minhash_signatures(
     same shingle, collapsing the signature to a bijection of one value
     (band collision probability degenerates from 1-(1-J^r)^b to exactly
     J; this module shipped that way through round 6 and the planted-dup
-    oracles never noticed because identical docs still collide). All
-    slots still compute inside ONE partial-aggregating groupBy.
+    oracles never noticed because identical docs still collide). The
+    shingle STRING is hashed once; each slot re-hashes the resulting
+    64-bit value with its index (fixed 16 input bytes per slot instead of
+    re-hashing the string ``num_perm`` times). All slots still compute
+    inside ONE partial-aggregating groupBy.
     """
-    mins = postings.groupBy("doc_id").agg(
+    hashed = postings.select("doc_id", F.xxhash64("shingle").alias("__h"))
+    mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"m{i}")
             for i in range(num_perm)
         ]
     )
