@@ -45,6 +45,13 @@ _RESOLVED: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" =
 )
 
 
+def ts_lit(s: str):
+    """Timestamp literal with engine-standard typing — ONE definition of
+    the oracle-parity-critical `lit(...).cast("timestamp")` idiom (under
+    the pinned UTC session it matches DuckDB TIMESTAMP literals exactly)."""
+    return F.lit(s).cast("timestamp")
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """``events.ts`` physical-shape normalization — THE single definition
     (both fixture shapes documented in :func:`load_table`); the streaming

@@ -5,14 +5,14 @@ workloads do. All joins follow the DESIGN.md broadcast/star discipline."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, ts_lit
 from ..operators.skew import salted_join
 from .registry import query
 
-_TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+_TS = ts_lit  # shared engine-standard timestamp literal (catalog.ts_lit)
 
 
 @query(
@@ -271,8 +271,6 @@ def analytics_daily_order_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame
 def window_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-framed window: rolling 30-day spend per customer — the frame is
     value-based (days), not row-based, so same-day orders share a frame."""
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders").withColumn(
         "day_no",
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
@@ -387,7 +385,12 @@ def analytics_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def analytics_idle_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-part distribution excluding a NOT-IN subquery set (TPC-H Q16
-    shape) => null-aware anti join on the excluded suppliers."""
+    shape), compiled as a PLAIN left_anti join on the excluded suppliers —
+    correct here because s_suppkey is non-null by the pinned schema. This
+    is NOT SQL's null-aware NOT IN (a NULL in the excluded set would empty
+    the SQL result while left_anti keeps non-matching rows); if the key
+    ever became nullable the oracle and this plan would both need the
+    null-aware form."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -584,8 +587,6 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead window reuse the same hash partitioning, and AQE plans them into
     one exchange). No self-join: the naive SCD2 build joins each row to its
     successor, doubling the shuffle; lag/lead does it within the partition."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
@@ -653,8 +654,6 @@ def cdc_log_compaction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle does double duty as the layout step. row_number+filter beats a
     full-outer-join MERGE when the change batch is comparable in size to
     the snapshot (joins shuffle BOTH sides too, then pay coalesce logic)."""
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
     )
@@ -851,8 +850,6 @@ def analytics_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFr
     adjacency stays inside the partition — no self-join on event index);
     the transition-count aggregate then reduces billions of adjacencies to
     |types|^2 rows, and the probability window runs on that tiny matrix."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = e.select(
@@ -992,8 +989,6 @@ def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical before the final round. The geometric normalizer
     uses the closed form (1 - 0.9^n)/0.1 rather than a second fold.
     """
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.floor(F.sum("o_totalprice") * 100 + 0.5))
@@ -1075,8 +1070,6 @@ def analytics_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01). Downstream the cumsum/total/class sums are exact integer
     arithmetic; the only float is the share ratio of two exact ints.
     """
-    from pyspark.sql import Window
-
     l = load_table(spark, sf_dir, "lineitem")
     pr = l.groupBy("l_partkey").agg(
         F.floor(
@@ -1145,8 +1138,6 @@ def window_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials. Durations use full-precision epoch seconds: Spark's
     timestamp->double cast and DuckDB's epoch() both divide the same
     microsecond integer by 1e6, so the weights are bit-identical."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = e.select(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, ts_lit
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -44,7 +44,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        l.where(F.col("l_shipdate") <= ts_lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -202,8 +202,8 @@ def join_broadcast_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     final aggregate shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01"))
     )
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -754,12 +754,12 @@ def setop_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFr
     """INTERSECT: customers ordering in both 1995 and 1996."""
     o = load_table(spark, sf_dir, "orders")
     y95 = o.where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= ts_lit("1995-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-01-01"))
     ).select("o_custkey")
     y96 = o.where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01"))
     ).select("o_custkey")
     return y95.intersect(y96)
 
@@ -779,12 +779,12 @@ def setop_except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     """EXCEPT: customers who ordered in 1995 but not in 1996."""
     o = load_table(spark, sf_dir, "orders")
     y95 = o.where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= ts_lit("1995-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-01-01"))
     ).select("o_custkey")
     y96 = o.where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01"))
     ).select("o_custkey")
     # subtract == EXCEPT DISTINCT (SQL set semantics); exceptAll would keep
     # per-occurrence multiplicity and diverge from the oracle.

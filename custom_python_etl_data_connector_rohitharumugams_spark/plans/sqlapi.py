@@ -160,19 +160,24 @@ def sql_correlated_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> D
     """,
 )
 def sql_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: priorities become columns (compiled to the same conditional
-    aggregation the oracle spells out)."""
-    from ..catalog import load_table
-    from pyspark.sql import functions as F
-
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
-        .agg(F.count(F.lit(1)))
-        .withColumnRenamed("1-URGENT", "urgent")
-        .withColumnRenamed("3-MEDIUM", "medium")
-        .withColumnRenamed("5-LOW", "low")
+    """Native SQL PIVOT (this module's purpose is the spark.sql surface —
+    the DataFrame .pivot form lives in the API family), compiled to the
+    same conditional aggregation the oracle spells out. COALESCE(0): an
+    empty (status, priority) cell pivots to NULL in Spark while the
+    oracle's COUNT(CASE...) yields 0 — every cell is populated in the
+    frozen fixtures, but a regenerated/filtered fixture must not turn
+    that accident into a hash mismatch."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COALESCE(urgent, 0) AS urgent,
+               COALESCE(medium, 0) AS medium,
+               COALESCE(low, 0)    AS low
+        FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+        PIVOT (COUNT(1) FOR o_orderpriority IN
+               ('1-URGENT' AS urgent, '3-MEDIUM' AS medium, '5-LOW' AS low))
+        """
     )
 
 
@@ -190,16 +195,20 @@ def sql_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sql_unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt: wide numeric columns to (metric, value) rows."""
-    from ..catalog import load_table
-    from pyspark.sql import functions as F
-
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_acctbal").alias("acctbal"), F.col("c_nationkey").cast("double").alias("nationkey")
-    )
-    melted = c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "v")
-    return melted.groupBy("metric").agg(
-        F.round(F.sum("v"), 2).alias("total"), F.count(F.lit(1)).alias("cnt")
+    """Native SQL UNPIVOT (melt): wide numeric columns to (metric, value)
+    rows — the spark.sql surface, per this module's charter."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT metric, ROUND(SUM(v), 2) AS total, COUNT(*) AS cnt
+        FROM (
+            SELECT c_acctbal AS acctbal,
+                   CAST(c_nationkey AS DOUBLE) AS nationkey
+            FROM customer
+        )
+        UNPIVOT INCLUDE NULLS (v FOR metric IN (acctbal, nationkey))
+        GROUP BY metric
+        """
     )
 
 
@@ -275,7 +284,11 @@ def sql_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     month (measured 11.2 s at sf0.1 vs ~0.5 s for this form — the base
     table is now scanned exactly twice regardless of depth). The
     recursion-depth limit is raised explicitly so a wider date range
-    cannot silently truncate the spine (it errors instead)."""
+    cannot silently truncate the spine (it errors instead). The set is
+    session-sticky BY NECESSITY: the returned frame is lazy, so the limit
+    must still hold whenever a vanilla (driver) session executes it —
+    engine sessions get the same value from session.ENGINE_CONF, keeping
+    behavior order-independent there."""
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(

@@ -46,6 +46,12 @@ ENGINE_CONF: dict[str, str] = {
     # generations; read nanos as long then convert (catalog normalizes both
     # the nanos-long and timestamp_ntz shapes to TimestampType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # recursive CTE depth for calendar-spine queries (one row per month —
+    # a wide date range must error loudly, not truncate). Also set inside
+    # sql_recursive_month_series itself: the driver's correctness session
+    # is vanilla (engine conf absent) and the limit must hold when the
+    # LAZY frame executes, so the in-query set cannot be restored.
+    "spark.sql.cteRecursionLevelLimit": "1000",
 }
 
 

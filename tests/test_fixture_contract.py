@@ -167,3 +167,25 @@ def test_events_ts_shapes_normalize(spark, tmp_path):
         )
         out[name] = [r["ts"] for r in df.orderBy("event_id").select("ts").collect()]
     assert out["nanos"] == out["micros"] == stamps
+
+
+def test_events_props_shape_pins_map_oracle_contract(spark):
+    """scalar_map_event_totals' Spark side parses+explodes props while its
+    oracle unconditionally extracts key 'k' — the two agree ONLY while
+    every props value is exactly a single-key {"k": int} JSON object.
+    This guard turns the next fixture drift (empty/NULL/multi-key props)
+    into a named failure here instead of an opaque driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "events")
+    parsed = e.select(
+        F.col("props"),
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    bad = parsed.where(
+        F.col("props").isNull()
+        | F.col("m").isNull()
+        | (F.map_keys("m") != F.array(F.lit("k")))
+        | F.element_at("m", "k").isNull()
+    )
+    assert bad.count() == 0, bad.head(3)
