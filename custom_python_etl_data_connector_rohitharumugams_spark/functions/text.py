@@ -23,9 +23,13 @@ def tokens(text: Column | str) -> Column:
 
 def bpe_ish_tokens(text: Column | str) -> Column:
     """Regex token split approximating a BPE pre-tokenizer: word pieces,
-    digit runs, or single non-space symbols."""
+    digit runs, or single non-space symbols. The whitespace class is
+    spelled EXPLICITLY: Java's \s includes vertical tab, RE2's (DuckDB)
+    does not, so the shorthand silently classifies VT differently across
+    the two engines."""
     return F.regexp_extract_all(
-        F.col(text) if isinstance(text, str) else text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])")
+        F.col(text) if isinstance(text, str) else text,
+        F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r])"),
     )
 
 

@@ -139,7 +139,7 @@ def llm_lang_marker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(SUM(len(regexp_extract_all(text,
-                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])'))) AS BIGINT) AS bpe_tokens,
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r])'))) AS BIGINT) AS bpe_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT)       AS ws_tokens,
            COUNT(*) AS doc_cnt
     FROM documents
@@ -597,7 +597,7 @@ def llm_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L3",),
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(10 AS BIGINT) AS n_lists,
+           TRUE AS lists_bounded,
            TRUE AS inertia_monotone
     FROM embeddings
     """,
@@ -606,10 +606,10 @@ def llm_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-quantizer training for IVF: 3 Lloyd's iterations, k=10, over
     the embedding corpus (operators/similarity.kmeans_train). Invariant
     form, like the ANN recall queries: the oracle states a priori that
-    every vector is assigned, no inverted list ends up empty, and the
-    inertia sequence is non-increasing (Lloyd's guarantee) — all properties
-    an engine must deliver regardless of float rounding, so the check is
-    engine-exact without comparing raw centroids."""
+    every vector is assigned exactly once, cell ids stay bounded by k, and
+    the inertia sequence is non-increasing (Lloyd's guarantee) — all
+    properties an engine must deliver regardless of float rounding, so the
+    check is engine-exact without comparing raw centroids."""
     e = load_table(spark, sf_dir, "embeddings")
     assign, inertias = S.kmeans_train(e, k=10, iters=3)
     monotone = all(
@@ -617,7 +617,14 @@ def llm_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assign.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-        F.count_distinct("cid").cast("bigint").alias("n_lists"),
+        # BOUNDED cells, not count_distinct == k: Lloyd's does NOT
+        # guarantee non-empty clusters (a migrating outlier init can empty
+        # one on valid data), so pinning 10 in the oracle would turn a
+        # legitimate empty cell into a hard bench failure — the same safe
+        # form llm_kmeans_large_k uses
+        ((F.max("cid") < F.lit(10)) & (F.min("cid") >= F.lit(0))).alias(
+            "lists_bounded"
+        ),
         (F.lit(monotone) & (F.count(F.lit(1)) == F.count_distinct("vec_id"))).alias(
             "inertia_monotone"
         ),
@@ -1233,7 +1240,11 @@ _PQ_CENTERS_SQL = ", ".join(
     SELECT subspace,
            CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS code,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           ROUND(SUM(list_min(dists)), 6) AS total_err
+           -- per-row quantization to integer micro-units BEFORE the sum:
+           -- a corpus-wide double sum is accumulation-order-sensitive and
+           -- ROUND(.,6) of it can flip at a boundary between engines
+           CAST(SUM(CAST(FLOOR(list_min(dists) * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_err_micro
     FROM d GROUP BY subspace, code
     """,
 )
@@ -1280,7 +1291,9 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.sum("err"), 6).alias("total_err"),
+        F.sum(F.floor(F.col("err") * 1_000_000 + 0.5).cast("long"))
+        .cast("bigint")
+        .alias("total_err_micro"),
     )
 
 

@@ -29,23 +29,23 @@ from .registry import query
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_sec,
            event_type,
            COUNT(*) AS cnt,
-           ROUND(SUM(value), 2) AS total_value
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
     FROM events
     GROUP BY win_start_sec, event_type
     """,
 )
 def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 10-minute windows (batch form of the T1 streaming agg)."""
+    """Tumbling 10-minute windows — the SAME plan builder the streaming
+    path runs (streaming/ops.tumbling_counts; withWatermark is a no-op on
+    batch frames), so the registered batch form and the availableNow
+    replay can never drift. Totals quantize to integer cents before
+    aggregation (ops._value_total) — order-free, so micro-batch
+    accumulation and shuffle partial order cannot flip a rounded cent."""
+    from ..streaming import ops
+
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(
-            F.col("win.start").cast("long").alias("win_start_sec"),
-            "event_type",
-            "cnt",
-            "total_value",
-        )
+    return ops.tumbling_counts(e).select(
+        "win_start_sec", "event_type", "cnt", "total_value"
     )
 
 
@@ -53,7 +53,8 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_event_volume",
     tags=("T2",),
     oracle="""
-    SELECT win_start_sec, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    SELECT win_start_sec, COUNT(*) AS cnt,
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
     FROM (
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start_sec, value
         FROM events
@@ -68,12 +69,10 @@ def stream_sliding_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min length, 5 min slide): every event lands in
     exactly two windows; the oracle materializes the same two-window
     assignment arithmetically."""
+    from ..streaming import ops
+
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("win.start").cast("long").alias("win_start_sec"), "cnt", "total_value")
-    )
+    return ops.sliding_volume(e)
 
 
 @query(
@@ -100,7 +99,7 @@ def stream_sliding_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_sec,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS session_value
+           ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS session_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -109,16 +108,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (5-minute gap) via Spark's native
     session_window operator; the oracle reconstructs sessions with the
     classic lag->flag->cumulative-sum dance."""
+    from ..streaming import ops
+
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
-        .select(
-            "user_id",
-            F.col("win.start").cast("long").alias("session_start_sec"),
-            "n_events",
-            "session_value",
-        )
+    return ops.session_stats(e).select(
+        "user_id", "session_start_sec", "n_events", "session_value"
     )
 
 
@@ -168,7 +162,8 @@ def stream_static_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,
            COUNT(*) AS n_clicks,
-           ROUND(SUM(c.value), 2) AS total_click_value
+           ROUND(SUM(CAST(FLOOR(c.value * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS total_click_value
     FROM events p
     JOIN events c
       ON c.user_id = p.user_id
@@ -191,9 +186,10 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "purchase"),
         e.where(F.col("event_type") == "click"),
     )
+    cents = F.floor(F.col("click_value") * 100 + 0.5).cast("long")
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
-        F.round(F.sum("click_value"), 2).alias("total_click_value"),
+        F.round(F.sum(cents) / 100.0, 2).alias("total_click_value"),
     )
 
 
@@ -209,12 +205,13 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_batch AS (
         SELECT user_id, batch_sec,
-               COUNT(*) AS bn, ROUND(SUM(value), 2) AS bt
+               COUNT(*) AS bn,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS bt_cents
         FROM p GROUP BY user_id, batch_sec
     )
     SELECT user_id, batch_sec,
            CAST(SUM(bn) OVER w AS BIGINT) AS n_purchases,
-           ROUND(SUM(bt) OVER w, 2) AS total_spend
+           ROUND(SUM(bt_cents) OVER w / 100.0, 2) AS total_spend
     FROM per_batch
     WINDOW w AS (PARTITION BY user_id ORDER BY batch_sec
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -227,16 +224,20 @@ def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFr
     micro-batches. Each (user, batch) with >= 1 purchase emits the running
     count/spend through that batch — exactly what the ValueState holds at
     each batch boundary — expressed as a cumulative window over per-batch
-    partial aggregates. Per-batch sums are rounded before cumulating so
-    both engines cumulate identical values in the same batch order."""
+    partial aggregates. Spend quantizes to INTEGER CENTS per event before
+    any summation (the streaming processor's ValueState carries the same
+    integer, streaming/ops._STATE_SCHEMA), so the cumulative total is an
+    exact integer at every batch boundary in BOTH engines and in the
+    replayed stream — no accumulation order can flip a cent."""
     e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     per_batch = (
         e.where(F.col("event_type") == "purchase")
         .groupBy(
             "user_id",
             (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("batch_sec"),
         )
-        .agg(F.count(F.lit(1)).alias("bn"), F.round(F.sum("value"), 2).alias("bt"))
+        .agg(F.count(F.lit(1)).alias("bn"), F.sum(cents).alias("bt_cents"))
     )
     w = (
         Window.partitionBy("user_id")
@@ -247,7 +248,7 @@ def stream_running_totals_update_log(spark: SparkSession, sf_dir: str) -> DataFr
         "user_id",
         "batch_sec",
         F.sum("bn").over(w).cast("bigint").alias("n_purchases"),
-        F.round(F.sum("bt").over(w), 2).alias("total_spend"),
+        F.round(F.sum("bt_cents").over(w) / 100.0, 2).alias("total_spend"),
     )
 
 
@@ -332,7 +333,6 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the half-cent drift this repo's EWMA fix documents).
     """
     import tempfile
-    import uuid
 
     from ..streaming.replay import events_stream, split_events_with_late
 
@@ -343,7 +343,11 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
     agg = _watermarked_tumbling_agg(sdf)
-    name = f"wm_late_{uuid.uuid4().hex[:12]}"
+    # deterministic sink name per scale factor, previous run's table
+    # dropped first: a uuid-per-run name would leak one driver-resident
+    # memory-sink table per invocation for the session's lifetime
+    name = f"wm_late_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    spark.catalog.dropTempView(name)
     cp = tempfile.mkdtemp(prefix="sg_wm_cp_")
     q = (
         agg.writeStream.format("memory")
@@ -378,11 +382,24 @@ def _run_replay_to_log(
     agg = _watermarked_tumbling_agg(sdf)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
-        (
-            bdf.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("append")
-            .parquet(log_dir)
-        )
+        # foreachBatch is AT-LEAST-ONCE: a batch re-executed after a
+        # sink-commit-then-crash would blind-append its windows twice and
+        # fake the duplicate-emission failure this query exists to rule
+        # out. Partitioning by batch_id with dynamic overwrite makes the
+        # retry replace ITS OWN partition — the idempotent-sink half of
+        # the exactly-once contract, same discipline as the docsink upsert.
+        spark = bdf.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                bdf.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(log_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     q = (
         agg.writeStream.foreachBatch(_sink)
@@ -398,7 +415,13 @@ def _run_replay_to_log(
 
 def _ckptrec_paths(sf_dir: str) -> tuple[str, str, str]:
     """(stage, checkpoint, emission-log) dirs for the recovery query —
-    shared with tests/test_streaming.py's batch-level assertions."""
+    shared with tests/test_streaming.py's batch-level assertions.
+
+    Paths are FIXED per scale factor and rebuilt (rmtree) at query start:
+    the driver/bench contract runs one process per suite, so per-run
+    isolation would only add cleanup debt. Two CONCURRENT suites on one
+    machine would race on these dirs (and on the shared replay build's
+    marker check) — run concurrent suites under distinct TMPDIRs."""
     import tempfile
 
     sf = os.path.basename(sf_dir.rstrip("/"))

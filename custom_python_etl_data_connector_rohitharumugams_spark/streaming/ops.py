@@ -22,12 +22,23 @@ from pyspark.sql.types import (
 )
 
 
+def _value_total():
+    """Order-free window total: per-event values quantize to integer cents
+    BEFORE aggregation (exact integer sum — micro-batch accumulation order
+    and shuffle partial-agg order both stop mattering), then one
+    deterministic division presents the 2-decimal total. A post-hoc
+    ROUND(SUM(double)) is the half-cent drift documented in
+    plans/stream_batch._watermarked_tumbling_agg."""
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return F.round(F.sum(cents) / 100.0, 2)
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
     """T1/T4: watermarked tumbling-window counts per event type."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _value_total().alias("total_value"))
         .select(
             F.col("win.start").cast("long").alias("win_start_sec"),
             "event_type",
@@ -42,7 +53,7 @@ def sliding_volume(events: DataFrame, watermark: str = "15 minutes") -> DataFram
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _value_total().alias("total_value"))
         .select(F.col("win.start").cast("long").alias("win_start_sec"), "cnt", "total_value")
     )
 
@@ -52,7 +63,7 @@ def session_stats(events: DataFrame, watermark: str = "15 minutes") -> DataFrame
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _value_total().alias("session_value"))
         .select(
             "user_id",
             F.col("win.start").cast("long").alias("session_start_sec"),
@@ -80,9 +91,20 @@ RUNNING_SCHEMA = StructType(
     ]
 )
 
+#: state carries integer CENTS, not a double: the running sum is then an
+#: exact integer at every batch boundary, so emissions are byte-identical
+#: to the batch twin's cumulative-cents window (stream_running_totals_
+#: update_log) regardless of micro-batch slicing — and Python round()'s
+#: half-even can never disagree with Spark's HALF_UP on a half-cent.
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_cents", LongType())]
 )
+
+
+def _batch_cents(values: "pd.Series") -> int:
+    import numpy as np
+
+    return int(np.floor(values.to_numpy(dtype="float64") * 100 + 0.5).sum())
 
 
 def running_purchase_totals(events: DataFrame) -> DataFrame:
@@ -96,13 +118,13 @@ def running_purchase_totals(events: DataFrame) -> DataFrame:
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, float(total)))
+            cents += _batch_cents(pdf["value"])
+        state.update((n, int(cents)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_purchases": [n], "total_spend": [round(total, 2)]}
+            {"user_id": [key[0]], "n_purchases": [n], "total_spend": [cents / 100.0]}
         )
 
     return purchases.groupBy("user_id").applyInPandasWithState(
@@ -133,16 +155,16 @@ def running_purchase_totals_tws(events: DataFrame) -> DataFrame:
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("totals", "n long, total double")
+            self._state = handle.getValueState("totals", "n long, total_cents long")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, float(total)))
+                cents += _batch_cents(pdf["value"])
+            self._state.update((n, int(cents)))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_purchases": [n], "total_spend": [round(total, 2)]}
+                {"user_id": [key[0]], "n_purchases": [n], "total_spend": [cents / 100.0]}
             )
 
         def close(self) -> None:
