@@ -457,7 +457,7 @@ def test_pq_encode_covers_every_vector_with_valid_codes(spark, sf_dir):
     assert sum(r.n_vectors for r in out) == 4 * n_vectors
     assert all(0 <= r.code < 4 for r in out)
     assert all(0 <= r.subspace < 4 for r in out)
-    assert all(r.total_err >= 0 for r in out)
+    assert all(r.total_err_micro >= 0 for r in out)
 
 
 def test_embedding_decontamination_flags_planted_copy(spark):
