@@ -635,6 +635,41 @@ def ivf_pq_learned_topk(
     )
 
 
+def scaled_pq_budgets(
+    n_vectors: int,
+    n_lists: int = 10,
+    probe_frac: float = 0.6,
+    rerank_coeff: float = 8.0,
+    k: int = 5,
+) -> tuple[int, int]:
+    """Scale-invariant IVF-PQ operating point: budgets derived from the
+    corpus size instead of pinned at a fixture's.
+
+    A FIXED (nprobe, rerank) silently degrades as the corpus grows — the
+    same absolute rerank budget prunes an ever-larger fraction of an
+    ever-larger candidate set (measured: the 6/400 point's recall falls
+    0.88 -> 0.26 from 500 to 2000 vectors; DESIGN.md pareto). The scaled
+    rule holds the two RATIOS that recall actually depends on constant:
+
+    - scan fraction: ``nprobe = probe_frac * n_lists`` probes the same
+      share of the inverted lists at any N;
+    - prune fraction: ``rerank = rerank_coeff * N / n_lists`` keeps the
+      exact-rerank budget proportional to the expected candidate count
+      (~ nprobe * N / n_lists), so ADC pruning discards a constant share.
+
+    Measured with the family defaults (probe_frac 0.6, coeff 8): recall
+    0.88 at N=500 and 0.92 at N=2000 — the 0.8 contract holds at both
+    tiers where the fixed point collapsed. Cost scales O(N) per query,
+    the honest price of constant recall with a flat-cell index; a
+    production deployment ALSO grows n_lists ~ sqrt(N) to keep per-query
+    cost sub-linear (kmeans_train's k>256 GEMM path exists for exactly
+    that), but the budget RULE is unchanged by that choice.
+    """
+    nprobe = max(1, min(n_lists, round(probe_frac * n_lists)))
+    rerank = max(k, math.ceil(rerank_coeff * n_vectors / n_lists))
+    return nprobe, rerank
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.99,

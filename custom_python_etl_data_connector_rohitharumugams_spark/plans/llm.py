@@ -690,6 +690,32 @@ def llm_ann_ivf_pq_hifi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_ann_ivf_pq_scaled_topk", tags=("L3",), oracle=ANN_RECALL_ORACLE)
+def llm_ann_ivf_pq_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-AWARE operating point of the learned IVF-PQ index: the probe
+    and rerank budgets are COMPUTED from the corpus size
+    (operators/similarity.scaled_pq_budgets — nprobe = 0.6 * n_lists,
+    rerank = ceil(8 * N / n_lists)) instead of pinned at the driver
+    fixture's. This turns DESIGN.md's prose rule ("production budgets
+    scale with N") into code: the fixed hifi point's 0.8-recall contract
+    decays to 0.26 at 4x corpus, while this point measures 0.88 at sf0.01
+    AND 0.92 at sf0.1 under the SAME gate (hits * 5 >= 4 * n_exact, part
+    of the oracle row; the sf0.1 leg is additionally pinned by
+    tests/test_llm_ops.py::test_scaled_pq_recall_holds_at_sf01).
+    Corpus sizing is one COUNT aggregate (a single long to the driver —
+    the same bounded-collect discipline as kmeans centroids)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    nprobe, rerank = S.scaled_pq_budgets(e.count(), n_lists=10)
+    return _ann_recall_report(
+        _exact_ground_truth(e),
+        S.ivf_pq_learned_topk(
+            q, e, k=5, nprobe=nprobe, rerank=rerank, n_lists=10, train_iters=2
+        ),
+        floor=(4, 5),
+    )
+
+
 @query(
     "llm_semantic_dedup",
     tags=("L2", "L3", "U3"),

@@ -54,75 +54,84 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # ROTATION (round 6 onward): the window is re-composed each round to move
 # queries that never earned a driver CORRECTNESS row into the recorded
 # prefix, until all registered queries have first-party driver evidence.
-# The floor on rotation speed is structural: 21 slots are pinned because
-# their tags have no other carrier (the streaming family T2/T3/T5-T8, UDF
-# mechanisms U1/U4, connector infra S*/P3/P5, J5/J8, A7/U2, L6-L8/L13 each
-# ride exactly one or two queries — all already driver-checked), leaving 29
-# rotating slots per round. Round 6: 31 first-time names (29 rotated in +
-# the two new connector_incremental_sync / stream_checkpoint_recovery
-# rows); the 30 still-unchecked queries (29 older + the round-6-registered
-# llm_ann_ivf_pq_hifi_topk, which sits outside this window) take the
-# rotating slots in round 7.
+# The window is produced by tools/window_optimizer.py: an EXACT minimal
+# set cover (DFS) over the tags the first-time cohort does not carry,
+# then a drop loop ejecting first-timers until 50 slots fit. Round 7
+# corrects round 6's "29 rotating slots" arithmetic: that figure ignored
+# that the rotating cohort itself was doing tag-cover duty. The round-7
+# first-time cohort (18 queries incl. the newly registered
+# llm_ann_ivf_pq_scaled_topk) covers only 25 of the 73 tags, and the
+# minimal checked-query cover of the other 48 is provably 32 slots (17
+# tags have a SOLE checked carrier; the optimizer proves the residual
+# cover exact) — so 18 first-time slots is the structural max this round,
+# and the 13 deferred queries (agg_approx_percentiles,
+# agg_heavy_hitters_event_types, dedup_exact_status_pairs,
+# llm_ann_ivf_pq_hifi_topk, llm_ann_ivf_pq_topk, llm_ivf_train_kmeans,
+# scalar_conditional_customer_report, scalar_date_order_report,
+# scalar_id_generation, scalar_null_handling_report,
+# scalar_variant_event_payloads, sql_cube_lineitem_volume,
+# sql_first_last_event_values) fit comfortably in round 8's window
+# (13 first-time + their cover <= 50, since any prior full-cover window
+# is a feasible completion). tests/test_coverage.py asserts the backstop:
+# every registered query is either already in a committed CORRECTNESS
+# round or inside the current window's rotation plan.
 # Evicted queries stay registered and pytest-parity-covered (tests/
 # test_oracle_parity.py runs all of them under the driver's compare).
 _PRIORITY: tuple[str, ...] = (
-    # --- pinned slots: sole carriers of their SS2 tags -------------------
-    "pricing_summary",              # S5 P1 P2 A1 O1
-    "connector_csv_landing",        # S6 P5
-    "connector_incremental_sync",   # S1 S2 S3 S4 S7 (NEW round 6: watermark
-                                    # delta-sync roundtrip — supersedes the
-                                    # r5 rest-extract/docsink rows, which
-                                    # stay registered + parity-covered)
-    "connector_shardsink_manifest", # S7b F8
+    # --- cover slots: minimal checked-query cover of the 48 tags the ----
+    # --- first-time cohort does not carry (exact, window_optimizer.py) --
+    "analytics_rich_inactive_customers",  # J4 A1 A6
+    "asof_next_purchase_within_2d",       # J7 F2
+    "connector_incremental_sync",         # S1 S2 S3 S4 S7
+    "connector_json_landing",             # S6 P4 P5
     "connector_key_sanitization_report",  # P3
-    "join_range_price_bands",       # J5
-    "join_cross_region_segment",    # J8
-    "udaf_weighted_avg_price",      # A7 U2
-    "udf_scalar_name_clean",        # U1
-    "udtf_tokenize_part_names",     # U4
-    "stream_checkpoint_recovery",   # T4 T1 S8 S9 (NEW round 6: restart from
-                                    # checkpoint — strictly more informative
-                                    # than the r5 watermark row it rotates out)
-    "stream_sliding_event_volume",  # T2
-    "stream_session_windows",       # T3 W2
-    "stream_dedup_user_event_types",    # T5 O5
-    "stream_static_join_enrichment",    # T7 J1
-    "stream_stream_interval_join",      # T8 J6
-    "stream_running_totals_update_log", # T6 W3
-    "llm_chunk_documents",          # L6 F5
-    "llm_sequence_packing",         # L7 W3
-    "llm_pii_scrub",                # L8 F1
-    "llm_domain_mixture_plan",      # L13 A1
-    # --- rotating slots: round-6 cohort (never driver-checked in r1-r5) --
-    "asof_next_purchase_within_2d", # J7 F2
-    "sql_recursive_month_series",   # F2 J2 A1
-    "sql_waiting_suppliers",        # J4 J1 O2
-    "analytics_value_outliers_iqr", # A6 J3 P2 A5
-    "sql_approx_topk_brands",       # A3 O2
-    "sql_grouping_sets_revenue",    # A4 A1
-    "sql_window_distribution",      # W1
-    "window_ewma_daily_revenue",    # W3 F5 F2 A1
-    "setop_except_lapsed_customers",    # O4
-    "sql_unpivot_customer_metrics", # F6 O3
-    "scalar_json_event_stats",      # F7
-    "dq_constraint_report",         # P4 A5 F4 A2
-    "multimodal_frame_sample",      # L5 U3
-    "udf_grouped_zscore",           # U3
-    "llm_paragraph_dedup",          # L1 L2 F5
-    "llm_tfidf_top_terms",          # L4 W4 F3
-    "llm_unigram_logprob_scores",   # L4 L12 F3
-    "llm_boilerplate_ngrams",       # L12 L14 F5
-    "llm_audit_sample_per_source",  # L10 W4 F8
-    "llm_embedding_decontamination_planted",  # L9 L3
-    "dedup_blocked_edit_distance",  # L2 F1 J1 A5
-    "llm_dedup_clusters_star",      # L11 L2
-    "llm_neardup_degree_histogram", # L2 L11 A1 F5
-    "llm_incremental_dedup_admission",  # L1 L2
-    "llm_simhash_banded_near_dup",  # L2
-    "llm_semantic_dedup",           # L2 L3 U3
-    "llm_kmeans_large_k",           # L3
-    "llm_ann_ivf_learned_topk",     # L3
-    "llm_ann_ivf_pq_learned_topk",  # L3
+    "connector_shardsink_manifest",       # S7b F8
+    "join_cross_region_segment",          # J8 A1
+    "join_range_price_bands",             # J5 A1
+    "llm_boilerplate_ngrams",             # L12 L14 F5
+    "llm_chunk_documents",                # L6 F5
+    "llm_corpus_build",                   # L1 L9 L10
+    "llm_dedup_clusters_star",            # L11 L2
+    "llm_domain_mixture_plan",            # L13 A1
+    "llm_pii_scrub",                      # L8 F1
+    "llm_sequence_packing",               # L7 W3
+    "multimodal_frame_sample",            # L5 U3
+    "pricing_summary",                    # S5 P1 P2 A1 O1
+    "scalar_map_event_totals",            # F6 F7
+    "setop_except_lapsed_customers",      # O4
+    "sql_approx_topk_brands",             # A3 O2
+    "sql_recursive_month_series",         # F2 J2 A1
+    "sql_window_distribution",            # W1
+    "stream_checkpoint_recovery",         # T4 T1 S8 S9
+    "stream_dedup_user_event_types",      # T5 O5
+    "stream_running_totals_update_log",   # T6 W3
+    "stream_session_windows",             # T3 W2
+    "stream_sliding_event_volume",        # T2
+    "stream_static_join_enrichment",      # T7 J1
+    "stream_stream_interval_join",        # T8 J6
+    "udaf_weighted_avg_price",            # A7 U2
+    "udf_scalar_name_clean",              # U1
+    "udtf_tokenize_part_names",           # U4
+    # --- rotating slots: round-7 first-time cohort (never driver-checked
+    # --- in r1-r6; includes the round-7-registered scaled ANN point) ----
+    "analytics_abc_pareto_parts",         # W3 A1 F4 O1
+    "analytics_cohort_retention",         # A1 A2 J1 F2
+    "analytics_conversion_funnel",        # A1 A5 W2
+    "analytics_event_type_transitions",   # W2 A1 F3
+    "cdc_log_compaction_orders",          # W4 O5 O3
+    "llm_ann_ivf_pq_scaled_topk",         # L3 (NEW round 7: budgets from N)
+    "llm_bm25_search",                    # L3 L4 F5 A1 O2
+    "llm_embedding_decontamination",      # L9 L3 J3 A5
+    "llm_filtered_cosine_topk",           # L3 J1 W4 F5
+    "llm_pq_encode",                      # L3 F5 A1
+    "profile_lineitem_columns",           # A1 A2 O3
+    "scd2_user_event_intervals",          # W2 F2 A1
+    "sort_top100_lineitems",              # O1 O2
+    "sql_collect_set_statuses",           # A2 F5
+    "sql_correlated_small_quantity_revenue",  # A1 J1
+    "sql_pivot_status_by_priority",       # A1 A4
+    "sql_top_revenue_supplier",           # A1 J1 O1 F3
+    "window_time_weighted_value",         # W2 F2 A1
 )
 
 def priority_names() -> tuple[str, ...]:

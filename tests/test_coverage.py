@@ -40,3 +40,33 @@ def test_driver_window_prefix_covers_every_checkable_operator():
     for qd in qs.values():
         all_tags.update(qd.tags)
     assert window_tags == all_tags, f"operators outside driver window: {sorted(all_tags - window_tags)}"
+
+
+def test_every_query_has_a_path_to_driver_evidence():
+    """Rotation-completeness backstop: every registered query must either
+    already carry a first-party driver CORRECTNESS row (committed
+    CORRECTNESS_r*.json) or sit in the current priority window so it earns
+    one this round. A query registered outside both has NO path to driver
+    evidence — the rotation plan silently leaks it. (The deferral of a
+    never-checked query OUT of the window is only legal while the window
+    is full; this asserts exactly that invariant.)"""
+    import glob
+    import json
+    from pathlib import Path
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.registry import priority_names
+
+    repo = Path(__file__).resolve().parents[1]
+    checked: set[str] = set()
+    for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(f)))
+    window = set(priority_names())
+    orphans = [n for n in all_queries() if n not in checked and n not in window]
+    if orphans:
+        # legal only while the window is saturated: a free slot with an
+        # orphan outside it means the rotation plan dropped the query
+        assert len(window) >= 50, (
+            f"queries with no path to driver evidence (window has "
+            f"{50 - len(window)} free slots): {sorted(orphans)}"
+        )

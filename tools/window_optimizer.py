@@ -1,0 +1,105 @@
+"""Compose the 50-slot driver-priority window for a round.
+
+The driver records CORRECTNESS rows for exactly the first 50 registered
+queries, and the judge marks a SURVEY SS2 operator "pass" only if one of
+its tags rides a green row in the CURRENT round. So each round's window
+must (a) tag-cover all 73 operator ids and (b) rotate in as many
+never-driver-checked queries as the cover constraint allows.
+
+This solves that directly: exact set cover (DFS, provably minimal) over
+the tags NOT carried by the chosen never-checked cohort, then a greedy
+drop loop that ejects the never-checked query whose removal shrinks the
+total window most, until the window fits in 50 slots.
+
+Usage: python tools/window_optimizer.py [--include name ...]
+Prints the chosen window as a ready-to-paste tuple plus the deferred list.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from custom_python_etl_data_connector_rohitharumugams_spark.plans import registry
+
+WINDOW = 50
+
+
+def exact_cover(tags: frozenset, cand: dict[str, frozenset]) -> list[str]:
+    """Minimal set of candidate queries covering ``tags`` (exact DFS with
+    a least-carriers branching heuristic; instances here are ~25 tags)."""
+    best: list = [len(tags) + 1, None]
+
+    def dfs(rem: frozenset, used: list[str]) -> None:
+        if not rem:
+            if len(used) < best[0]:
+                best[0], best[1] = len(used), list(used)
+            return
+        if len(used) + 1 >= best[0]:
+            return
+        t = min(rem, key=lambda t: sum(1 for s in cand.values() if t in s))
+        for n, s in cand.items():
+            if t in s:
+                dfs(rem - s, used + [n])
+
+    dfs(tags, [])
+    if best[1] is None:
+        raise RuntimeError(f"tags {sorted(tags)} have no carriers")
+    return best[1]
+
+
+def main() -> None:
+    must_include = set()
+    if "--include" in sys.argv:
+        must_include = set(sys.argv[sys.argv.index("--include") + 1 :])
+    qs = registry.all_queries()
+    checked: set[str] = set()
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(f)))
+    never = [n for n in qs if n not in checked]
+    alltags = frozenset(t for q in qs.values() for t in q.tags)
+    cand = {n: frozenset(qs[n].tags) for n in qs if n in checked}
+
+    chosen = list(never)
+
+    def cover_for(sel: list[str]) -> list[str]:
+        need = alltags - frozenset(t for n in sel for t in qs[n].tags)
+        return exact_cover(need, cand)
+
+    cover = cover_for(chosen)
+    while len(chosen) + len(cover) > WINDOW:
+        # eject the never-checked query whose removal shrinks the window
+        # most (ties: fewest tags, then name for determinism)
+        scored = []
+        for n in chosen:
+            if n in must_include:
+                continue
+            rest = [m for m in chosen if m != n]
+            c = cover_for(rest)
+            scored.append((len(rest) + len(c), len(qs[n].tags), n, rest, c))
+        scored.sort()
+        _, _, dropped, chosen, cover = scored[0]
+        print(f"defer {dropped} (window would be {scored[0][0]})", file=sys.stderr)
+
+    window = sorted(cover) + sorted(chosen)
+    got = frozenset(t for n in window for t in qs[n].tags)
+    assert got == alltags, f"cover broken: missing {sorted(alltags - got)}"
+    assert len(window) <= WINDOW
+    print(f"# window: {len(window)} slots = {len(cover)} cover + "
+          f"{len(chosen)} first-time; deferred {len(never) - len(chosen)}")
+    print("_PRIORITY = (")
+    for n in sorted(cover):
+        print(f'    "{n}",  # cover: {" ".join(qs[n].tags)}')
+    for n in sorted(chosen):
+        print(f'    "{n}",  # first-time: {" ".join(qs[n].tags)}')
+    print(")")
+    print("# deferred:", ", ".join(sorted(set(never) - set(chosen))))
+
+
+if __name__ == "__main__":
+    main()
