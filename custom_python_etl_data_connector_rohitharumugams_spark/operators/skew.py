@@ -48,9 +48,16 @@ def salted_agg_sum(
 ) -> DataFrame:
     """Two-stage aggregation for skewed group keys: partial sums per
     (key, salt) spread the hot key across reducers, then a tiny final
-    aggregate merges the partials. (Spark's hash aggregate already does
-    map-side partials; explicit salting additionally splits the REDUCE-side
-    state of a single hot key.)
+    aggregate merges the partials.
+
+    WHEN THIS PAYS — measured crossover in BENCH_SKEW.md: for O(1)-state
+    aggregates (sum/count/avg) Spark's map-side partials already collapse
+    a hot key to one row per map task, so this rewrite LOSES at any scale
+    where the per-group state fits in memory (0.81 s naive vs 1.41 s
+    salted on the planted fixture) — it exists for state-explosive shapes
+    only: a group whose accumulator outgrows one executor, or
+    O(cardinality)-state aggregates, where :func:`salted_agg_count_distinct`
+    is the right form (measured winning 3.2x on the same fixture).
 
     The salt is a ROW-uniform counter (monotonically_increasing_id mod
     salt — consecutive per partition, so perfectly uniform), NOT a hash of
@@ -64,3 +71,29 @@ def salted_agg_sum(
     )
     partial = salted.groupBy(key, SALT_COL).agg(F.sum(value).alias("__part"))
     return partial.groupBy(key).agg(F.sum("__part").alias(out))
+
+
+def salted_agg_count_distinct(
+    df: DataFrame, key: str, value: str, salt: int = 16, out: str = "n_distinct"
+) -> DataFrame:
+    """Two-stage EXACT count-distinct for skewed group keys — the
+    aggregation where salting actually pays (BENCH_SKEW.md "when salting
+    pays" section). For plain ``sum``, map-side partial aggregation
+    already collapses a hot key to one row per map task, so
+    :func:`salted_agg_sum` only buys anything once a single group's
+    reduce-side STATE outgrows an executor; for ``count_distinct`` the
+    reduce side must materialize every distinct (key, value) pair of the
+    hot key on ONE reducer — state O(group cardinality), the planted
+    fixture measures the salted form winning 3.2x there (11.1 -> 3.5 s).
+
+    Unlike salted_agg_sum's row-uniform salt, the salt here MUST be a
+    hash of the VALUE: distinct counts add across buckets only if the
+    buckets PARTITION the value space (the same value may never appear
+    under two salts). Rows with NULL values fall into a NULL salt bucket
+    whose count_distinct contributes 0 — exactly count_distinct's own
+    NULL semantics."""
+    salted = df.withColumn(SALT_COL, F.pmod(F.xxhash64(F.col(value)), F.lit(salt)))
+    partial = salted.groupBy(key, SALT_COL).agg(
+        F.count_distinct(value).alias("__part")
+    )
+    return partial.groupBy(key).agg(F.sum("__part").cast("long").alias(out))

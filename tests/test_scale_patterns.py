@@ -479,6 +479,51 @@ def test_skew_mitigation_identical_under_planted_skew(spark):
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
 
 
+def test_salted_aggs_identical_under_planted_skew(spark):
+    """Both aggregation-salting forms reproduce the naive aggregate
+    exactly on a planted hot key — including the correctness trap each
+    one's salt choice exists for: salted_agg_sum's row-uniform salt must
+    survive low-cardinality values (a value-hash salt would re-collapse
+    onto one bucket), and salted_agg_count_distinct's value-hash salt
+    must keep buckets a PARTITION of the value space (counts add) and
+    ignore NULL values like count_distinct itself does."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import (
+        salted_agg_count_distinct,
+        salted_agg_sum,
+    )
+
+    n, keys = 100_000, 50
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(keys))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(keys)))
+        .cast("long")
+        .alias("k"),
+        F.lit(1).cast("long").alias("flag"),  # worst case for value-hash salt
+        # high-cardinality distinct target with planted NULLs every 7th row
+        F.when(F.col("id") % 7 != 0, F.pmod(F.col("id"), F.lit(5000))).alias("card"),
+    )
+    naive_sum = {
+        (r.k, r.total)
+        for r in fact.groupBy("k").agg(F.sum("flag").alias("total")).collect()
+    }
+    assert {
+        (r.k, r.total)
+        for r in salted_agg_sum(fact, key="k", value="flag", salt=16).collect()
+    } == naive_sum
+    naive_cd = {
+        (r.k, r.n_distinct)
+        for r in fact.groupBy("k")
+        .agg(F.count_distinct("card").alias("n_distinct"))
+        .collect()
+    }
+    assert {
+        (r.k, r.n_distinct)
+        for r in salted_agg_count_distinct(
+            fact, key="k", value="card", salt=16
+        ).collect()
+    } == naive_cd
+
+
 def test_cosine_near_pairs_chunk_size_invariant(spark, monkeypatch):
     """The in-task GEMM chunking (second tiling level — what bounds peak
     sims memory when a block is oversized) is an execution detail too:

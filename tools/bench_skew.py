@@ -48,6 +48,10 @@ def build_fixture(spark, n_rows: int, n_keys: int):
         .cast("long")
         .alias("k"),
         (F.col("id") % 1000).cast("long").alias("v"),
+        # high-cardinality value for the distinct-heavy agg twin: the hot
+        # group's distinct set is ~ its row count, so reduce-side state is
+        # O(group size) — the regime where salting pays
+        F.col("id").alias("v2"),
     )
     dim = spark.range(n_keys + 1).select(
         F.col("id").alias("k"),
@@ -194,7 +198,7 @@ def main() -> None:
     hot = fact.where(F.col("k") >= args.keys - 5)  # hot key + a few cold
     aggs = [
         agg_run(
-            "naive groupBy",
+            "naive groupBy sum (state O(1)/group)",
             lambda: hot.groupBy("k").agg(F.sum("v").alias("total")),
         ),
         agg_run(
@@ -203,6 +207,24 @@ def main() -> None:
         ),
     ]
     assert aggs[0]["result"] == aggs[1]["result"], f"agg results diverge: {aggs}"
+    # the distinct-heavy twin: reduce-side state is O(group cardinality),
+    # the regime where salting actually pays (crossover documented below)
+    daggs = [
+        agg_run(
+            "naive count_distinct (state O(card)/group)",
+            lambda: hot.groupBy("k").agg(
+                F.count_distinct("v2").alias("n_distinct")
+            ),
+        ),
+        agg_run(
+            "salted_agg_count_distinct",
+            lambda: K.salted_agg_count_distinct(hot, key="k", value="v2", salt=32),
+        ),
+    ]
+    assert daggs[0]["result"] == daggs[1]["result"], (
+        f"distinct agg results diverge: {daggs}"
+    )
+    aggs += daggs
 
     naive, aqe, salted = scenarios
     lines = [
@@ -251,13 +273,34 @@ def main() -> None:
         "|---|---|",
     ] + [f"| {a['label']} | {a['secs']:.2f} |" for a in aggs] + [
         "",
+        "### when aggregation salting pays (the crossover)",
+        "",
+        "salted_agg_sum LOSES on the sum twin and that is the expected "
+        "result, not an anomaly: hash aggregation's map-side partials "
+        "already collapse a hot key to ONE row per map task for O(1)-state "
+        "aggregates (sum/count/min/max/avg), so the reduce side never sees "
+        "the skew — the extra shuffle stage is pure cost. The crossover is "
+        "the STATE SIZE of a single group on its one reducer:",
+        "",
+        "- O(1) state per group (sum, count, avg): never salt — map-side "
+        "combine is the mitigation, and it is free;",
+        "- O(cardinality) state per group (exact count_distinct, "
+        "collect_set/list, exact percentiles): the hot group's distinct "
+        "set lands on one reducer; salt by VALUE HASH "
+        "(salted_agg_count_distinct) so buckets partition the value space "
+        "and counts add — measured above on a hot group whose distinct "
+        "count ~= its row count;",
+        "- either shape, when one group's state exceeds one executor's "
+        "memory (a 100 TB hot key's collect_set): salting is not an "
+        "optimization but the only way the stage finishes.",
+        "",
         "At 100 TB the naive join's hot reducer is the stage wall-clock: one "
         "task sorts and merges every hot-key row while the other 999 "
         "executors idle. AQE's runtime split is the default answer (and is "
         "ON in the engine session); salted_join is the explicit rewrite for "
-        "engines/paths where the optimizer cannot see the skew, and "
-        "salted_agg_sum the equivalent for skewed aggregation state. The "
-        "in-suite correctness twin is "
+        "engines/paths where the optimizer cannot see the skew, and the "
+        "value-hash salted count-distinct the equivalent for skewed "
+        "O(cardinality) aggregation state. The in-suite correctness twin is "
         "tests/test_scale_patterns.py::test_skew_mitigation_identical_under_planted_skew.",
         "",
     ]
