@@ -67,9 +67,17 @@ def main() -> None:
 
     chosen = list(never)
 
+    _cover_cache: dict[frozenset, list[str]] = {}
+
     def cover_for(sel: list[str]) -> list[str]:
+        # cover depends only on the NEEDED tag set; many drop candidates
+        # leave it unchanged (their tags are redundantly covered), so the
+        # memo turns the drop loop's O(drops * candidates) DFS calls into
+        # a handful of distinct solves
         need = alltags - frozenset(t for n in sel for t in qs[n].tags)
-        return exact_cover(need, cand)
+        if need not in _cover_cache:
+            _cover_cache[need] = exact_cover(need, cand)
+        return _cover_cache[need]
 
     cover = cover_for(chosen)
     while len(chosen) + len(cover) > WINDOW:
