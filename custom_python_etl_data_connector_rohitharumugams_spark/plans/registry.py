@@ -70,9 +70,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # scalar_conditional_customer_report, scalar_date_order_report,
 # scalar_id_generation, scalar_null_handling_report,
 # scalar_variant_event_payloads, sql_cube_lineitem_volume,
-# sql_first_last_event_values) fit comfortably in round 8's window
-# (13 first-time + their cover <= 50, since any prior full-cover window
-# is a feasible completion). tests/test_coverage.py asserts the backstop:
+# sql_first_last_event_values — plus llm_langid_ngram, registered later
+# in round 7 outside the already-saturated window) fit comfortably in
+# round 8's window (14 first-time + their cover <= 50, since any prior
+# full-cover window is a feasible completion; re-run
+# tools/window_optimizer.py at round-8 start to compose it).
+# tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan.
 # Evicted queries stay registered and pytest-parity-covered (tests/

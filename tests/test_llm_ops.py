@@ -108,6 +108,49 @@ def test_lsh_topk_approximates_brute_force(spark):
     assert recall >= 0.3, f"LSH recall degraded: {recall:.2f}"
 
 
+def test_langid_ngram_classifier(spark):
+    """operators/langid.py beyond the registered query's planted oracle:
+    (a) disjoint per-language blocks mean a doc can NEVER accrue
+    cross-language matches — even a doc with unseen words classifies
+    correctly as long as one trigram was seen in training; (b) the top_k
+    profile cap keeps predictions correct when it covers the common
+    vocabulary; (c) a doc whose language never appeared in training gets
+    NO prediction row rather than a wrong one."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import (
+        langid as L,
+    )
+
+    rows = [
+        # lang a: vocabulary {spark, query, table}; lang b: {joins, scans}
+        (1, "a", "spark query table spark"),
+        (2, "a", "query table query spark table"),
+        (3, "b", "joins scans joins"),
+        (4, "b", "scans joins scans scans"),
+        # held-out: lang a doc with an UNSEEN word (zeta) + one seen word
+        (10, "a", "zeta spark"),
+        (11, "b", "joins unseenword"),
+        # lang c never appears in training (only as held-out)
+        (12, "c", "mystery words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    blocks = L.lang_blocks(["a", "b", "c"])
+    scripted = df.select(
+        "doc_id",
+        "lang",
+        L.transliterate(F.col("text"), F.col("lang"), blocks).alias("__script"),
+    )
+    train = scripted.where(F.col("doc_id") < 10)
+    test = scripted.where(F.col("doc_id") >= 10)
+    for top_k in (None, 8):
+        preds = {
+            r.doc_id: r.pred_lang
+            for r in L.predict(test, L.train_profiles(train, top_k=top_k)).collect()
+        }
+        assert preds.get(10) == "a", preds
+        assert preds.get(11) == "b", preds
+        assert 12 not in preds  # untrained language: no row, never a guess
+
+
 def test_scaled_pq_recall_holds_at_sf01(spark):
     """The scale-aware IVF-PQ point's 0.8-recall contract at the BENCH
     tier (sf0.1, 4x the oracle fixture) — the leg the driver's sf0.01
