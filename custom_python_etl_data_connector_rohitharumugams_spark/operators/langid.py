@@ -55,7 +55,7 @@ def transliterate(text_col, lang_col, blocks: dict[str, str]):
             if expr is None
             else expr.when(lang_col == lang, mapped)
         )
-    return expr.otherwise(clean)
+    return clean if expr is None else expr.otherwise(clean)
 
 
 def char_trigrams(name: str):

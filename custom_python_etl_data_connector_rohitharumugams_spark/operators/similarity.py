@@ -665,6 +665,8 @@ def scaled_pq_budgets(
     cost sub-linear (kmeans_train's k>256 GEMM path exists for exactly
     that), but the budget RULE is unchanged by that choice.
     """
+    if n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
     nprobe = max(1, min(n_lists, round(probe_frac * n_lists)))
     rerank = max(k, math.ceil(rerank_coeff * n_vectors / n_lists))
     return nprobe, rerank

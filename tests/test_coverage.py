@@ -61,12 +61,34 @@ def test_every_query_has_a_path_to_driver_evidence():
     checked: set[str] = set()
     for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
         checked |= set(json.load(open(f)))
-    window = set(priority_names())
-    orphans = [n for n in all_queries() if n not in checked and n not in window]
-    if orphans:
-        # legal only while the window is saturated: a free slot with an
-        # orphan outside it means the rotation plan dropped the query
-        assert len(window) >= 50, (
-            f"queries with no path to driver evidence (window has "
-            f"{50 - len(window)} free slots): {sorted(orphans)}"
-        )
+    qs = all_queries()
+    window = list(priority_names())
+    orphans = [n for n in qs if n not in checked and n not in window]
+    if not orphans:
+        return
+    # legal only while the window is genuinely saturated:
+    # (a) no free slots, and (b) no WASTED slots — every already-checked
+    # window member must be irredundant for tag cover (carry >= 1 tag no
+    # other window member has). A checked member whose tags are all
+    # covered elsewhere is a slot an orphan should have taken; this is
+    # what forces the window to be recomposed after each round's
+    # CORRECTNESS file lands.
+    assert len(window) >= 50, (
+        f"queries with no path to driver evidence (window has "
+        f"{50 - len(window)} free slots): {sorted(orphans)}"
+    )
+    wasted = []
+    for n in window:
+        if n not in checked:
+            continue  # first-time slot: earning its row this round
+        others = set()
+        for m in window:
+            if m != n:
+                others.update(qs[m].tags)
+        if not (set(qs[n].tags) - others):
+            wasted.append(n)
+    assert not wasted, (
+        f"window slots wasted on tag-redundant checked queries while "
+        f"orphans wait ({sorted(orphans)}): {wasted} — re-run "
+        f"tools/window_optimizer.py"
+    )

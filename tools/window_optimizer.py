@@ -90,6 +90,11 @@ def main() -> None:
             rest = [m for m in chosen if m != n]
             c = cover_for(rest)
             scored.append((len(rest) + len(c), len(qs[n].tags), n, rest, c))
+        if not scored:
+            raise SystemExit(
+                f"window cannot fit: {len(chosen)} --include queries + "
+                f"{len(cover)} cover slots > {WINDOW}; drop an --include"
+            )
         scored.sort()
         _, _, dropped, chosen, cover = scored[0]
         print(f"defer {dropped} (window would be {scored[0][0]})", file=sys.stderr)
