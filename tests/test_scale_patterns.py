@@ -479,6 +479,18 @@ def test_skew_mitigation_identical_under_planted_skew(spark):
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
 
 
+def test_langid_predict_broadcasts_profiles(spark):
+    """llm_langid_ngram's profile join must stay a BroadcastHashJoin (the
+    profile table is the languages x capped-trigrams dim; a shuffle join
+    there would re-shuffle the corpus trigram stream at 100 TB) and its
+    plan must never contain a cartesian."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    p = _physical_plan(all_queries()["llm_langid_ngram"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_salted_aggs_identical_under_planted_skew(spark):
     """Both aggregation-salting forms reproduce the naive aggregate
     exactly on a planted hot key — including the correctness trap each
