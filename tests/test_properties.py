@@ -365,3 +365,55 @@ def test_misra_gries_null_group_and_hostile_keys():
     )
     ints = isum[~isum["is_meta"]]
     assert {k: int(v) for k, v in zip(ints["k"], ints["est"])} == {7: 3, 8: 1}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                    # group key (few keys: hot)
+            st.one_of(st.none(), st.integers(0, 6)),  # low-card value + NULLs
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    salt=st.integers(1, 7),
+)
+@_SETTINGS
+def test_salted_count_distinct_equals_naive(spark, rows, salt):
+    """Value-hash salting must reproduce exact count_distinct on ARBITRARY
+    frames — including all-NULL groups, single-value groups, and salt
+    counts that exceed the value cardinality (empty buckets sum as 0)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import (
+        salted_agg_count_distinct,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    naive = {
+        (r.k, r.n)
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    salted = {
+        (r.k, r.n_distinct)
+        for r in salted_agg_count_distinct(df, key="k", value="v", salt=salt).collect()
+    }
+    assert salted == naive
+
+
+@given(
+    n_vectors=st.integers(0, 10_000_000),
+    n_lists=st.integers(1, 4096),
+)
+@_SETTINGS
+def test_scaled_pq_budgets_invariants(n_vectors, n_lists):
+    """Budget-rule algebra at any corpus size: nprobe stays within
+    [1, n_lists], rerank >= k always, and rerank grows linearly in N at
+    fixed n_lists (the constant-prune-fraction contract)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+        scaled_pq_budgets,
+    )
+
+    nprobe, rerank = scaled_pq_budgets(n_vectors, n_lists=n_lists)
+    assert 1 <= nprobe <= n_lists
+    assert rerank >= 5
+    _, rerank2 = scaled_pq_budgets(2 * n_vectors, n_lists=n_lists)
+    assert rerank2 >= rerank  # monotone in corpus size
