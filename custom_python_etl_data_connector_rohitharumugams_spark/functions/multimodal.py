@@ -2,11 +2,19 @@
 travel as an opaque ``binary`` column plus a typed metadata struct; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas``.
 
-The decode step itself is a DETERMINISTIC FAKE (this environment ships no
-image/audio codecs — see the round brief): it derives pseudo-features from
-the raw bytes. The Spark-side plumbing — schema, batch iteration, partition
-behavior, UDF signature — is real and is what the tests exercise. Swapping
-in PIL/torchaudio means replacing ``_fake_decode_batch`` only.
+Two decode tiers, disclosed precisely:
+
+- UNCOMPRESSED AUDIO IS REAL: :func:`decode_wav` parses genuine RIFF/WAVE
+  PCM16 payloads with the stdlib ``wave`` codec (no external libs needed) —
+  header fields, frame counts, and the full sample stream are actually
+  decoded, and the registered query's oracle pins them against closed-form
+  expectations (the payloads are synthesized as real WAV files from a
+  doc_id formula, so every decoded number is a-priori checkable).
+- COMPRESSED formats (JPEG/MP3/H.264) remain a DETERMINISTIC FAKE
+  (`_fake_decode_batch`): this environment ships no image/video codecs.
+  The Spark-side plumbing — schema, batch iteration, partition behavior,
+  UDF signature — is identical for both tiers; swapping in PIL/torchaudio
+  means replacing ``_fake_decode_batch`` only.
 """
 
 from __future__ import annotations
@@ -154,3 +162,115 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> D
             )
 
     return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+#: synthesized-WAV parameters: mono PCM16 at 8 kHz; frame count and the
+#: integer waveform are closed-form functions of doc_id, so the REAL
+#: decoder's output is a-priori computable by the SQL oracle
+WAV_SAMPLE_RATE = 8000
+
+
+def _wav_samples(doc_id: int) -> list[int]:
+    """The deterministic int16 waveform for ``doc_id`` — shared between the
+    synthesizer (writes it into a real WAV) and the oracle (recomputes it
+    in SQL): n = 64 + doc_id % 37 samples of
+    ((doc_id * 31 + i * 17) % 2003) - 1001."""
+    n = 64 + doc_id % 37
+    return [((doc_id * 31 + i * 17) % 2003) - 1001 for i in range(n)]
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL RIFF/WAVE PCM16 payloads — the stdlib
+    ``wave`` writer emits a genuine file per row (44-byte canonical header
+    + little-endian int16 frames), Arrow-batched so payload bytes are
+    born on the executors and never touch the driver. This is the media
+    INGEST boundary a production pipeline has anyway (bytes arrive from
+    object storage); here the bytes are synthesized from ``_wav_samples``
+    so that decoding them is exactly checkable."""
+    import io
+    import struct
+    import wave
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                s = _wav_samples(int(doc_id))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(struct.pack(f"<{len(s)}h", *s))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(
+        run, schema="doc_id long, data binary"
+    )
+
+
+WAV_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("peak", LongType()),
+        StructField("sample_sum", LongType()),
+    ]
+)
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode, Arrow-batched: stdlib ``wave`` parses each
+    payload's RIFF header (channel count, sample rate, frame count) and
+    the full PCM16 sample stream; peak amplitude and the exact integer
+    sample sum come from the decoded waveform, not from any stored
+    metadata. A NULL or unparseable payload yields no row rather than
+    killing the batch (same containment contract as the corrupt-page
+    channel). At 100 TB this is the multimodal scan shape: decode runs
+    where the bytes live, one task per Arrow batch, and only the tiny
+    feature row ever shuffles."""
+    import io
+    import struct
+    import wave
+
+    src = df.select("doc_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "n_channels", "sample_rate",
+                                   "n_frames", "peak", "sample_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["data"]):
+                if payload is None or pd.isna(doc_id):
+                    continue
+                try:
+                    with wave.open(io.BytesIO(payload)) as r:
+                        nch, sr, n = (
+                            r.getnchannels(),
+                            r.getframerate(),
+                            r.getnframes(),
+                        )
+                        vals = struct.unpack(f"<{n * nch}h", r.readframes(n))
+                except (wave.Error, struct.error, EOFError):
+                    continue  # corrupt payload: contained, not fatal
+                out["doc_id"].append(int(doc_id))
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(n)
+                out["peak"].append(max(abs(v) for v in vals) if vals else 0)
+                out["sample_sum"].append(sum(vals))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return src.mapInPandas(run, schema=WAV_DECODED_SCHEMA)

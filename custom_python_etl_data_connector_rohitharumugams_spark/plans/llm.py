@@ -990,6 +990,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_decode",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, unnest(range(0, 64 + doc_id % 37)) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(ABS((doc_id * 31 + i * 17) % 2003 - 1001)) AS BIGINT) AS peak,
+           CAST(SUM((doc_id * 31 + i * 17) % 2003 - 1001) AS BIGINT) AS sample_sum
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle — the L5 tier that is NOT a
+    fake: functions/multimodal.synth_wav writes one genuine RIFF/WAVE
+    PCM16 file per document (stdlib ``wave`` writer, Arrow-batched,
+    payloads born on the executors), and decode_wav parses the header
+    and the FULL sample stream back with the stdlib codec. The waveform
+    is a closed-form function of doc_id, so the oracle recomputes every
+    decoded number — channel count and sample rate from the RIFF header,
+    frame count, peak amplitude, exact integer sample sum — a priori in
+    SQL. A wrong byte anywhere (header layout, endianness, int16
+    packing, truncated frames) breaks the hash. Compressed formats stay
+    behind the disclosed fake; this query is the proof the Spark-side
+    media pipeline carries a real codec end to end when one exists in
+    the environment."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_wav(M.synth_wav(docs))
+
+
+@query(
     "llm_hot_shingle_cap",
     tags=("L2", "A2"),
     oracle="""

@@ -501,3 +501,30 @@ def test_rest_emit_routes_non_dict_records_to_corrupt_channel(spark):
     assert len(corrupt) == 1 and corrupt[0][0] is None
     rows, done = rdr._emit("<html>boom</html>", None)
     assert done and rows[0][1] == "<html>boom</html>"
+
+
+def test_decode_wav_contains_corrupt_payloads(spark):
+    """The REAL wave codec path must contain bad bytes like the corrupt-page
+    channel does: a truncated WAV, non-RIFF garbage, and a NULL payload
+    each yield NO row — never an exception that kills the batch — while
+    the valid payloads around them decode exactly."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    good = M.synth_wav(spark.createDataFrame([(7,), (9,)], "doc_id long"))
+    rows = [(r.doc_id, bytes(r.data)) for r in good.collect()]
+    hostile = rows + [
+        (100, rows[0][1][:20]),      # truncated mid-header
+        (101, b"not a riff file"),   # garbage
+        (102, None),                 # media-less doc
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = {r.doc_id: r for r in M.decode_wav(df).collect()}
+    assert set(out) == {7, 9}
+    for doc_id in (7, 9):
+        s = M._wav_samples(doc_id)
+        r = out[doc_id]
+        assert (r.n_channels, r.sample_rate, r.n_frames) == (1, M.WAV_SAMPLE_RATE, len(s))
+        assert r.peak == max(abs(v) for v in s)
+        assert r.sample_sum == sum(s)
