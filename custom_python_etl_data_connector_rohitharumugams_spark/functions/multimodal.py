@@ -274,3 +274,123 @@ def decode_wav(df: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=WAV_DECODED_SCHEMA)
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form image dimensions for ``doc_id`` (4-8 x 3-6 px)."""
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+def _bmp_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Channel value (R,G,B = c 0,1,2) — the formula the oracle recomputes."""
+    return (doc_id * 7 + y * 131 + x * 17 + c * 29) % 256
+
+
+def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL uncompressed 24-bit BMP payloads: a
+    canonical BITMAPFILEHEADER + BITMAPINFOHEADER and bottom-up BGR pixel
+    rows with the format's 4-byte row padding — built with stdlib
+    ``struct`` only, Arrow-batched on the executors. Pixels come from
+    ``_bmp_pixel`` so decoding them is exactly checkable."""
+    import struct
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = _bmp_dims(doc_id)
+                stride = ((w * 3 + 3) // 4) * 4
+                img_size = stride * h
+                head = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+                )
+                rows = []
+                for y in range(h - 1, -1, -1):  # BMP rows are bottom-up
+                    row = bytearray()
+                    for x in range(w):
+                        row += bytes(
+                            (  # on-disk order is B, G, R
+                                _bmp_pixel(doc_id, x, y, 2),
+                                _bmp_pixel(doc_id, x, y, 1),
+                                _bmp_pixel(doc_id, x, y, 0),
+                            )
+                        )
+                    row += b"\x00" * (stride - len(row))
+                    rows.append(bytes(row))
+                payloads.append(head + info + b"".join(rows))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def decode_bmp(df: DataFrame) -> DataFrame:
+    """REAL image decode: parses the BMP file + info headers (magic, data
+    offset, dimensions, planes, bit depth) and walks the pixel array with
+    the format's actual layout rules — bottom-up row order and per-row
+    padding that must be EXCLUDED from the pixel sum (including it is the
+    classic BMP-parsing bug, and it breaks the oracle hash here). Returns
+    (doc_id, width, height, pixel_sum). Corrupt or NULL payloads yield no
+    row (same containment contract as decode_wav)."""
+    import struct
+
+    src = df.select("doc_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "pixel_sum", "weighted_sum")
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    magic, _fsz, _r1, _r2, off = struct.unpack_from("<2sIHHI", raw, 0)
+                    hsz, w, h, planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
+                    if magic != b"BM" or hsz != 40 or planes != 1 or bpp != 24 or h <= 0 or w <= 0:
+                        continue
+                    stride = ((w * 3 + 3) // 4) * 4
+                    if off + stride * h > len(raw):
+                        continue  # truncated pixel array
+                    total = weighted = 0
+                    for yrow in range(h):
+                        base = off + yrow * stride
+                        row = raw[base : base + w * 3]  # pad excluded
+                        total += sum(row)
+                        # layout-pinning checksum: a plain sum is invariant
+                        # under both channel swap and vertical flip, so it
+                        # cannot catch the two classic BMP misreads. The
+                        # weights break both symmetries: channels R,G,B
+                        # weigh 1,2,3 (on-disk order is B,G,R) and each
+                        # IMAGE row y — file rows are bottom-up, so
+                        # y = h-1-yrow — weighs (y+1)
+                        y = h - 1 - yrow
+                        for x in range(w):
+                            b, g, r = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+                            weighted += (y + 1) * (1 * r + 2 * g + 3 * b)
+                except struct.error:
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(total)
+                out["weighted_sum"].append(weighted)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, pixel_sum long, "
+        "weighted_sum long",
+    )

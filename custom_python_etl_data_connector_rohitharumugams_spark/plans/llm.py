@@ -1026,6 +1026,50 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_bmp_decode",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM g
+    ), pxy AS (
+        SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px
+    ), pxyc AS (
+        SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM pxy
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM((doc_id * 7 + y * 131 + x * 17 + c * 29) % 256) AS BIGINT)
+               AS pixel_sum,
+           CAST(SUM((y + 1) * (c + 1)
+                    * ((doc_id * 7 + y * 131 + x * 17 + c * 29) % 256))
+                AS BIGINT) AS weighted_sum
+    FROM pxyc
+    GROUP BY doc_id
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle — the image twin of
+    multimodal_wav_decode: synth_bmp writes one genuine uncompressed
+    24-bit BMP per document (canonical 54-byte headers, bottom-up BGR
+    rows, the format's 4-byte row padding — stdlib struct only) and
+    decode_bmp parses headers + pixel array back with the real layout
+    rules. The pixel formula is closed-form in doc_id, so the oracle
+    recomputes width, height, the exact pixel sum, AND a layout-pinning
+    checksum a priori: a plain sum is invariant under the two classic
+    BMP misreads (channel swap, vertical flip), so the checksum weighs
+    channels R,G,B as 1,2,3 (on-disk order is B,G,R) and image row y as
+    (y+1) (file rows are bottom-up) — each misread, plus counting
+    padding bytes, breaks the hash. Compressed image formats (JPEG/PNG)
+    remain behind the disclosed fake — no codecs in this environment."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_bmp(M.synth_bmp(docs))
+
+
+@query(
     "llm_hot_shingle_cap",
     tags=("L2", "A2"),
     oracle="""

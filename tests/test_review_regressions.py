@@ -528,3 +528,48 @@ def test_decode_wav_contains_corrupt_payloads(spark):
         assert (r.n_channels, r.sample_rate, r.n_frames) == (1, M.WAV_SAMPLE_RATE, len(s))
         assert r.peak == max(abs(v) for v in s)
         assert r.sample_sum == sum(s)
+
+
+def test_decode_bmp_contains_corrupt_and_pins_layout(spark):
+    """BMP twin of the WAV containment test, plus layout pinning: corrupt
+    payloads (truncated pixel array, garbage, 8-bit depth, NULL) yield no
+    row, and the weighted checksum actually distinguishes the two classic
+    misreads a plain sum cannot — verified here by recomputing the
+    flipped/swapped checksums from the formula and asserting they differ
+    from the decoded one."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    good = M.synth_bmp(spark.createDataFrame([(3,), (11,)], "doc_id long"))
+    rows = [(r.doc_id, bytes(r.data)) for r in good.collect()]
+    bad_depth = bytearray(rows[0][1])
+    bad_depth[28] = 8  # biBitCount: claim 8-bit
+    hostile = rows + [
+        (200, rows[0][1][:60]),        # header ok, pixel array truncated
+        (201, b"GIF89a not a bmp"),    # wrong magic
+        (202, bytes(bad_depth)),       # unsupported bit depth
+        (203, None),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = {r.doc_id: r for r in M.decode_bmp(df).collect()}
+    assert set(out) == {3, 11}
+    for doc_id in (3, 11):
+        w, h = M._bmp_dims(doc_id)
+        r = out[doc_id]
+        assert (r.width, r.height) == (w, h)
+        px = M._bmp_pixel
+        straight = sum(
+            (y + 1) * (c + 1) * px(doc_id, x, y, c)
+            for x in range(w) for y in range(h) for c in range(3)
+        )
+        flipped = sum(
+            (h - y) * (c + 1) * px(doc_id, x, y, c)
+            for x in range(w) for y in range(h) for c in range(3)
+        )
+        swapped = sum(
+            (y + 1) * (3 - c) * px(doc_id, x, y, c)
+            for x in range(w) for y in range(h) for c in range(3)
+        )
+        assert r.weighted_sum == straight
+        assert straight != flipped and straight != swapped
