@@ -4,12 +4,15 @@ feature-extraction runs as Arrow-batched ``mapInPandas``.
 
 Two decode tiers, disclosed precisely:
 
-- UNCOMPRESSED AUDIO IS REAL: :func:`decode_wav` parses genuine RIFF/WAVE
-  PCM16 payloads with the stdlib ``wave`` codec (no external libs needed) —
-  header fields, frame counts, and the full sample stream are actually
-  decoded, and the registered query's oracle pins them against closed-form
-  expectations (the payloads are synthesized as real WAV files from a
-  doc_id formula, so every decoded number is a-priori checkable).
+- UNCOMPRESSED FORMATS ARE REAL, one per modality: :func:`decode_wav`
+  parses genuine RIFF/WAVE PCM16 audio with the stdlib ``wave`` codec,
+  :func:`decode_bmp` parses genuine 24-bit BMP images (bottom-up BGR
+  rows, per-row padding), and :func:`extract_avi_frames` walks genuine
+  RIFF/AVI containers (nested LISTs, avih header, even-byte chunk
+  padding) — headers and full payload streams are actually decoded, and
+  each registered query's oracle pins the output against closed-form
+  expectations (payloads are synthesized as real files from a doc_id
+  formula, so every decoded number is a-priori checkable).
 - COMPRESSED formats (JPEG/MP3/H.264) remain a DETERMINISTIC FAKE
   (`_fake_decode_batch`): this environment ships no image/video codecs.
   The Spark-side plumbing — schema, batch iteration, partition behavior,
@@ -393,4 +396,142 @@ def decode_bmp(df: DataFrame) -> DataFrame:
         run,
         schema="doc_id long, width long, height long, pixel_sum long, "
         "weighted_sum long",
+    )
+
+
+def _avi_frames(doc_id: int) -> list[bytes]:
+    """Closed-form raw frames for ``doc_id``: 3-5 frames of 16-24 bytes
+    (odd lengths included ON PURPOSE — they make RIFF's even-byte chunk
+    padding rule load-bearing in both the writer and the parser)."""
+    n = 3 + doc_id % 3
+    return [
+        bytes(((doc_id * 13 + k * 7 + j * 3) % 256) for j in range(16 + (doc_id + k) % 9))
+        for k in range(n)
+    ]
+
+
+def synth_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL minimal AVI containers: RIFF('AVI ') with
+    a structurally valid hdrl LIST (avih main header carrying the true
+    frame count, strl/strh/strf video stream headers) and a movi LIST of
+    raw '00db' frame chunks — stdlib struct only, Arrow-batched. This is
+    the same RIFF chunk grammar WAV uses, exercised one level deeper
+    (nested LISTs + per-chunk even-byte padding)."""
+    import struct
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                frs = _avi_frames(doc_id)
+
+                def chunk(fourcc: bytes, data: bytes) -> bytes:
+                    pad = b"\x00" if len(data) % 2 else b""
+                    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+                def lst(listtype: bytes, payload: bytes) -> bytes:
+                    return chunk(b"LIST", listtype + payload)
+
+                w, h = 8, 6
+                avih = struct.pack(
+                    "<14I", 40000, 0, 0, 0x10, len(frs), 0, 1, 0, w, h, 0, 0, 0, 0
+                )
+                strh = struct.pack(
+                    "<4s4sIHHIIIIIIIIhhhh",
+                    b"vids", b"DIB ", 0, 0, 0, 0, 25, 1000, 0, len(frs),
+                    0, 0, 0, 0, 0, 0, 0,
+                )
+                strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+                hdrl = lst(
+                    b"hdrl",
+                    chunk(b"avih", avih)
+                    + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+                )
+                movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frs))
+                body = b"AVI " + hdrl + movi
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def extract_avi_frames(df: DataFrame) -> DataFrame:
+    """REAL video-container frame extraction: a generic RIFF chunk walker
+    (fourcc + LE size + data + pad-to-even) descends nested LISTs, reads
+    the avih header's frame count, and emits one row per '00db' raw frame
+    inside the movi LIST — (doc_id, frame_id, n_bytes, byte_sum,
+    header_frames). Skipping the even-byte pad wrongly desynchronizes the
+    walk on the first odd-sized frame, which the oracle's closed-form
+    frame lengths make fatal. Corrupt or NULL payloads yield no rows
+    (decode_wav's containment contract). This upgrades sample_frames'
+    byte-slicing stand-in: the container grammar here is the real one."""
+    import struct
+
+    src = df.select("doc_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "frame_id", "n_bytes",
+                                   "byte_sum", "header_frames")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                        continue
+                    riff_end = 8 + struct.unpack_from("<I", raw, 4)[0]
+                    if riff_end > len(raw):
+                        continue  # truncated container
+                    header_frames = -1
+                    frames: list[bytes] = []
+
+                    def walk(pos: int, end: int, in_movi: bool) -> None:
+                        nonlocal header_frames
+                        while pos + 8 <= end:
+                            fourcc = raw[pos : pos + 4]
+                            size = struct.unpack_from("<I", raw, pos + 4)[0]
+                            data_start = pos + 8
+                            if data_start + size > end:
+                                raise ValueError("chunk overruns container")
+                            if fourcc == b"LIST":
+                                ltype = raw[data_start : data_start + 4]
+                                walk(
+                                    data_start + 4,
+                                    data_start + size,
+                                    ltype == b"movi",
+                                )
+                            elif fourcc == b"avih":
+                                header_frames = struct.unpack_from(
+                                    "<I", raw, data_start + 16
+                                )[0]
+                            elif in_movi and fourcc == b"00db":
+                                frames.append(raw[data_start : data_start + size])
+                            pos = data_start + size + (size % 2)  # RIFF pad
+
+                    walk(12, riff_end, False)
+                except (struct.error, ValueError, IndexError):
+                    continue
+                for k, fr in enumerate(frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_id"].append(k)
+                    out["n_bytes"].append(len(fr))
+                    out["byte_sum"].append(sum(fr))
+                    out["header_frames"].append(header_frames)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, frame_id long, n_bytes long, byte_sum long, "
+        "header_frames long",
     )

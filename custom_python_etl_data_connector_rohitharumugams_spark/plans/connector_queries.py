@@ -16,6 +16,7 @@ from .registry import query
 _FIXTURES = Path(__file__).resolve().parents[2] / "tests" / "fixtures"
 _JSONL = str(_FIXTURES / "landing.jsonl")
 _CSV = str(_FIXTURES / "landing.csv")
+_JSONL_GZ = str(_FIXTURES / "landing.jsonl.gz")
 
 
 @query(
@@ -51,6 +52,48 @@ def connector_json_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty",
             F.unix_timestamp(F.to_timestamp("when")).alias("when_sec"),
         )
+    )
+
+
+@query(
+    "connector_gzip_landing",
+    tags=("S6", "P5"),
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN dup_of IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_marked_dups
+    FROM read_json('{_JSONL_GZ}', format='newline_delimited',
+                   columns={{id: 'BIGINT', source: 'VARCHAR',
+                            tokens: 'BIGINT', dup_of: 'BIGINT'}})
+    GROUP BY source
+    """,
+)
+def connector_gzip_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-COMPRESSED JSONL landing — the ingestion reality of web-scale
+    text corpora (Common-Crawl-style dumps arrive as .jsonl.gz/.warc.gz):
+    Spark's file scan decompresses through the Hadoop gzip codec and
+    DuckDB through its own zlib — both engines run a REAL DEFLATE decode
+    inside the scan, so the hash-match covers the compressed path end to
+    end, not a pre-extracted copy.
+
+    The 100 TB caveat this query exists to document: gzip is NOT
+    splittable — one .gz file is one task no matter its size, so a
+    production corpus must arrive as MANY shard files (the shardsink's
+    layout) for scan parallelism; a single 100 GB .gz serializes its
+    stage. Splittable alternatives (bgzf, zstd-seekable) or re-sharding
+    on ingest are the fixes; the per-file schema/typing discipline here
+    is identical either way."""
+    raw = spark.read.schema("id bigint, source string, tokens bigint, dup_of bigint").json(
+        _JSONL_GZ
+    )
+    return raw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("dup_of").isNotNull().cast("long")).cast("bigint").alias(
+            "n_marked_dups"
+        ),
     )
 
 

@@ -1070,6 +1070,45 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_avi_frames",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 3 + doc_id % 3)) AS k
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, k, 16 + (doc_id + k) % 9 AS ln FROM g
+    ), by_byte AS (
+        SELECT doc_id, k, ln, unnest(range(0, ln)) AS j FROM fr
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_id,
+           CAST(MIN(ln) AS BIGINT) AS n_bytes,
+           CAST(SUM((doc_id * 13 + k * 7 + j * 3) % 256) AS BIGINT) AS byte_sum,
+           CAST(MIN(3 + doc_id % 3) AS BIGINT) AS header_frames
+    FROM by_byte
+    GROUP BY doc_id, k
+    """,
+)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame extraction under the oracle — the third
+    real decode tier (audio WAV, image BMP, now container AVI): synth_avi
+    writes one structurally valid RIFF/AVI file per document (hdrl LIST
+    with a truthful avih frame count + strl stream headers, movi LIST of
+    raw '00db' frames; stdlib struct only) and extract_avi_frames walks
+    the real RIFF chunk grammar back — nested LISTs, little-endian sizes,
+    and the even-byte padding rule, which the deliberately odd frame
+    lengths make load-bearing: a walker that skips the pad desyncs on
+    the first odd frame and every subsequent fourcc misparses. One row
+    per extracted frame with its exact byte sum plus the avih header's
+    frame count, all recomputed a priori by the oracle from the
+    closed-form frame formula. This is the real-container upgrade of
+    multimodal_frame_sample's byte-slicing stand-in."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.extract_avi_frames(M.synth_avi(docs))
+
+
+@query(
     "llm_hot_shingle_cap",
     tags=("L2", "A2"),
     oracle="""

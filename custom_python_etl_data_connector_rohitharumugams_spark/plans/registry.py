@@ -70,12 +70,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # scalar_conditional_customer_report, scalar_date_order_report,
 # scalar_id_generation, scalar_null_handling_report,
 # scalar_variant_event_payloads, sql_cube_lineitem_volume,
-# sql_first_last_event_values — plus llm_langid_ngram,
-# multimodal_wav_decode, and multimodal_bmp_decode, registered later in
-# round 7 outside the already-saturated window) close the evidence gap
-# in round 8: with the r7 window's rows recorded, the simulated round-8
-# composition is 16 first-time + a 33-slot exact cover = 49 <= 50.
-# Re-run tools/window_optimizer.py at round-8 start to emit it.
+# sql_first_last_event_values — plus the five queries registered later
+# in round 7 outside the already-saturated window: llm_langid_ngram,
+# multimodal_wav_decode, multimodal_bmp_decode, multimodal_avi_frames,
+# connector_gzip_landing) close the evidence gap in round 8 EXACTLY:
+# with the r7 window's rows recorded, the simulated round-8 composition
+# is 18 first-time + a 32-slot exact cover = 50 — a full window with
+# zero slack, so any query registered in round 8 itself earns its row
+# in round 9. Re-run tools/window_optimizer.py at round-8 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan.

@@ -573,3 +573,46 @@ def test_decode_bmp_contains_corrupt_and_pins_layout(spark):
         )
         assert r.weighted_sum == straight
         assert straight != flipped and straight != swapped
+
+
+def test_extract_avi_frames_contains_corrupt_and_needs_padding(spark):
+    """AVI walker containment (truncated container, wrong list type,
+    garbage, NULL => no rows) and proof the even-byte padding rule is
+    load-bearing: un-padding the synthesized file around an odd-sized
+    frame desyncs the walk, so the parser must either bail or return a
+    frame set different from the padded truth — never silently agree."""
+    import struct
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    good = M.synth_avi(spark.createDataFrame([(1,), (5,)], "doc_id long"))
+    rows = [(r.doc_id, bytes(r.data)) for r in good.collect()]
+    hostile = rows + [
+        (300, rows[0][1][:40]),        # truncated inside hdrl
+        (301, b"RIFFxxxxWAVE"),        # RIFF but not AVI
+        (302, b"\x00" * 64),           # garbage
+        (303, None),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = [(r.doc_id, r.frame_id, r.n_bytes, r.byte_sum, r.header_frames)
+           for r in M.extract_avi_frames(df).collect()]
+    by_doc = {}
+    for doc_id, *rest in out:
+        by_doc.setdefault(doc_id, []).append(rest)
+    assert set(by_doc) == {1, 5}
+    for doc_id in (1, 5):
+        frames = M._avi_frames(doc_id)
+        got = sorted(tuple(r) for r in by_doc[doc_id])
+        assert got == [(k, len(f), sum(f), len(frames)) for k, f in enumerate(frames)]
+    # pad-rule desync: rebuild doc 1's movi with an UNPADDED odd chunk
+    raw = rows[0][1]
+    odd = raw.find(b"00db" + struct.pack("<I", 17))  # 17-byte frame chunk
+    assert odd > 0
+    pad_pos = odd + 8 + 17
+    unpadded = raw[:pad_pos] + raw[pad_pos + 1 :]  # drop its pad byte
+    bad = spark.createDataFrame([(400, unpadded)], "doc_id long, data binary")
+    desynced = [(r.frame_id, r.n_bytes) for r in M.extract_avi_frames(bad).collect()]
+    truth = [(k, len(f)) for k, f in enumerate(M._avi_frames(1))]
+    assert desynced != truth
