@@ -22,7 +22,7 @@ def tokens(text: Column | str) -> Column:
 
 
 def bpe_ish_tokens(text: Column | str) -> Column:
-    """Regex token split approximating a BPE pre-tokenizer: word pieces,
+    r"""Regex token split approximating a BPE pre-tokenizer: word pieces,
     digit runs, or single non-space symbols. The whitespace class is
     spelled EXPLICITLY: Java's \s includes vertical tab, RE2's (DuckDB)
     does not, so the shorthand silently classifies VT differently across

@@ -1,0 +1,423 @@
+"""Advanced scale-pattern operators: grouped OLS regression, an
+O(N log N) skyline (vs the oracle's quadratic NOT-EXISTS definition),
+fixed-point integer PageRank, and Z-order (Morton) layout clustering.
+
+Each query here exists to demonstrate a pattern that matters at 100 TB:
+
+- ``analytics_ols_price_by_size`` — closed-form grouped regression from
+  one partial-aggregable pass (no iterative solver, no UDF);
+- ``analytics_skyline_parts`` — the skyline/pareto-frontier operator
+  re-expressed as group-then-sweep so the quadratic dominance anti-join
+  the SQL definition implies never runs;
+- ``graph_pagerank_suppliers`` — an iterative graph algorithm done as
+  pure joins+aggregates with integer fixed-point arithmetic so results
+  are bit-identical across engines and partitionings (float summation
+  order can never drift the answer);
+- ``layout_zorder_order_stats`` — space-filling-curve file layout: the
+  write-side half of scan pruning, with per-file min/max ranges that
+  show why Z-ordered files prune on BOTH dimensions.
+
+All arithmetic that crosses the oracle boundary is exact-integer or a
+single exactly-rounded IEEE op on identical operands, per the registry's
+parity rules (plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "analytics_ols_price_by_size",
+    tags=("A1", "F3", "A5"),
+    oracle="""
+    SELECT p_brand,
+           n_parts,
+           ROUND(slope_raw, 6) AS slope_cents_per_size,
+           ROUND((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+                 / CAST(n_parts AS DOUBLE), 6) AS intercept_cents,
+           ROUND((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                 / NULLIF(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE), 0.0),
+                 6) AS r2
+    FROM (
+        SELECT p_brand, n_parts, sx, sy, num, denx, deny,
+               CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope_raw
+        FROM (
+            SELECT p_brand,
+                   COUNT(*) AS n_parts,
+                   SUM(x) AS sx,
+                   SUM(y) AS sy,
+                   COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS num,
+                   COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS denx,
+                   COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS deny
+            FROM (
+                SELECT p_brand,
+                       CAST(p_size AS BIGINT) AS x,
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+                FROM part
+            )
+            GROUP BY p_brand
+        )
+        WHERE n_parts >= 2 AND denx <> 0
+    )
+    ORDER BY p_brand
+    """,
+)
+def analytics_ols_price_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary-least-squares fit of retail price (integer
+    cents) against size, from ONE grouped pass of partial-aggregable
+    sums — the closed-form normal equations, no iterative solver.
+
+    Scale shape: the six sums are all map-side-combinable, so the only
+    shuffle is one hash aggregation on ``p_brand``; everything after is
+    per-group scalar math. The moment sums are exact BIGINTs (price is
+    quantized to cents first), so the slope/intercept/r2 doubles are
+    each ONE exactly-rounded IEEE op on identical operands in any
+    engine or partitioning. At extreme per-group cardinality (~1e9+
+    rows/group) the raw moments would near the 2^53/BIGINT edge; the
+    production variant centers x/y first (same one-pass shape).
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    g = (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .withColumn("num", F.col("n_parts") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn("denx", F.col("n_parts") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .withColumn("deny", F.col("n_parts") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .where((F.col("n_parts") >= 2) & (F.col("denx") != 0))
+        .withColumn("slope_raw", F.col("num").cast("double") / F.col("denx").cast("double"))
+    )
+    return g.select(
+        "p_brand",
+        "n_parts",
+        F.round(F.col("slope_raw"), 6).alias("slope_cents_per_size"),
+        F.round(
+            (F.col("sy").cast("double") - F.col("slope_raw") * F.col("sx").cast("double"))
+            / F.col("n_parts").cast("double"),
+            6,
+        ).alias("intercept_cents"),
+        F.round(
+            (F.col("num").cast("double") * F.col("num").cast("double"))
+            / F.nullif(
+                F.col("denx").cast("double") * F.col("deny").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("r2"),
+    ).orderBy("p_brand")
+
+
+@query(
+    "analytics_skyline_parts",
+    tags=("W2", "A1", "J1", "O1"),
+    oracle="""
+    SELECT a.p_partkey,
+           CAST(ROUND(a.p_retailprice * 100) AS BIGINT) AS price_cents,
+           a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+)
+def analytics_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (pareto frontier, minimize price AND size): the parts
+    no other part strictly dominates.
+
+    The SQL definition (the oracle) is a quadratic dominance anti-join.
+    This plan is the O(N log N) group-then-sweep equivalent:
+
+    1. distributed group on price -> min size per distinct price;
+    2. one ordered sweep over DISTINCT PRICES: a price group survives
+       iff its min size is strictly below the running min over all
+       strictly-cheaper groups (``lag`` of the cumulative min);
+    3. broadcast the surviving (price, size) frontier back onto the
+       base table to recover full rows — duplicates of a frontier
+       point all survive (equal-equal never strictly dominates),
+       matching the NOT-EXISTS semantics exactly.
+
+    Scale shape: step 1 is a partial-aggregable shuffle on price; the
+    single-reducer window in step 2 runs over |distinct prices| rows,
+    not N — and the surviving frontier is tiny (it is a strictly
+    monotone staircase), so step 3 is a broadcast semi-structure join.
+    For a price domain too large even for one reducer, pre-split by a
+    coarse price bucket, sweep each bucket, and re-sweep the per-bucket
+    frontiers (frontier-of-frontiers) — same operator, two levels.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.min("p_size").alias("min_size"))
+    sweep = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        per_price.withColumn("prev_min", F.min("min_size").over(sweep))
+        .where(F.col("prev_min").isNull() | (F.col("min_size") < F.col("prev_min")))
+        .select("p_retailprice", "min_size")
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (part.p_retailprice == frontier.p_retailprice)
+            & (part.p_size == frontier.min_size),
+            "left_semi",
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+            "p_size",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# fixed-point PageRank constants: ranks live in integer micro-units so every
+# engine/partitioning computes bit-identical values (no float summation
+# order anywhere). damping 0.85 is applied as integer (85 * x) div 100.
+_PR_ONE = 1_000_000
+_PR_BASE = 150_000  # 0.15 * _PR_ONE
+_PR_ITERS = 3
+
+_PR_EDGES_SQL = """
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration fixed-point PageRank as chained CTEs (the
+    oracle twin of the Spark loop below; `//` is DuckDB integer div)."""
+    sql = f"""
+    WITH e0 AS ({_PR_EDGES_SQL}),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST({_PR_ONE} AS BIGINT) AS r FROM deg)
+    """
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+    i{i} AS (
+        SELECT e.dst AS node, SUM({prev}.r // deg.deg) AS inflow
+        FROM e JOIN deg ON e.src = deg.node JOIN {prev} ON e.src = {prev}.node
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT d.node,
+               CAST({_PR_BASE} + (85 * COALESCE(i{i}.inflow, 0)) // 100 AS BIGINT) AS r
+        FROM deg d LEFT JOIN i{i} ON d.node = i{i}.node
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           node // 2 AS entity_key,
+           r AS rank_micro
+    FROM {prev}
+    ORDER BY rank_micro DESC, node
+    LIMIT 100
+    """
+    return sql
+
+
+@query(
+    "graph_pagerank_suppliers",
+    tags=("J1", "J2", "A1", "F3"),
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (3 iterations, damping 0.85) over the
+    bipartite customer<->supplier trade graph, as pure joins+aggregates.
+
+    Graph: one undirected edge per DISTINCT (customer, supplier) trading
+    pair from orders |x| lineitem, held as both directed arcs; node ids
+    are integer-namespaced (customer 2k, supplier 2k+1). Every node in
+    the edge set has out-degree >= 1 (arcs are mirrored), so there is no
+    dangling-mass term.
+
+    Determinism: ranks are BIGINT micro-units; the per-edge contribution
+    is integer division ``r div deg`` and damping is ``(85*x) div 100``,
+    so every iteration is exact integer arithmetic — summation order,
+    partition count, and engine cannot change a single bit. That is what
+    lets an iterative algorithm sit under the exact-hash oracle.
+
+    Scale shape: each iteration is one shuffle-join of the edge list
+    against the current rank vector plus one aggregation on dst — the
+    standard distributed sparse matvec. The edge list is the reused
+    invariant; in production it would be persisted/bucketed by src once
+    so all iterations co-locate (documented, not cached here: at
+    fixture scale recomputing the edge subtree is cheaper than polluting
+    the suite-wide block-manager with per-query cached partitions).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edged = edges.join(deg, "src")  # (src, dst, deg) — the reused invariant
+    nodes = deg.select(F.col("src").alias("node"))
+
+    r = deg.select(F.col("src").alias("node"), F.lit(_PR_ONE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edged.join(r, edged.src == r.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr(f"(85 * coalesce(inflow, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return (
+        r.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node div 2").alias("entity_key"),
+            F.col("r").alias("rank_micro"),
+        )
+        .orderBy(
+            F.col("rank_micro").desc(),
+            F.expr("entity_key * 2 + cast(kind = 'supplier' as bigint)"),
+        )
+        .limit(100)
+    )
+
+
+# Z-order layout: 4 bits per dimension -> 256 cells -> 16 "files".
+_Z_BITS = 4
+_Z_SIDE = 1 << _Z_BITS  # 16 buckets per dimension
+_Z_FILES = 16
+
+
+def _interleave_sql(cb: str, db: str) -> str:
+    """Morton interleave of two 4-bit bucket ids as PURE ARITHMETIC
+    (div/mod/multiply) so the identical expression runs in Spark SQL and
+    DuckDB without leaning on either engine's bitwise-operator set."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({cb} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({db} // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _interleave_spark(cb: str, db: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({cb} div {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({db} div {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_order_stats",
+    tags=("F3", "A1", "A2", "S5"),
+    oracle=f"""
+    SELECT file_id,
+           COUNT(*) AS n_rows,
+           MIN(cb) AS min_cb, MAX(cb) AS max_cb,
+           MIN(db) AS min_db, MAX(db) AS max_db,
+           COUNT(DISTINCT z) AS n_cells,
+           CAST(MIN(cb) <= 7 AND MAX(cb) >= 7 AS INT) AS hits_cb7
+    FROM (
+        SELECT cb, db, z, z // {256 // _Z_FILES} AS file_id
+        FROM (
+            SELECT cb, db, {_interleave_sql("cb", "db")} AS z
+            FROM (
+                SELECT o_custkey % {_Z_SIDE} AS cb,
+                       (DATEDIFF('day', CAST(dmin AS DATE), CAST(o_orderdate AS DATE))
+                        * {_Z_SIDE}) // (span + 1) AS db
+                FROM orders
+                CROSS JOIN (
+                    SELECT MIN(o_orderdate) AS dmin,
+                           DATEDIFF('day', CAST(MIN(o_orderdate) AS DATE),
+                                    CAST(MAX(o_orderdate) AS DATE)) AS span
+                    FROM orders
+                )
+            )
+        )
+    )
+    GROUP BY file_id
+    ORDER BY file_id
+    """,
+)
+def layout_zorder_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout assignment for orders on
+    (customer bucket, order-date bucket), reported as per-file min/max
+    range stats — the write-side half of multi-dimension scan pruning.
+
+    Each row gets a 4+4-bit Morton code ``z`` interleaving its customer
+    bucket and date bucket; contiguous z-ranges become "files"
+    (256 cells -> 16 files). The per-file MIN/MAX columns are exactly
+    the footer stats a lake writer would persist, and they show the
+    z-order property: every file spans only a narrow range of BOTH
+    dimensions (``hits_cb7`` counts how many files a
+    ``customer_bucket = 7`` predicate would actually open — with a
+    1-D date-sorted layout every file hits; here only the files whose
+    cb-range straddles 7 do).
+
+    Scale shape: bucket + interleave are pure per-row integer
+    arithmetic (whole-stage codegen, no UDF, no shuffle); the stats
+    aggregate is one partial-aggregable shuffle on file_id. In
+    production the same z column is simply ``repartitionByRange(z)
+    .sortWithinPartitions(z)`` before the write — the stats here are
+    the proof of WHY that layout prunes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("dmin"),
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date")
+        ).alias("span"),
+    )
+    coded = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("o_custkey") % _Z_SIDE).alias("cb"),
+            F.expr(
+                f"(datediff(cast(o_orderdate as date), cast(dmin as date))"
+                f" * {_Z_SIDE}) div (span + 1)"
+            ).alias("db"),
+        )
+        .withColumn("z", F.expr(_interleave_spark("cb", "db")))
+        .withColumn("file_id", F.expr(f"z div {256 // _Z_FILES}"))
+    )
+    return (
+        coded.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cb").alias("min_cb"),
+            F.max("cb").alias("max_cb"),
+            F.min("db").alias("min_db"),
+            F.max("db").alias("max_db"),
+            F.countDistinct("z").alias("n_cells"),
+            ((F.min("cb") <= 7) & (F.max("cb") >= 7)).cast("int").alias("hits_cb7"),
+        )
+        .orderBy("file_id")
+    )

@@ -73,11 +73,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # sql_first_last_event_values — plus the five queries registered later
 # in round 7 outside the already-saturated window: llm_langid_ngram,
 # multimodal_wav_decode, multimodal_bmp_decode, multimodal_avi_frames,
-# connector_gzip_landing) close the evidence gap in round 8 EXACTLY:
-# with the r7 window's rows recorded, the simulated round-8 composition
-# is 18 first-time + a 32-slot exact cover = 50 — a full window with
-# zero slack, so any query registered in round 8 itself earns its row
-# in round 9. Re-run tools/window_optimizer.py at round-8 start.
+# connector_gzip_landing, and the plans/advanced.py quartet
+# analytics_ols_price_by_size / analytics_skyline_parts /
+# graph_pagerank_suppliers / layout_zorder_order_stats) close the
+# evidence gap across rounds 8-9: with the r7 window's rows recorded,
+# the simulated round-8 composition is 18 first-time + a 32-slot exact
+# cover = 50 (zero slack), so the overflow beyond 18 rides round 9.
+# Re-run tools/window_optimizer.py at round-8 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan.
@@ -166,6 +168,7 @@ def _load_all() -> None:
     unconditional: a swallowed ImportError would silently drop whole query
     families from the driver's correctness run."""
     from . import (  # noqa: F401
+        advanced,
         analytics,
         composed,
         connector_queries,

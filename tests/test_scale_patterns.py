@@ -201,6 +201,10 @@ def test_no_python_in_unexpected_query_plans(spark):
         "udf_scalar_name_clean", "udaf_weighted_avg_price", "udf_grouped_zscore",
         "udtf_tokenize_part_names",              # U1-U4: the UDF mechanism itself
         "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
+        "multimodal_wav_decode", "multimodal_bmp_decode",   # real codecs:
+        "multimodal_avi_frames",                            # Arrow-batched
+                                                 # RIFF/BMP byte parsing IS
+                                                 # the operator (L5 tier)
         "llm_ann_lsh_topk",                      # mapInPandas hyperplane GEMM
         "llm_kmeans_large_k",                    # mapInPandas assignment GEMM
                                                  # (the large-k branch IS the
@@ -550,3 +554,69 @@ def test_cosine_near_pairs_chunk_size_invariant(spark, monkeypatch):
     monkeypatch.setattr(S, "_GEMM_CHUNK_ELEMS", 7)  # a few rows per chunk
     tiny = sorted(map(tuple, S.cosine_near_pairs(emb, 0.35, n_blocks=2).collect()))
     assert tiny == base and len(base) > 0
+
+
+def test_advanced_round7_plan_shapes(spark):
+    """Plan-shape pins for the plans/advanced.py quartet:
+
+    - analytics_ols_price_by_size: the closed-form grouped regression is
+      ONE scan and ONE partial-aggregable shuffle — no join anywhere (the
+      whole point of folding the normal equations into moment sums);
+    - analytics_skyline_parts: the O(N log N) rewrite must never plan the
+      quadratic dominance join its SQL definition implies (no cartesian /
+      nested-loop), and the frontier re-join must be a broadcast semi;
+    - layout_zorder_order_stats: bucket + Morton interleave are pure
+      codegen arithmetic — no Python eval node may appear.
+    """
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    qs = all_queries()
+
+    ols = _physical_plan(qs["analytics_ols_price_by_size"].fn(spark, SF))
+    assert "Join" not in ols, f"regression plan grew a join:\n{ols[:600]}"
+    n_scans = ols.count("Scan parquet") + ols.count("BatchScan")
+    assert n_scans == 1
+    # partial aggregation: HashAggregate both below and above the exchange
+    assert ols.count("HashAggregate") >= 2
+
+    sky = _physical_plan(qs["analytics_skyline_parts"].fn(spark, SF))
+    assert "CartesianProduct" not in sky
+    assert "BroadcastNestedLoopJoin" not in sky
+    assert "BroadcastHashJoin" in sky and "LeftSemi" in sky
+
+    z = _physical_plan(qs["layout_zorder_order_stats"].fn(spark, SF))
+    assert "BatchEvalPython" not in z and "ArrowEvalPython" not in z
+
+
+def test_pagerank_bit_identical_across_partitionings(spark):
+    """The fixed-point-integer claim made falsifiable: PageRank ranks must
+    be BIT-identical when the shuffle partition count changes. (A float
+    implementation fails this — per-dst summation order shifts with the
+    partitioning and drifts the low bits, which is exactly why the ranks
+    are BIGINT micro-units with integer div damping.)"""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    fn = all_queries()["graph_pagerank_suppliers"].fn
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = [tuple(r) for r in fn(spark, SF).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = [tuple(r) for r in fn(spark, SF).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0
+
+
+def test_zorder_layout_actually_prunes_both_dimensions(spark):
+    """The reason Z-order exists: a single-attribute predicate must open
+    only a minority of z-laid-out files. With 16 files over a 16x16 grid,
+    a cb=7 point predicate touches the files whose cb-range straddles 7 —
+    strictly fewer than all of them (a date-sorted 1-D layout opens ALL
+    files for any cb predicate)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    rows = all_queries()["layout_zorder_order_stats"].fn(spark, SF).collect()
+    assert len(rows) > 1
+    hit = sum(r.hits_cb7 for r in rows)
+    assert 0 < hit < len(rows), f"no pruning: {hit}/{len(rows)} files hit"
