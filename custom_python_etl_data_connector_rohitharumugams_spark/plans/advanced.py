@@ -24,6 +24,8 @@ parity rules (plans/registry.py docstring).
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -198,6 +200,55 @@ _PR_EDGES_SQL = """
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 """
 
+#: per-(session, sf_dir) cache of the degree-annotated edge list. Iterative
+#: graph algorithms are THE case where materializing the invariant pays:
+#: without it Spark re-plans the orders|x|lineitem+distinct subtree for
+#: every join that references it (measured: 40 parquet scans / 53 live
+#: exchanges in the 3-iteration plan, ReusedExchange never fires across
+#: separately-built DataFrame lineages under AQE). Same session-artifact
+#: discipline as llm._EXACT_TRUTH / similarity's learned cells: bounded
+#: (distinct trading pairs x 3 BIGINTs), persisted once, dies with the
+#: session. In production this is the persist/bucket-by-src step the
+#: docstring below describes.
+_PR_EDGES: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, deg) mirrored-arc edge list of the customer<->supplier
+    trade graph — built once per (session, sf_dir) and persisted."""
+    per_session = _PR_EDGES.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    # stage the build: materialize the expensive distinct ONCE, so the
+    # union mirror / degree / degree-join below all read memory instead of
+    # re-running orders|x|lineitem per reference (DataFrame lineages never
+    # share exchanges across separately-built subtrees)
+    e0.count()
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edged = edges.join(deg, "src").persist()
+    # materialize NOW: a lazily-built cache under 7 concurrent consumer
+    # subtrees races (sibling stages each compute still-missing partitions);
+    # one eager pass builds every partition exactly once
+    edged.count()
+    e0.unpersist()
+    per_session[sf_dir] = edged
+    return edged
+
 
 def _pagerank_oracle() -> str:
     """Unrolled 3-iteration fixed-point PageRank as chained CTEs (the
@@ -257,24 +308,13 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each iteration is one shuffle-join of the edge list
     against the current rank vector plus one aggregation on dst — the
     standard distributed sparse matvec. The edge list is the reused
-    invariant; in production it would be persisted/bucketed by src once
-    so all iterations co-locate (documented, not cached here: at
-    fixture scale recomputing the edge subtree is cheaper than polluting
-    the suite-wide block-manager with per-query cached partitions).
+    invariant, persisted once per (session, corpus) via ``_trade_edges``
+    (in production: bucketed by src so all iterations co-locate);
+    without it the orders|x|lineitem+distinct subtree re-plans for every
+    reference — 40 scans in the 3-iteration plan, measured 2x slower.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edged = edges.join(deg, "src")  # (src, dst, deg) — the reused invariant
+    edged = _trade_edges(spark, sf_dir)  # (src, dst, deg) — the invariant
+    deg = edged.select("src", "deg").groupBy("src").agg(F.max("deg").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
 
     r = deg.select(F.col("src").alias("node"), F.lit(_PR_ONE).cast("long").alias("r"))

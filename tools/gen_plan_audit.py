@@ -45,16 +45,52 @@ PY_NODES = (
 )
 
 
-def _live_exchanges(plan: str) -> int:
-    """Exchange count EXCLUDING subtrees under an InMemoryRelation: a
-    cached (persisted) subtree's shuffles run once at materialization —
-    e.g. the shared learned-quantizer cell map — and every later execution
-    reads the InMemoryTableScan instead, so counting them per-query would
-    overstate the steady-state shuffle cost. Subtree extent is recovered
-    from the plan text's tree indentation (child nodes print strictly
-    deeper than their parent's branch marker)."""
+def _strip_initial_plans(plan: str) -> str:
+    """Drop AQE's ``== Initial Plan ==`` sections: the executed-plan string
+    prints BOTH the final (executing) plan and the pre-adaptive initial
+    plan for every AdaptiveSparkPlan node, so a naive node count doubles —
+    and a plan that references a cached frame N times reprints the cached
+    subtree's whole AQE section N times (measured: the 3-iteration
+    PageRank query printed 63 Initial-Plan sections, inflating its join
+    count 132 vs the real 2-joins-per-iteration shape). A section ends at
+    the first line back at (or above) the header's indentation."""
+    out: list[str] = []
     skip_col: int | None = None
-    n = 0
+    for line in plan.splitlines():
+        if not line.strip():
+            if skip_col is None:
+                out.append(line)
+            continue
+        m = re.search(r"[+:]- ", line)
+        col = m.start() if m else len(line) - len(line.lstrip())
+        if skip_col is not None:
+            if col > skip_col:
+                continue
+            skip_col = None
+        if "== Initial Plan ==" in line:
+            skip_col = col
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def _split_cached(plan: str) -> tuple[str, str]:
+    """Split the (initial-plan-stripped) plan text into (live, cached)
+    line sets: cached = subtrees under an InMemoryRelation. A cached
+    (persisted) subtree's shuffles run once at materialization — e.g. the
+    shared learned-quantizer cell map or PageRank's degree-annotated edge
+    list — and every later execution reads the InMemoryTableScan instead,
+    so counting its nodes per-query would overstate the steady-state
+    cost. Subtree extent is recovered from the plan text's tree
+    indentation (child nodes print strictly deeper than their parent's
+    branch marker).
+
+    Every REFERENCE to a cached frame reprints its subtree, so identical
+    cached blocks are deduplicated (keyed on their dedented text) — the
+    returned cached text carries each distinct materialization once."""
+    live: list[str] = []
+    blocks: list[list[str]] = []
+    skip_col: int | None = None
     for line in plan.splitlines():
         if not line.strip():
             continue
@@ -64,27 +100,34 @@ def _live_exchanges(plan: str) -> int:
         col = m.start() if m else len(line) - len(line.lstrip())
         if skip_col is not None:
             if col > skip_col:
+                blocks[-1].append(line.strip())
                 continue
             skip_col = None
         if "InMemoryRelation" in line:
             skip_col = col
+            blocks.append([line.strip()])
             continue
-        if re.search(r"\bExchange\b", line):
-            n += 1
-    return n
+        live.append(line)
+    uniq = {"\n".join(b) for b in blocks}
+    return "\n".join(live), "\n".join(sorted(uniq))
 
 
 def audit_plan(plan: str) -> dict:
+    """Count nodes on the FINAL (executing) plan only, split into live
+    per-execution cost vs once-per-session cached-subtree cost."""
+    stripped = _strip_initial_plans(plan)
+    live, cached_part = _split_cached(stripped)
     counts = Counter()
     for node in JOIN_NODES + PY_NODES:
-        n = len(re.findall(rf"\b{node}\b", plan))
+        n = len(re.findall(rf"\b{node}\b", live))
         if n:
             counts[node] = n
     return {
         "joins": {n: c for n, c in counts.items() if n in JOIN_NODES},
         "python": {n: c for n, c in counts.items() if n in PY_NODES},
-        "exchanges": _live_exchanges(plan),
-        "exchanges_total": len(re.findall(r"\bExchange\b", plan)),
+        "exchanges": len(re.findall(r"\bExchange\b", live)),
+        "exchanges_total": len(re.findall(r"\bExchange\b", live))
+        + len(re.findall(r"\bExchange\b", cached_part)),
         "pushed_filters": "PushedFilters: [" in plan
         and "PushedFilters: []" not in plan,
         "pruned_scan": bool(re.search(r"ReadSchema: struct<[^>]+>", plan)),
