@@ -15,7 +15,13 @@ Each query here exists to demonstrate a pattern that matters at 100 TB:
   order can never drift the answer);
 - ``layout_zorder_order_stats`` — space-filling-curve file layout: the
   write-side half of scan pruning, with per-file min/max ranges that
-  show why Z-ordered files prune on BOTH dimensions.
+  show why Z-ordered files prune on BOTH dimensions;
+- ``llm_token_budget_downsample`` — EXACT per-domain token-budget
+  admission (the execution step of the mixture plan) as one window
+  prefix-sum pass, deterministic under any partitioning;
+- ``layout_compaction_plan`` — small-file compaction planning
+  (next-fit-decreasing bin packing) as per-partition window arithmetic
+  over file metadata.
 
 All arithmetic that crosses the oracle boundary is exact-integer or a
 single exactly-rounded IEEE op on identical operands, per the registry's
@@ -460,4 +466,187 @@ def layout_zorder_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.min("cb") <= 7) & (F.max("cb") >= 7)).cast("int").alias("hits_cb7"),
         )
         .orderBy("file_id")
+    )
+
+
+# token-budget downsampling: each source is cut to at most ~BUDGET tokens by
+# admitting docs in deterministic hash-rank order until the budget is spent.
+_DOWNSAMPLE_BUDGET = 800
+
+
+@query(
+    "llm_token_budget_downsample",
+    tags=("L13", "W3", "A1"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   AS rk,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+        SELECT source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY rk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM toks
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN cum_before < {_DOWNSAMPLE_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN cum_before < {_DOWNSAMPLE_BUDGET} THEN n_tokens
+                         ELSE 0 END) AS BIGINT) AS admitted_tokens
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def llm_token_budget_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-budget downsampling — the execution step the
+    domain-mixture PLAN (llm_domain_mixture_plan) feeds: every source is
+    cut to its token budget by admitting documents in deterministic
+    md5-rank order until the running total first reaches the budget (the
+    boundary doc is admitted: admission tests tokens BEFORE the doc, so
+    the output is never empty and overshoot is bounded by one document —
+    the standard prefix-sum admission rule).
+
+    Unlike the plan's bucket-rate sampling (admit-if-hash<cutoff, which
+    only hits a budget in expectation), this is the exact variant used
+    when the token budget is a hard contract (e.g. a per-domain training
+    quota). Still fully deterministic: rank = md5(doc_id), so membership
+    is reproducible across runs, engines, and partitionings.
+
+    Scale shape: ONE window pass partitioned by source (each source's
+    prefix sum runs within its partition — no global sort, no driver
+    loop), then one hash aggregate. At 100 TB the window shuffle is on
+    the mixture key, whose cardinality (domains) is small but whose
+    groups are huge — the partition-internal sort is the cost, and it is
+    exactly the sort the training-shard writer needs anyway (shards are
+    emitted in admission order).
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("rk"),
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    admitted = F.col("cum_before") < _DOWNSAMPLE_BUDGET
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(admitted.cast("bigint")).cast("bigint").alias("n_admitted"),
+            F.sum(F.when(admitted, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("admitted_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# compaction planning: pack per-source landed files (one JSONL doc == one
+# file, the classic small-file problem) into ~TARGET-byte output files.
+_COMPACT_TARGET_BYTES = 2000
+
+
+@query(
+    "layout_compaction_plan",
+    tags=("W3", "A1", "F3", "O1"),
+    oracle=f"""
+    WITH files AS (
+        SELECT source, doc_id, CAST(strlen(text) AS BIGINT) AS bytes
+        FROM documents WHERE text IS NOT NULL
+    ),
+    packed AS (
+        SELECT source, bytes,
+               CAST(COALESCE(SUM(bytes) OVER (
+                   PARTITION BY source ORDER BY bytes DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // {_COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT source,
+           bin_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MAX(bytes) AS largest_file,
+           MIN(bytes) AS smallest_file,
+           CAST(SUM(bytes) * 1000 // {_COMPACT_TARGET_BYTES} AS BIGINT)
+               AS fill_permille
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lake-maintenance twin of the
+    Z-order layout query: per partition (source), pack landed files into
+    ~TARGET-byte output files by sorted-prefix-sum bin assignment
+    (next-fit-decreasing: files sorted largest-first, a bin closes when
+    its running bytes reach the target; a boundary file lands in the bin
+    its prefix sum falls in, so overflow is bounded by one file). Each
+    document models one landed file (the JSONL-per-record landing
+    pattern that CREATES the small-file problem); its byte size is the
+    real payload size.
+
+    The emitted rows ARE the compaction plan a maintenance job executes:
+    (source, bin_id) -> which files coalesce into which output file,
+    with per-bin fill stats in exact integer permille (no float
+    crosses the oracle boundary).
+
+    Scale shape: one window pass partitioned by the lake partition key —
+    compaction never merges across partitions, so parallelism is
+    per-partition and the prefix-sum sort is the per-partition file
+    listing sort (thousands of files, not rows: this operator runs on
+    METADATA, which is why a 100 TB table's compaction plan is cheap).
+    """
+    files = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            F.octet_length(F.col("text")).cast("bigint").alias("bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bytes").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "bin_id",
+        F.expr(
+            f"coalesce(sum(bytes) over (partition by source order by bytes desc,"
+            f" doc_id rows between unbounded preceding and 1 preceding), 0L)"
+            f" div {_COMPACT_TARGET_BYTES}"
+        ),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.max("bytes").alias("largest_file"),
+            F.min("bytes").alias("smallest_file"),
+            F.expr(f"sum(bytes) * 1000 div {_COMPACT_TARGET_BYTES}").alias(
+                "fill_permille"
+            ),
+        )
+        .orderBy("source", "bin_id")
     )
