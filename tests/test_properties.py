@@ -417,3 +417,95 @@ def test_scaled_pq_budgets_invariants(n_vectors, n_lists):
     assert rerank >= 5
     _, rerank2 = scaled_pq_budgets(2 * n_vectors, n_lists=n_lists)
     assert rerank2 >= rerank  # monotone in corpus size
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # source id
+            st.integers(0, 10_000), # doc id (dedup below)
+            st.integers(1, 400),    # token count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_budget_admission_is_exactly_a_rank_prefix(spark, rows):
+    """Token-budget downsampling algebra (llm_token_budget_downsample):
+    because cum_before is non-decreasing in rank order, the admitted set
+    is EXACTLY a per-source prefix of the rank order — so (a) at least
+    one doc per source is admitted, (b) if anything was rejected the
+    admitted tokens already reached the budget, and (c) overshoot is
+    bounded by the last admitted doc. Checked against a pure-python
+    mirror of the rule on arbitrary frames."""
+    from pyspark.sql import Window
+
+    budget = 500
+    uniq = {(s, d): t for s, d, t in rows}
+    data = [(f"s{s}", d, t) for (s, d), t in uniq.items()]
+    df = spark.createDataFrame(data, "source string, doc_id long, n_tokens long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("admitted", F.col("cum_before") < budget)
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        flags = [r.admitted for r in rs]
+        # prefix property: no admitted doc after a rejected one
+        assert flags == sorted(flags, reverse=True), (src, flags)
+        assert flags[0], f"{src}: first-ranked doc must always be admitted"
+        admitted_tokens = sum(r.n_tokens for r in rs if r.admitted)
+        if not all(flags):
+            assert admitted_tokens >= budget
+        # overshoot bounded by one document
+        last = [r for r in rs if r.admitted][-1]
+        assert admitted_tokens - last.n_tokens < budget
+
+
+def test_compaction_plan_partitions_files_and_fills_bins(spark):
+    """layout_compaction_plan invariants on the fixture: per source the
+    bins are contiguous 0..max, every file lands in exactly one bin
+    (byte/file totals preserved), every non-final bin's cumulative end
+    crosses its target boundary (that is WHY the next bin opened), and
+    fill_permille is exactly bin_bytes*1000 div target."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.advanced import (
+        _COMPACT_TARGET_BYTES as T,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["layout_compaction_plan"].fn(spark, sf).collect()
+    d = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    truth = {
+        r.source: (r.n, r.total)
+        for r in d.groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("text").cast("bigint")).alias("total"),
+        ).collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r.fill_permille == r.bin_bytes * 1000 // T
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(truth)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r.bin_id)
+        assert [r.bin_id for r in rs] == list(range(len(rs))), src
+        assert sum(r.n_files for r in rs) == truth[src][0]
+        assert sum(r.bin_bytes for r in rs) == truth[src][1]
+        cum = 0
+        for r in rs[:-1]:
+            cum += r.bin_bytes
+            assert cum >= (r.bin_id + 1) * T, (
+                f"{src} bin {r.bin_id} closed before reaching its target"
+            )
