@@ -620,3 +620,80 @@ def test_zorder_layout_actually_prunes_both_dimensions(spark):
     assert len(rows) > 1
     hit = sum(r.hits_cb7 for r in rows)
     assert 0 < hit < len(rows), f"no pruning: {hit}/{len(rows)} files hit"
+
+
+def test_zorder_written_files_enable_two_dimensional_pruning(spark, tmp_path):
+    """The write-side of layout_zorder_order_stats, executed for real:
+    orders written as 16 parquet files via repartitionByRange(z) +
+    sortWithinPartitions(z) vs the same data date-sorted (the 1-D layout).
+    Reading each file's REAL footer stats back (min/max of the customer
+    bucket), a cb=7 point predicate can skip a strict majority of
+    z-ordered files — while under the date-sorted layout every single
+    file straddles cb=7 and nothing can be skipped. Results of the
+    filtered read are identical under both layouts."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.advanced import (
+        _Z_SIDE,
+        _interleave_spark,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("dmin"),
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date")
+        ).alias("span"),
+    )
+    coded = (
+        orders.crossJoin(F.broadcast(bounds))
+        .withColumn("cb", (F.col("o_custkey") % _Z_SIDE).cast("int"))
+        .withColumn(
+            "db",
+            F.expr(
+                f"cast((datediff(cast(o_orderdate as date), cast(dmin as date))"
+                f" * {_Z_SIDE}) div (span + 1) as int)"
+            ),
+        )
+        .withColumn("z", F.expr(_interleave_spark("cb", "db")))
+        .drop("dmin", "span")
+    )
+    zpath = str(tmp_path / "orders_z")
+    dpath = str(tmp_path / "orders_datesorted")
+    coded.repartitionByRange(16, "z").sortWithinPartitions("z").write.mode(
+        "overwrite"
+    ).parquet(zpath)
+    coded.repartitionByRange(16, "db").sortWithinPartitions("db").write.mode(
+        "overwrite"
+    ).parquet(dpath)
+
+    def files_hit(path: str) -> tuple[int, int]:
+        hit = total = 0
+        for f in _glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "cb"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            total += 1
+            if min(mins) <= 7 <= max(maxs):
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = files_hit(zpath)
+    d_hit, d_total = files_hit(dpath)
+    assert z_total >= 8 and d_total >= 8
+    assert d_hit == d_total, "1-D date-sorted layout should never prune on cb"
+    assert z_hit * 2 < z_total, (
+        f"z-order should let a cb=7 predicate skip most files ({z_hit}/{z_total})"
+    )
+    # and the filtered reads agree
+    zc = spark.read.parquet(zpath).where("cb = 7").count()
+    dc = spark.read.parquet(dpath).where("cb = 7").count()
+    assert zc == dc == coded.where("cb = 7").count() > 0
