@@ -884,3 +884,154 @@ def llm_incremental_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFra
     return new_docs.join(
         matches, new_docs.doc_id == matches.n, "left"
     ).select("doc_id", F.col("__hit").isNull().alias("admitted"))
+
+
+# -- the full-chain corpus build (round 7) ------------------------------------
+E2E_BUDGET = 500  # per-source token quota after cleaning
+E2E_SHARDS = 8
+
+
+@query(
+    "llm_corpus_build_e2e",
+    tags=("L1", "L9", "L12", "L13", "L10"),
+    oracle=f"""
+    WITH {CONTAMINATION_CTES},
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY COALESCE(md5(text), '__null__' || CAST(doc_id AS VARCHAR))
+    ),
+    clean AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d
+        JOIN keepers k USING (doc_id)
+        WHERE d.doc_id % {BENCH_MODULUS} <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated_pairs)
+    ),
+    quality AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM clean
+        WHERE len(string_split(text, ' '))
+                  BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+          AND CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                  / len(string_split(text, ' '))
+                  BETWEEN {MIN_AVG_TOKLEN} AND {MAX_AVG_TOKLEN}
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO}
+    ),
+    admitted AS (
+        SELECT doc_id, source, n_tokens
+        FROM (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                     AS BIGINT), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM quality
+        )
+        WHERE cum_before < {E2E_BUDGET}
+    )
+    SELECT source,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                    AS BIGINT) % {E2E_SHARDS}) AS BIGINT) AS n_shards
+    FROM admitted
+    GROUP BY 1, 2
+    ORDER BY source, split
+    """,
+)
+def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus build as ONE declarative Catalyst plan — every
+    stage a production pre-training pipeline runs, composed as DataFrame
+    transformations with nothing materialized in between:
+
+    1. exact dedup (keep smallest doc_id per text digest, null-safe);
+    2. benchmark holdout + decontamination (shared-shingle rule, the
+       same single definition llm_benchmark_overlap checks);
+    3. Gopher/C4-style quality gate (token bounds, mean-token-length
+       bounds, vocabulary-diversity floor — llm_quality_filter_report's
+       exact rule);
+    4. hard per-source token-budget admission (md5-rank prefix sum —
+       llm_token_budget_downsample's exact rule);
+    5. deterministic 90/10 split + md5 shard assignment (the shardsink
+       rule), reported per (source, split) with distinct-shard counts.
+
+    Each stage is a semi/anti join or filter against a small derived
+    frame; Catalyst pipelines the lot, pushes the scan down to the four
+    needed columns, and the only wide operations are the contamination
+    shingle join (benchmark side broadcast), the per-source admission
+    window, and the final aggregate. The point of this query: a user can
+    swap any stage's constant and the ENTIRE build re-plans — no
+    intermediate files, no orchestration glue, one lineage from raw docs
+    to shard roster.
+    """
+    from ..functions.text import distinct_ratio as _distinct_ratio
+    from ..operators.dedup import shingle_postings
+    from ..sources.shardsink import shard_assignment
+
+    d = load_table(spark, sf_dir, "documents")
+    dig = F.coalesce(
+        F.md5("text"),
+        F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
+    )
+    keepers = d.groupBy(dig.alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
+    contaminated = (
+        contamination_pairs(shingle_postings(d, shingle_n=3))
+        .select("doc_id")
+        .distinct()
+    )
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    avg_toklen = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+    quality = (
+        d.where(F.col("doc_id") % BENCH_MODULUS != 0)
+        .join(keepers.select("doc_id"), "doc_id", "semi")
+        .join(contaminated, "doc_id", "anti")
+        .where(
+            n_tokens.between(MIN_TOKENS, MAX_TOKENS)
+            & avg_toklen.between(MIN_AVG_TOKLEN, MAX_AVG_TOKLEN)
+            & (_distinct_ratio(toks) >= MIN_DISTINCT_RATIO)
+        )
+        .select(
+            "doc_id",
+            "source",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    admitted = quality.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).where(F.col("cum_before") < E2E_BUDGET)
+    return (
+        admitted.select(
+            "source",
+            "n_tokens",
+            F.when(_md5_bucket(F.col("doc_id"), 100) < 90, "train")
+            .otherwise("val")
+            .alias("split"),
+            shard_assignment(F.col("doc_id"), E2E_SHARDS).alias("shard"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("shard").cast("bigint").alias("n_shards"),
+        )
+        .orderBy("source", "split")
+    )
