@@ -964,8 +964,10 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
        rule), reported per (source, split) with distinct-shard counts.
 
     Each stage is a semi/anti join or filter against a small derived
-    frame; Catalyst pipelines the lot, pushes the scan down to the four
-    needed columns, and the only wide operations are the contamination
+    frame; Catalyst pipelines the lot, prunes every documents scan to
+    the 2-3 needed columns (pytest-pinned: test_scale_patterns.py::
+    test_corpus_build_e2e_scans_are_pruned), and the only wide
+    operations are the contamination
     shingle join (benchmark side broadcast), the per-source admission
     window, and the final aggregate. The point of this query: a user can
     swap any stage's constant and the ENTIRE build re-plans — no

@@ -697,3 +697,22 @@ def test_zorder_written_files_enable_two_dimensional_pruning(spark, tmp_path):
     zc = spark.read.parquet(zpath).where("cb = 7").count()
     dc = spark.read.parquet(dpath).where("cb = 7").count()
     assert zc == dc == coded.where("cb = 7").count() > 0
+
+
+def test_corpus_build_e2e_scans_are_pruned(spark):
+    """The one-plan corpus build's 100 TB claim in its docstring: every
+    scan of the documents table is pruned to the 2-3 columns the build
+    actually consumes (doc_id/text for dedup+contamination postings,
+    +source for the main branch) — never the full 5-column schema. A
+    regression here (e.g. a new stage selecting '*') would re-read the
+    whole corpus width per stage."""
+    import re
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    plan = _physical_plan(all_queries()["llm_corpus_build_e2e"].fn(spark, SF))
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas, "no parquet scans found in the e2e plan"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text", "source"}, f"unpruned scan: {cols}"
