@@ -535,3 +535,209 @@ def extract_avi_frames(df: DataFrame) -> DataFrame:
         schema="doc_id long, frame_id long, n_bytes long, byte_sum long, "
         "header_frames long",
     )
+
+
+# -- PNG: the COMPRESSED image tier, real codec (stdlib zlib) -----------------
+# Unlike BMP (uncompressed), PNG scanlines pass through two real coding
+# layers: per-row predictive FILTERS (None/Sub/Up/Average/Paeth) and a zlib
+# DEFLATE stream. Both are implemented for real on both sides below; only
+# DCT formats (JPEG) remain behind the disclosed fake.
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form image dimensions for ``doc_id`` (3-8 x 2-6 px)."""
+    return 3 + doc_id % 6, 2 + doc_id % 5
+
+
+def _png_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Channel value (R,G,B = c 0,1,2) — the formula the oracle recomputes."""
+    return (doc_id * 11 + y * 61 + x * 23 + c * 37) % 256
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec section 9, Filtering)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL PNG payloads: signature, IHDR (8-bit
+    truecolor), zlib-compressed IDAT, IEND — every chunk carrying its
+    real CRC32. Each scanline is predictively FILTERED before
+    compression, cycling through all five PNG filter types with
+    ``(y + doc_id) % 5`` so every filter is exercised across the corpus;
+    the zlib stream is deliberately split across TWO IDAT chunks at an
+    odd offset, making the decoder's IDAT concatenation load-bearing.
+    Built with stdlib struct+zlib only, Arrow-batched on executors."""
+    import struct
+    import zlib
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = _png_dims(doc_id)
+                bpp = 3
+                raw = bytearray()
+                prev = bytes(w * bpp)
+                for y in range(h):
+                    row = bytes(
+                        _png_pixel(doc_id, x, y, c)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    ftype = (y + doc_id) % 5
+                    raw.append(ftype)
+                    for i in range(len(row)):
+                        left = row[i - bpp] if i >= bpp else 0
+                        up = prev[i]
+                        ul = prev[i - bpp] if i >= bpp else 0
+                        if ftype == 0:
+                            f = row[i]
+                        elif ftype == 1:
+                            f = row[i] - left
+                        elif ftype == 2:
+                            f = row[i] - up
+                        elif ftype == 3:
+                            f = row[i] - ((left + up) >> 1)
+                        else:
+                            f = row[i] - _paeth(left, up, ul)
+                        raw.append(f & 0xFF)
+                    prev = row
+                z = zlib.compress(bytes(raw), 6)
+                cut = min(5, len(z) - 1) or 1  # odd split -> 2 IDAT chunks
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", z[:cut])
+                    + chunk(b"IDAT", z[cut:])
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: verifies the PNG signature, walks
+    the chunk grammar verifying every CRC32, parses IHDR, concatenates
+    all IDAT payloads, zlib-DECOMPRESSES the scanline stream, and undoes
+    the per-row predictive filter (all five types: None/Sub/Up/Average/
+    Paeth, reconstructed exactly per the PNG spec) before summing
+    pixels. Returns (doc_id, width, height, pixel_sum, weighted_sum) —
+    the same layout-pinning checksum contract as decode_bmp (channel
+    weights break channel-swap, row weights break flips; a decoder that
+    skips filter reconstruction or mis-concatenates IDAT breaks BOTH
+    sums). Corrupt payloads (bad magic, CRC mismatch, truncated DEFLATE
+    stream, bad IHDR) yield no row."""
+    import struct
+    import zlib
+
+    src = df.select("doc_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "pixel_sum", "weighted_sum")
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    if bytes(raw[:8]) != b"\x89PNG\r\n\x1a\n":
+                        continue
+                    pos, ihdr, idat, ok = 8, None, b"", True
+                    while pos + 8 <= len(raw):
+                        (ln,) = struct.unpack_from(">I", raw, pos)
+                        ctype = bytes(raw[pos + 4 : pos + 8])
+                        data = bytes(raw[pos + 8 : pos + 8 + ln])
+                        if len(data) != ln or pos + 12 + ln > len(raw):
+                            ok = False
+                            break
+                        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+                        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                            ok = False
+                            break
+                        if ctype == b"IHDR":
+                            ihdr = data
+                        elif ctype == b"IDAT":
+                            idat += data
+                        elif ctype == b"IEND":
+                            break
+                        pos += 12 + ln
+                    if not ok or ihdr is None or len(ihdr) != 13:
+                        continue
+                    w, h, depth, ctype_, comp, filt, inter = struct.unpack(
+                        ">IIBBBBB", ihdr
+                    )
+                    if depth != 8 or ctype_ != 2 or comp or filt or inter:
+                        continue
+                    bpp = 3
+                    stream = zlib.decompress(idat)
+                    if len(stream) != h * (1 + w * bpp):
+                        continue
+                    total = weighted = 0
+                    prev = bytearray(w * bpp)
+                    for y in range(h):
+                        base = y * (1 + w * bpp)
+                        ftype = stream[base]
+                        row = bytearray(stream[base + 1 : base + 1 + w * bpp])
+                        for i in range(len(row)):
+                            left = row[i - bpp] if i >= bpp else 0
+                            up = prev[i]
+                            ul = prev[i - bpp] if i >= bpp else 0
+                            if ftype == 1:
+                                row[i] = (row[i] + left) & 0xFF
+                            elif ftype == 2:
+                                row[i] = (row[i] + up) & 0xFF
+                            elif ftype == 3:
+                                row[i] = (row[i] + ((left + up) >> 1)) & 0xFF
+                            elif ftype == 4:
+                                row[i] = (row[i] + _paeth(left, up, ul)) & 0xFF
+                            elif ftype != 0:
+                                raise ValueError("bad filter type")
+                        total += sum(row)
+                        for x in range(w):
+                            for c in range(3):
+                                weighted += (y + 1) * (c + 1) * row[x * bpp + c]
+                        prev = row
+                except (struct.error, zlib.error, ValueError):
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(total)
+                out["weighted_sum"].append(weighted)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, pixel_sum long, "
+        "weighted_sum long",
+    )

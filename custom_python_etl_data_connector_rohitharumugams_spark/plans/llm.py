@@ -1063,10 +1063,57 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP misreads (channel swap, vertical flip), so the checksum weighs
     channels R,G,B as 1,2,3 (on-disk order is B,G,R) and image row y as
     (y+1) (file rows are bottom-up) — each misread, plus counting
-    padding bytes, breaks the hash. Compressed image formats (JPEG/PNG)
-    remain behind the disclosed fake — no codecs in this environment."""
+    padding bytes, breaks the hash. The COMPRESSED image tier is
+    multimodal_png_decode below; only DCT formats (JPEG) remain behind
+    the disclosed fake."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.decode_bmp(M.synth_bmp(docs))
+
+
+@query(
+    "multimodal_png_decode",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM g
+    ), pxy AS (
+        SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px
+    ), pxyc AS (
+        SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM pxy
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM((doc_id * 11 + y * 61 + x * 23 + c * 37) % 256) AS BIGINT)
+               AS pixel_sum,
+           CAST(SUM((y + 1) * (c + 1)
+                    * ((doc_id * 11 + y * 61 + x * 23 + c * 37) % 256))
+                AS BIGINT) AS weighted_sum
+    FROM pxyc
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode under the oracle — the tier the BMP
+    query's disclosure used to exclude: synth_png writes one genuine PNG
+    per document (signature, IHDR, zlib-DEFLATE IDAT split across two
+    chunks, IEND — every chunk with its real CRC32) whose scanlines are
+    predictively FILTERED with all five PNG filter types cycling by row
+    ((y + doc_id) % 5), and decode_png walks the chunk grammar verifying
+    CRCs, concatenates IDAT, inflates, and RECONSTRUCTS each filter
+    (Sub/Up/Average/Paeth per the spec) before summing pixels. Two real
+    coding layers — prediction + DEFLATE — stand between the payload
+    bytes and the pixel values, and the oracle recomputes the decoded
+    sums a priori from the closed-form pixel formula: a decoder that
+    skips filter reconstruction, drops an IDAT chunk, or mis-handles
+    the row-0 boundary breaks the hash. Corrupt payloads (bad magic,
+    CRC mismatch, truncated stream) yield no row, pytest-pinned. Only
+    DCT formats (JPEG) remain behind the disclosed fake."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_png(M.synth_png(docs))
 
 
 @query(

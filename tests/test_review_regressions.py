@@ -616,3 +616,91 @@ def test_extract_avi_frames_contains_corrupt_and_needs_padding(spark):
     desynced = [(r.frame_id, r.n_bytes) for r in M.extract_avi_frames(bad).collect()]
     truth = [(k, len(f)) for k, f in enumerate(M._avi_frames(1))]
     assert desynced != truth
+
+
+def test_decode_png_contains_corrupt_and_filters_are_load_bearing(spark):
+    """PNG containment + proof the two real coding layers matter:
+
+    - corrupt payloads (bad magic, flipped CRC byte, truncated DEFLATE
+      stream, a dropped second IDAT chunk, NULL) each yield no row;
+    - the per-row predictive filters are LOAD-BEARING: zeroing every
+      scanline's filter byte in the decompressed stream (i.e. a decoder
+      that 'skips' filter reconstruction) and recompressing yields a
+      checksum DIFFERENT from the true one for an image that actually
+      uses non-None filters — verified by recomputing both from the
+      pixel formula."""
+    import struct
+    import zlib
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    # doc ids chosen so (y + doc_id) % 5 hits non-trivial filters on row 0
+    good = M.synth_png(spark.createDataFrame([(4,), (13,)], "doc_id long"))
+    rows = [(r.doc_id, bytes(r.data)) for r in good.collect()]
+
+    bad_crc = bytearray(rows[0][1])
+    bad_crc[-5] ^= 0xFF  # inside IEND's CRC
+    # drop the SECOND IDAT chunk (stream becomes a truncated DEFLATE body)
+    raw = rows[1][1]
+    pos, pieces = 8, [raw[:8]]
+    idat_seen = 0
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        end = pos + 12 + ln
+        if ctype == b"IDAT":
+            idat_seen += 1
+            if idat_seen == 2:
+                pos = end
+                continue
+        pieces.append(raw[pos:end])
+        pos = end
+    assert idat_seen == 2
+    dropped_idat = b"".join(pieces)
+
+    hostile = rows + [
+        (400, b"\x89JNG\r\n\x1a\n" + rows[0][1][8:]),  # wrong magic
+        (401, bytes(bad_crc)),                         # CRC mismatch
+        (402, rows[0][1][: len(rows[0][1]) // 2]),     # truncated file
+        (403, dropped_idat),                           # missing IDAT half
+        (404, None),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = {r.doc_id: r for r in M.decode_png(df).collect()}
+    assert set(out) == {4, 13}
+    for doc_id in (4, 13):
+        w, h = M._png_dims(doc_id)
+        r = out[doc_id]
+        assert (r.width, r.height) == (w, h)
+        px = M._png_pixel
+        assert r.pixel_sum == sum(
+            px(doc_id, x, y, c)
+            for x in range(w) for y in range(h) for c in range(3)
+        )
+        assert r.weighted_sum == sum(
+            (y + 1) * (c + 1) * px(doc_id, x, y, c)
+            for x in range(w) for y in range(h) for c in range(3)
+        )
+
+    # filter layer is load-bearing: treat filtered bytes as raw pixels
+    # (decoder-without-reconstruction) => different sums for these ids
+    doc_id, raw = rows[0]
+    pos, idat = 8, b""
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        if raw[pos + 4 : pos + 8] == b"IDAT":
+            idat += raw[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    stream = bytearray(zlib.decompress(idat))
+    w, h = M._png_dims(doc_id)
+    skipped = 0
+    used_filters = set()
+    for y in range(h):
+        base = y * (1 + w * 3)
+        used_filters.add(stream[base])
+        skipped += sum(stream[base + 1 : base + 1 + w * 3])
+    assert used_filters - {0}, "chosen doc must use non-None filters"
+    true_sum = out[doc_id].pixel_sum
+    assert skipped != true_sum, "filter reconstruction must change the sum"
