@@ -202,7 +202,7 @@ def test_no_python_in_unexpected_query_plans(spark):
         "udtf_tokenize_part_names",              # U1-U4: the UDF mechanism itself
         "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
         "multimodal_wav_decode", "multimodal_bmp_decode",   # real codecs:
-        "multimodal_avi_frames",                            # Arrow-batched
+        "multimodal_avi_frames", "multimodal_png_decode",   # Arrow-batched
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
         "llm_ann_lsh_topk",                      # mapInPandas hyperplane GEMM
