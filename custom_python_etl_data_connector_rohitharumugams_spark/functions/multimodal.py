@@ -2,22 +2,27 @@
 travel as an opaque ``binary`` column plus a typed metadata struct; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas``.
 
-Two decode tiers, disclosed precisely:
+EVERY FORMAT-SPECIFIC TIER RUNS A REAL CODEC: :func:`decode_wav`
+parses genuine RIFF/WAVE PCM16 audio (stdlib ``wave``),
+:func:`decode_bmp` genuine 24-bit BMP (bottom-up BGR rows, per-row
+padding), :func:`extract_avi_frames` genuine RIFF/AVI containers
+(nested LISTs, avih header, even-byte chunk padding),
+:func:`decode_png` genuine PNG (CRC-verified chunk grammar, zlib
+DEFLATE, full five-filter predictive reconstruction), and
+:func:`decode_jpeg` genuine baseline JPEG (Annex K Huffman tables, DC
+prediction, zigzag, byte unstuffing, full IDCT — functions/jpeg.py).
+Headers and full payload streams are actually decoded, and each
+registered query's oracle pins the output against closed-form
+expectations (payloads are synthesized as real files from a doc_id
+formula, so every decoded number is a-priori checkable; the lossy JPEG
+tier stays exact because block-constant inputs are DC-only).
 
-- UNCOMPRESSED FORMATS ARE REAL, one per modality: :func:`decode_wav`
-  parses genuine RIFF/WAVE PCM16 audio with the stdlib ``wave`` codec,
-  :func:`decode_bmp` parses genuine 24-bit BMP images (bottom-up BGR
-  rows, per-row padding), and :func:`extract_avi_frames` walks genuine
-  RIFF/AVI containers (nested LISTs, avih header, even-byte chunk
-  padding) — headers and full payload streams are actually decoded, and
-  each registered query's oracle pins the output against closed-form
-  expectations (payloads are synthesized as real files from a doc_id
-  formula, so every decoded number is a-priori checkable).
-- COMPRESSED formats (JPEG/MP3/H.264) remain a DETERMINISTIC FAKE
-  (`_fake_decode_batch`): this environment ships no image/video codecs.
-  The Spark-side plumbing — schema, batch iteration, partition behavior,
-  UDF signature — is identical for both tiers; swapping in PIL/torchaudio
-  means replacing ``_fake_decode_batch`` only.
+The only remaining fake is the FORMAT-AGNOSTIC stand-in
+(`_fake_decode_batch`) behind the generic ``media``-column queries
+(multimodal_decode_features / multimodal_frame_sample), kept to pin the
+Spark-side plumbing — schema, batch iteration, partition behavior, UDF
+signature — independently of any codec; swapping in PIL/torchaudio
+means replacing ``_fake_decode_batch`` only.
 """
 
 from __future__ import annotations
@@ -727,6 +732,113 @@ def decode_png(df: DataFrame) -> DataFrame:
                         prev = row
                 except (struct.error, zlib.error, ValueError):
                     continue
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(total)
+                out["weighted_sum"].append(weighted)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, pixel_sum long, "
+        "weighted_sum long",
+    )
+
+
+# -- JPEG: the DCT image tier, real codec (functions/jpeg.py) -----------------
+# The last multimodal tier to go real: baseline sequential JPEG with the
+# standard Annex K Huffman tables. The synthesized images are CONSTANT PER
+# 8x8 BLOCK, which is what makes a LOSSY codec sit under an exact oracle:
+# a constant block's DCT has only its DC coefficient, and the quant table's
+# DC divisor (8) exactly divides the DCT DC gain (8), so quantize ->
+# dequantize -> IDCT reconstructs every pixel bit-exactly — while the
+# Huffman coding, DC-prediction chain, zigzag, byte stuffing, and the full
+# (not DC-shortcut) IDCT all remain real and load-bearing.
+
+
+def _jpeg_blocks(doc_id: int) -> tuple[int, int]:
+    """Closed-form block-grid dims for ``doc_id`` (1-3 x 1-2 blocks)."""
+    return 1 + doc_id % 3, 1 + doc_id % 2
+
+
+def _jpeg_block_val(doc_id: int, bx: int, by: int) -> int:
+    """Gray value of block (bx, by) — the formula the oracle recomputes."""
+    return (doc_id * 19 + bx * 37 + by * 53) % 256
+
+
+def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL baseline JPEG payloads: SOI/JFIF/DQT/
+    SOF0/DHT/SOS/EOI markers, standard Annex K luminance Huffman tables,
+    forward DCT + quantization + zigzag + DC-diff entropy coding with
+    0xFF byte stuffing (functions/jpeg.encode_gray_jpeg, stdlib+numpy
+    only). Pixels are constant per 8x8 block from ``_jpeg_block_val``."""
+    from .jpeg import encode_gray_jpeg
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                wb, hb = _jpeg_blocks(doc_id)
+                w, h = wb * 8, hb * 8
+                px = [
+                    _jpeg_block_val(doc_id, x // 8, y // 8)
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(encode_gray_jpeg(px, w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def decode_jpeg(df: DataFrame) -> DataFrame:
+    """REAL JPEG decode (functions/jpeg.decode_gray_jpeg): marker walk,
+    DQT/SOF0/DHT parse, Huffman scan decode with byte UNstuffing and the
+    DC prediction chain, dequantize, inverse zigzag, full 2-D IDCT,
+    level shift + clamp. Returns (doc_id, width, height, pixel_sum,
+    weighted_sum) where weighted weighs pixel (x, y) by (y+1)*(x+1) —
+    constant-per-block images cannot pin within-block layout, but this
+    pins BLOCK order, i.e. the MCU raster walk and the DC-diff chain
+    (decode one block's DC wrong and every later block shifts). Corrupt
+    payloads yield no row (same containment contract as the other
+    decoders)."""
+    import struct
+
+    from .jpeg import decode_gray_jpeg
+
+    src = df.select("doc_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "pixel_sum", "weighted_sum")
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    w, h, px = decode_gray_jpeg(bytes(raw))
+                except (ValueError, IndexError, struct.error):
+                    continue
+                total = sum(px)
+                weighted = sum(
+                    (y + 1) * (x + 1) * px[y * w + x]
+                    for y in range(h)
+                    for x in range(w)
+                )
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
                 out["height"].append(h)

@@ -1064,8 +1064,8 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels R,G,B as 1,2,3 (on-disk order is B,G,R) and image row y as
     (y+1) (file rows are bottom-up) — each misread, plus counting
     padding bytes, breaks the hash. The COMPRESSED image tier is
-    multimodal_png_decode below; only DCT formats (JPEG) remain behind
-    the disclosed fake."""
+    multimodal_png_decode below; the DCT tier is multimodal_jpeg_decode
+    — every multimodal tier now runs a real codec."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.decode_bmp(M.synth_bmp(docs))
 
@@ -1114,6 +1114,52 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCT formats (JPEG) remain behind the disclosed fake."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.decode_png(M.synth_png(docs))
+
+
+@query(
+    "multimodal_jpeg_decode",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+        FROM documents
+    ), bx AS (
+        SELECT doc_id, wb, hb, unnest(range(0, wb)) AS bx FROM g
+    ), bxy AS (
+        SELECT doc_id, wb, hb, bx, unnest(range(0, hb)) AS by FROM bx
+    )
+    SELECT doc_id,
+           CAST(MIN(wb) * 8 AS BIGINT) AS width,
+           CAST(MIN(hb) * 8 AS BIGINT) AS height,
+           CAST(SUM(64 * ((doc_id * 19 + bx * 37 + by * 53) % 256)) AS BIGINT)
+               AS pixel_sum,
+           CAST(SUM((64 * bx + 36) * (64 * by + 36)
+                    * ((doc_id * 19 + bx * 37 + by * 53) % 256)) AS BIGINT)
+               AS weighted_sum
+    FROM bxy
+    GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DCT-image decode under the oracle — the last multimodal tier
+    to go real, retiring the disclosed fake entirely: synth_jpeg writes
+    one genuine baseline JPEG per document (SOI/JFIF/DQT/SOF0/DHT/SOS/
+    EOI, the standard Annex K Huffman tables, forward DCT + quantization
+    + zigzag + DC-diff entropy coding with 0xFF byte stuffing) and
+    decode_jpeg runs the full inverse path — Huffman scan decode with
+    byte unstuffing, the DC prediction chain, dequantize, inverse
+    zigzag, full 2-D IDCT, level shift + clamp (functions/jpeg.py,
+    stdlib+numpy). How a LOSSY codec sits under an exact hash oracle:
+    images are constant per 8x8 block, so each block's DCT is DC-only
+    and the quant table's DC divisor (8) exactly divides the DCT DC
+    gain — quantize/dequantize/IDCT reconstructs bit-exactly while
+    every coding layer stays real and load-bearing. The (y+1)*(x+1)
+    weighted checksum pins MCU raster order and the DC-diff chain:
+    per-block sums are separable, so the oracle recomputes it a priori
+    as val * (64*bx+36) * (64*by+36). Corrupt payloads (truncated scan,
+    bad Huffman bits, wrong markers) yield no row, pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_jpeg(M.synth_jpeg(docs))
 
 
 @query(

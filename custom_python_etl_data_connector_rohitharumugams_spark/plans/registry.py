@@ -77,7 +77,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # analytics_ols_price_by_size / analytics_skyline_parts /
 # graph_pagerank_suppliers / layout_zorder_order_stats /
 # llm_token_budget_downsample / layout_compaction_plan /
-# llm_corpus_build_e2e / multimodal_png_decode) close the
+# llm_corpus_build_e2e / multimodal_png_decode /
+# multimodal_jpeg_decode) close the
 # evidence gap across rounds 8-9: with the r7 window's rows recorded,
 # the simulated round-8 composition is 18 first-time + a 32-slot exact
 # cover = 50 (zero slack), so the overflow beyond 18 rides round 9.

@@ -704,3 +704,74 @@ def test_decode_png_contains_corrupt_and_filters_are_load_bearing(spark):
     assert used_filters - {0}, "chosen doc must use non-None filters"
     true_sum = out[doc_id].pixel_sum
     assert skipped != true_sum, "filter reconstruction must change the sum"
+
+
+def test_decode_jpeg_contains_corrupt_and_pins_dc_chain(spark):
+    """JPEG containment: wrong magic, a stripped DHT segment, a truncated
+    entropy scan, and NULL each yield no row. Bit-level corruption inside
+    the entropy stream has no checksum to catch it (JPEG carries none) —
+    so the assertion there is no-silent-agreement: the decoder either
+    rejects the payload or returns sums that DIFFER from the true ones.
+    Valid payloads decode to the exact closed-form sums, including a
+    6-block image whose weighted checksum pins the MCU raster order and
+    the DC prediction chain."""
+    import struct
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    # doc 2 -> 3x1 blocks; doc 5 -> 3x2 blocks (longest DC chain)
+    good = M.synth_jpeg(spark.createDataFrame([(2,), (5,)], "doc_id long"))
+    rows = [(r.doc_id, bytes(r.data)) for r in good.collect()]
+
+    raw = rows[1][1]
+    # strip the first DHT segment entirely
+    pos, pieces = 2, [raw[:2]]
+    stripped_one = False
+    while pos + 4 <= len(raw):
+        marker = raw[pos + 1]
+        if marker == 0xDA:
+            pieces.append(raw[pos:])
+            break
+        (ln,) = struct.unpack_from(">H", raw, pos + 2)
+        if marker == 0xC4 and not stripped_one:
+            stripped_one = True
+        else:
+            pieces.append(raw[pos : pos + 2 + ln])
+        pos += 2 + ln
+    assert stripped_one
+    no_dht = b"".join(pieces)
+
+    # flip a byte mid-scan (after SOS, before EOI)
+    sos = raw.find(b"\xff\xda")
+    flip = bytearray(raw)
+    flip[sos + 20] ^= 0x55
+
+    hostile = rows + [
+        (500, b"\xff\xd9" + rows[0][1][2:]),   # EOI where SOI should be
+        (501, no_dht),                          # missing huffman table
+        (502, rows[0][1][: sos + 6]),           # scan truncated
+        (503, bytes(flip)),                     # entropy bit corruption
+        (504, None),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = {r.doc_id: r for r in M.decode_jpeg(df).collect()}
+    assert {2, 5} <= set(out) and not {500, 501, 502, 504} & set(out)
+
+    expected = {}
+    for doc_id in (2, 5):
+        wb, hb = M._jpeg_blocks(doc_id)
+        val = M._jpeg_block_val
+        psum = sum(64 * val(doc_id, bx, by) for bx in range(wb) for by in range(hb))
+        wsum = sum(
+            (64 * bx + 36) * (64 * by + 36) * val(doc_id, bx, by)
+            for bx in range(wb)
+            for by in range(hb)
+        )
+        expected[doc_id] = (wb * 8, hb * 8, psum, wsum)
+        r = out[doc_id]
+        assert (r.width, r.height, r.pixel_sum, r.weighted_sum) == expected[doc_id]
+    if 503 in out:  # undetectable corruption must never silently agree
+        r = out[503]
+        assert (r.pixel_sum, r.weighted_sum) != expected[5][2:]

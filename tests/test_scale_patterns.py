@@ -203,6 +203,7 @@ def test_no_python_in_unexpected_query_plans(spark):
         "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
         "multimodal_wav_decode", "multimodal_bmp_decode",   # real codecs:
         "multimodal_avi_frames", "multimodal_png_decode",   # Arrow-batched
+        "multimodal_jpeg_decode",                           # byte parsing +
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
         "llm_ann_lsh_topk",                      # mapInPandas hyperplane GEMM
