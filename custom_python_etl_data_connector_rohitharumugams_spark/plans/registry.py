@@ -56,62 +56,58 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # prefix, until all registered queries have first-party driver evidence.
 # The window is produced by tools/window_optimizer.py: an EXACT minimal
 # set cover (DFS) over the tags the first-time cohort does not carry,
-# then a drop loop ejecting first-timers until 50 slots fit. Round 7
-# corrects round 6's "29 rotating slots" arithmetic: that figure ignored
-# that the rotating cohort itself was doing tag-cover duty. The round-7
-# first-time cohort (18 queries incl. the newly registered
-# llm_ann_ivf_pq_scaled_topk) covers only 25 of the 73 tags, and the
-# minimal checked-query cover of the other 48 is provably 32 slots (17
-# tags have a SOLE checked carrier; the optimizer proves the residual
-# cover exact) — so 18 first-time slots is the structural max this round,
-# and the 13 deferred queries (agg_approx_percentiles,
-# agg_heavy_hitters_event_types, dedup_exact_status_pairs,
+# then a drop loop ejecting first-timers until 50 slots fit.
+#
+# Round-7 FINAL window (recomposed at HEAD after the late-round-7
+# registrations): the earlier mid-round composition fit only 18
+# first-time slots because the minimal checked-query cover of the tags
+# that cohort missed was 32. The queries registered later in round 7
+# (connector_gzip_landing S6/P5, scalar_null_handling_report P4/F4,
+# llm_langid_ngram L4/F1, multimodal_wav_decode L5/U3,
+# llm_corpus_build_e2e L1/L9/L12/L13/L10, layout_zorder_order_stats
+# S5-carrying, ...) are BOTH first-time AND tag carriers, so letting
+# them do cover duty shrinks the checked cover to 27 exact slots and
+# fits 23 first-time queries. llm_ann_ivf_pq_scaled_topk is force-
+# included (--include): the round-6 verdict item #3 promised it a green
+# driver row. The 22 deferred never-checked queries
+# (agg_approx_percentiles, agg_heavy_hitters_event_types,
+# analytics_conversion_funnel, analytics_event_type_transitions,
+# analytics_ols_price_by_size, dedup_exact_status_pairs,
 # llm_ann_ivf_pq_hifi_topk, llm_ann_ivf_pq_topk, llm_ivf_train_kmeans,
-# scalar_conditional_customer_report, scalar_date_order_report,
-# scalar_id_generation, scalar_null_handling_report,
-# scalar_variant_event_payloads, sql_cube_lineitem_volume,
-# sql_first_last_event_values — plus the five queries registered later
-# in round 7 outside the already-saturated window: llm_langid_ngram,
-# multimodal_wav_decode, multimodal_bmp_decode, multimodal_avi_frames,
-# connector_gzip_landing, and the plans/advanced.py cohort
-# analytics_ols_price_by_size / analytics_skyline_parts /
-# graph_pagerank_suppliers / layout_zorder_order_stats /
-# llm_token_budget_downsample / layout_compaction_plan /
-# llm_corpus_build_e2e / multimodal_png_decode /
-# multimodal_jpeg_decode) close the
-# evidence gap across rounds 8-9: with the r7 window's rows recorded,
-# the simulated round-8 composition is 18 first-time + a 32-slot exact
-# cover = 50 (zero slack), so the overflow beyond 18 rides round 9.
-# Re-run tools/window_optimizer.py at round-8 start.
+# multimodal_avi_frames, multimodal_bmp_decode, multimodal_jpeg_decode,
+# multimodal_png_decode, scalar_conditional_customer_report,
+# scalar_date_order_report, scalar_id_generation,
+# scalar_variant_event_payloads, sort_top100_lineitems,
+# sql_collect_set_statuses, sql_correlated_small_quantity_revenue,
+# sql_cube_lineitem_volume, sql_first_last_event_values) ride round 8:
+# with this window's rows recorded, the simulated round-8 composition
+# fits all 22 (they carry few unique tags, so the round-8 cover reuses
+# round-7's newly-checked carriers). Re-run tools/window_optimizer.py
+# at round-8 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan.
 # Evicted queries stay registered and pytest-parity-covered (tests/
 # test_oracle_parity.py runs all of them under the driver's compare).
 _PRIORITY: tuple[str, ...] = (
-    # --- cover slots: minimal checked-query cover of the 48 tags the ----
+    # --- cover slots: minimal checked-query cover of the tags the ------
     # --- first-time cohort does not carry (exact, window_optimizer.py) --
     "analytics_rich_inactive_customers",  # J4 A1 A6
     "asof_next_purchase_within_2d",       # J7 F2
     "connector_incremental_sync",         # S1 S2 S3 S4 S7
-    "connector_json_landing",             # S6 P4 P5
     "connector_key_sanitization_report",  # P3
     "connector_shardsink_manifest",       # S7b F8
     "join_cross_region_segment",          # J8 A1
     "join_range_price_bands",             # J5 A1
     "llm_boilerplate_ngrams",             # L12 L14 F5
     "llm_chunk_documents",                # L6 F5
-    "llm_corpus_build",                   # L1 L9 L10
     "llm_dedup_clusters_star",            # L11 L2
-    "llm_domain_mixture_plan",            # L13 A1
     "llm_pii_scrub",                      # L8 F1
     "llm_sequence_packing",               # L7 W3
-    "multimodal_frame_sample",            # L5 U3
     "pricing_summary",                    # S5 P1 P2 A1 O1
     "scalar_map_event_totals",            # F6 F7
     "setop_except_lapsed_customers",      # O4
     "sql_approx_topk_brands",             # A3 O2
-    "sql_recursive_month_series",         # F2 J2 A1
     "sql_window_distribution",            # W1
     "stream_checkpoint_recovery",         # T4 T1 S8 S9
     "stream_dedup_user_event_types",      # T5 O5
@@ -124,22 +120,27 @@ _PRIORITY: tuple[str, ...] = (
     "udf_scalar_name_clean",              # U1
     "udtf_tokenize_part_names",           # U4
     # --- rotating slots: round-7 first-time cohort (never driver-checked
-    # --- in r1-r6; includes the round-7-registered scaled ANN point) ----
+    # --- in r1-r6; several double as tag carriers for the cover above) --
     "analytics_abc_pareto_parts",         # W3 A1 F4 O1
     "analytics_cohort_retention",         # A1 A2 J1 F2
-    "analytics_conversion_funnel",        # A1 A5 W2
-    "analytics_event_type_transitions",   # W2 A1 F3
+    "analytics_skyline_parts",            # W2 A1 J1 O1
     "cdc_log_compaction_orders",          # W4 O5 O3
-    "llm_ann_ivf_pq_scaled_topk",         # L3 (NEW round 7: budgets from N)
+    "connector_gzip_landing",             # S6 P5
+    "graph_pagerank_suppliers",           # J1 J2 A1 F3
+    "layout_compaction_plan",             # W3 A1 F3 O1
+    "layout_zorder_order_stats",          # F3 A1 A2 S5
+    "llm_ann_ivf_pq_scaled_topk",         # L3 (verdict #3 promise: green row)
     "llm_bm25_search",                    # L3 L4 F5 A1 O2
+    "llm_corpus_build_e2e",               # L1 L9 L12 L13 L10
     "llm_embedding_decontamination",      # L9 L3 J3 A5
     "llm_filtered_cosine_topk",           # L3 J1 W4 F5
+    "llm_langid_ngram",                   # L4 F1 A1 W4
     "llm_pq_encode",                      # L3 F5 A1
+    "llm_token_budget_downsample",        # L13 W3 A1
+    "multimodal_wav_decode",              # L5 U3
     "profile_lineitem_columns",           # A1 A2 O3
+    "scalar_null_handling_report",        # P4 F4
     "scd2_user_event_intervals",          # W2 F2 A1
-    "sort_top100_lineitems",              # O1 O2
-    "sql_collect_set_statuses",           # A2 F5
-    "sql_correlated_small_quantity_revenue",  # A1 J1
     "sql_pivot_status_by_priority",       # A1 A4
     "sql_top_revenue_supplier",           # A1 J1 O1 F3
     "window_time_weighted_value",         # W2 F2 A1
