@@ -79,11 +79,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # scalar_date_order_report, scalar_id_generation,
 # scalar_variant_event_payloads, sort_top100_lineitems,
 # sql_collect_set_statuses, sql_correlated_small_quantity_revenue,
-# sql_cube_lineitem_volume, sql_first_last_event_values) ride round 8:
-# with this window's rows recorded, the simulated round-8 composition
-# fits all 22 (they carry few unique tags, so the round-8 cover reuses
-# round-7's newly-checked carriers). Re-run tools/window_optimizer.py
-# at round-8 start.
+# sql_cube_lineitem_volume, sql_first_last_event_values) ride rounds
+# 8-9: with this window's rows recorded, the simulated round-8
+# composition is 22 first-time + a 32-slot exact cover = 54, so the
+# drop loop defers ~4 of the 22 to round 9. Re-run
+# tools/window_optimizer.py at round-8 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan.
