@@ -30,6 +30,7 @@ parity rules (plans/registry.py docstring).
 
 from __future__ import annotations
 
+from pathlib import Path
 from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -649,4 +650,192 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join: the written-layout half of the 100 TB fact-fact
+# join story. operators/bucketing.py holds the write/join helpers and
+# tests/test_scale_patterns.py asserts the zero-Exchange plan; this query
+# makes the SAME property driver-checked by measuring it on the real
+# physical plan and emitting it as an oracle-pinned column.
+_BUCKET_TABLES: "WeakKeyDictionary[SparkSession, set[str]]" = WeakKeyDictionary()
+_BUCKET_N = 8
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders+lineitem co-bucketed on the order key ONCE per
+    (session, sf_dir); returns the database name. The write cost is the
+    point of the pattern — paid once, every later join on the key is
+    shuffle-free — so the cache IS the production shape, not a bench
+    trick."""
+    import tempfile
+
+    from ..operators import bucketing
+
+    tag = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    db = f"sg_bucketdemo_{tag}"
+    done = _BUCKET_TABLES.setdefault(spark, set())
+    if db in done:
+        return db
+    loc = f"{tempfile.gettempdir()}/sg_bucketjoin_{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # a FRESH session's in-memory catalog does not know tables an earlier
+    # process left at this location, and CREATE (which an unregistered
+    # overwrite becomes) refuses an existing managed-table directory —
+    # drop both layers explicitly so every process starts from its own
+    # write, never from another process's files
+    import shutil
+
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+    # the bucketed copies carry the join key + the columns this rollup
+    # reads: the zero-exchange property lives in the per-file bucket
+    # metadata, not the table width, and a full-width copy would make the
+    # one-time write the bench's slowest step for columns nothing reads
+    bucketing.write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        f"{db}.orders_b", "o_orderkey", n_buckets=_BUCKET_N,
+    )
+    bucketing.write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        ),
+        f"{db}.lineitem_b", "o_orderkey", n_buckets=_BUCKET_N,
+    )
+    done.add(db)
+    return db
+
+
+@query(
+    "layout_bucketed_join_noshuffle",
+    tags=("S5", "J1", "A1"),
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents,
+           CAST(0 AS BIGINT) AS join_exchanges
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def layout_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed fact-fact join with the ZERO-EXCHANGE property itself
+    under the oracle: orders and lineitem are written as bucketed+sorted
+    managed tables on the order key (operators/bucketing.py, 8 buckets
+    here; thousands at 100 TB so each bucket is a few hundred MB), the
+    join of the two bucketed tables is planned with broadcast disabled,
+    and ``join_exchanges`` is the COUNTED number of Exchange operators in
+    that join's physical plan — the oracle pins it to 0. A regression
+    that re-introduces the shuffle (bucket-count mismatch, a lost sortBy,
+    a renamed key) flips the column to 2 and the driver row goes red;
+    this is the one shuffle AQE cannot remove from a fact-fact join, so
+    proving its absence is layout evidence, not plan trivia.
+
+    The aggregate itself is computed from the bucketed tables too, so the
+    hash match also proves the bucketed copies are byte-faithful to the
+    parquet source the oracle reads. The broadcast threshold is only
+    unset DURING the measurement (at driver scale the dim side is small
+    enough that Spark would legitimately broadcast it; at 100 TB neither
+    side broadcasts, which is exactly when bucketing pays) and restored
+    before returning.
+    """
+    db = _bucketed_pair(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem_b")
+    od = spark.table(f"{db}.orders_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(od, ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return (
+        li.select("o_orderkey", "l_quantity")
+        .join(od.select("o_orderkey", "o_orderstatus"), ["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_cents"),
+        )
+        .withColumn("join_exchanges", F.lit(n_exchanges).cast("bigint"))
+    )
+
+
+@query(
+    "agg_hll_partition_merge",
+    tags=("A3", "A1", "F2"),
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+               AS n_partials,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS INT) AS merged_within_2pct,
+           CAST(1 AS INT) AS global_within_2pct,
+           CAST(1 AS INT) AS merge_consistent_halfpct
+    FROM orders
+    """,
+)
+def agg_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch algebra (the datasketches HLL built into Spark):
+    per-month partial sketches over the order's customer key are
+    union-merged into one corpus estimate WITHOUT rescanning the data —
+    the pattern that makes 100 TB distinct-count rollups cheap (store one
+    small sketch per day/partition; any date-range distinct count is a
+    sketch union over metadata-sized state, never a re-scan).
+
+    Invariant-form oracle (established for sketches here, like
+    sql_approx_topk_brands): the merged estimate and a directly-built
+    global sketch must EACH land within 2% of the exact distinct count
+    (lgK=14 gives ~0.8% standard error, so 2% is a >2-sigma bound with
+    slack yet tight enough that a broken merge — e.g. unioning sketches
+    of different precision, or double-counting a partial — fails it),
+    and the two estimates must agree within 0.5% of each other (they are
+    NOT bit-identical: sparse->dense mode promotion differs between the
+    direct and union paths by design; measured skew is ~0.1%). All three
+    bounds are integer arithmetic on BIGINT estimates so the booleans
+    cross the oracle boundary exactly; n_partials and exact_distinct are
+    exact-match columns.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"), "o_custkey"
+    )
+    partials = orders.groupBy("m").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(14))).alias(
+            "est_global"
+        ),
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_partials",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_merged") - F.col("exact_distinct")) * 100
+            <= F.col("exact_distinct") * 2
+        )
+        .cast("int")
+        .alias("merged_within_2pct"),
+        (
+            F.abs(F.col("est_global") - F.col("exact_distinct")) * 100
+            <= F.col("exact_distinct") * 2
+        )
+        .cast("int")
+        .alias("global_within_2pct"),
+        (
+            F.abs(F.col("est_merged") - F.col("est_global")) * 1000
+            <= F.col("est_global") * 5
+        )
+        .cast("int")
+        .alias("merge_consistent_halfpct"),
     )

@@ -389,3 +389,51 @@ def connector_key_sanitization_report(spark: SparkSession, sf_dir: str) -> DataF
     mapping = list(zip([f.name for f in hostile.schema.fields[:2]] + [nested_orig],
                        [f.name for f in clean.schema.fields[:2]] + [nested_clean]))
     return spark.createDataFrame(mapping, "original_name string, sanitized_name string")
+
+
+@query(
+    "connector_orc_landing",
+    tags=("S6", "P5"),
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def connector_orc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC landing roundtrip — the third columnar format after parquet and
+    the text landings: customer is re-landed as ORC files (snappy, Spark's
+    built-in writer) and the aggregate below reads the ORC copy, NOT the
+    parquet source. DuckDB cannot read ORC, so the oracle computes the
+    same aggregate from the parquet source — the hash match is therefore
+    an end-to-end ORC write+read fidelity proof across every column type
+    the table carries (bigint keys, int nation, double balances, strings),
+    with the money sum quantized to exact integer cents per the registry's
+    parity rules.
+
+    Scale shape: the write is one pass with the source's partitioning (no
+    shuffle, no coalesce(1) funnel — at 100 TB the landing inherits scan
+    parallelism and each task writes its own stripe-aligned file); the
+    read-back scan prunes to the 4 referenced columns via ORC's columnar
+    projection exactly as the parquet scans do (PLAN_AUDIT ReadSchema).
+    """
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/sg_orcland_{Path(sf_dir.rstrip('/')).name}"
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+        F.count_distinct("c_nationkey").cast("bigint").alias("n_nations"),
+    )
