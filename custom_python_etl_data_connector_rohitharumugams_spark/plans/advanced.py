@@ -839,3 +839,194 @@ def agg_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("merge_consistent_halfpct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hive-partitioned layout + partition pruning: the third leg of the layout
+# trilogy (bucketing = shuffle-free joins, z-order = multi-dim file skipping,
+# partitionBy = directory-level scan elimination).
+_PART_DIRS: "WeakKeyDictionary[SparkSession, set[str]]" = WeakKeyDictionary()
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders hive-partitioned by order month ONCE per
+    (session, sf_dir); returns the dataset path."""
+    import tempfile
+
+    tag = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    loc = f"{tempfile.gettempdir()}/sg_partorders_{tag}"
+    done = _PART_DIRS.setdefault(spark, set())
+    if loc in done:
+        return loc
+    # repartition BY the partition column first: otherwise every input
+    # task writes a sliver into every month directory (dirs x tasks small
+    # files — the classic dynamic-partition-write mistake); clustered, each
+    # directory gets one well-sized file and the commit handles 80 files,
+    # not 80 x parallelism
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("ym", F.date_format("o_orderdate", "yyyy-MM"))
+        .repartition(F.col("ym"))
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(loc)
+    )
+    done.add(loc)
+    return loc
+
+
+@query(
+    "layout_partitioned_prune",
+    tags=("S5", "P2", "A1"),
+    oracle="""
+    WITH m AS (SELECT strftime(MIN(o_orderdate), '%Y-%m') AS ym FROM orders)
+    SELECT (SELECT ym FROM m) AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           CAST(1 AS BIGINT) AS partitions_scanned,
+           CAST(1 AS INT) AS partition_filter_pushed
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = (SELECT ym FROM m)
+    """,
+)
+def layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout with the PRUNING itself under the oracle:
+    orders is written ``partitionBy(month)`` (80 partition directories at
+    every sf — the span of o_orderdate), a single-month filter is read
+    back, and two measured properties ride the row the oracle pins:
+
+    - ``partitions_scanned`` — the number of DISTINCT partition
+      directories behind ``inputFiles()`` of the filtered scan.
+      ``inputFiles`` reflects the post-pruning file index, so a broken
+      prune (filter not pushed, wrong partition expression, month stored
+      with a non-matching type) reports 80 here and the driver row goes
+      red. The oracle pins 1.
+    - ``partition_filter_pushed`` — 1 iff the physical plan's scan node
+      carries the month predicate in ``PartitionFilters`` (directory-level
+      elimination), not ``PushedFilters`` (row-group-level): the
+      difference between listing one directory and opening every file's
+      footer, which at 100 TB is the difference between a metadata
+      operation and a cluster-wide scan.
+
+    The month is the corpus's MIN month, computed by a 1-row bounded agg
+    (driver-resident by definition, same rule as the z-order bounds row).
+    The per-month aggregate hash-matches DuckDB recomputing it from the
+    unpartitioned source, so layout + pruning + values are all one row.
+    """
+    import re
+
+    loc = _partitioned_orders(spark, sf_dir)
+    month = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("ym"))
+        .collect()[0]["ym"]
+    )
+    part = spark.read.parquet(loc)
+    filtered = part.where(F.col("ym") == month)
+    # inputFiles() lists from the relation's file index WITHOUT the filter,
+    # so it cannot witness pruning; input_file_name() runs through the real
+    # pruned scan. The distinct-file collect is bounded by the files of one
+    # month partition when pruning works and by the dataset's file count
+    # (~80 dirs x source partitions here) when it is broken — both
+    # driver-trivial, and "broken" is exactly the case that must surface.
+    files = [
+        r["f"] for r in filtered.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    dirs = {f.rsplit("/", 2)[1] for f in files}
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pushed = int(
+        re.search(r"PartitionFilters: \[[^\]]*ym#\d+ = " + re.escape(month), plan)
+        is not None
+    )
+    return (
+        filtered.groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .withColumn("partitions_scanned", F.lit(len(dirs)).cast("bigint"))
+        .withColumn("partition_filter_pushed", F.lit(pushed).cast("int"))
+    )
+
+
+@query(
+    "cdc_incremental_agg_maintenance",
+    tags=("A1", "A5", "O3", "F4"),
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderstatus AS s,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000
+                    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+        FROM orders
+        WHERE NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+        UNION ALL
+        SELECT 'I' AS s, CAST(o_orderkey % 9999 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT s AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS price_cents
+    FROM merged GROUP BY s
+    """,
+)
+def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM): a materialized per-status
+    aggregate is advanced by applying a CDC delta's SIGNED contributions —
+    updates contribute (0, new-old), deletes (-1, -old), inserts
+    (+1, +new) — summed with the stored view, NEVER by re-scanning the
+    merged table. The oracle is the full recompute over the merged state
+    in DuckDB, so the hash match proves the delta algebra reproduces the
+    recompute exactly — the property that lets a 100 TB warehouse keep
+    rollups current from a day's CDC stream (GB-scale) instead of a
+    full-table pass.
+
+    The CDC delta is a deterministic formula over orders (updates: keys
+    divisible by 97 gain $10.00; deletes: divisible by 89 and not 97;
+    inserts: divisible by 101 arrive under the new status 'I' with
+    key%9999 cents), so both engines derive identical deltas a priori.
+    All money is exact integer cents; group counts never go negative by
+    construction and the 'I' group exists only through the insert leg, so
+    every signed path is exercised. In production the base aggregate is a
+    stored table and only the delta legs run per batch; here the base is
+    computed once in the same plan to keep the query self-contained.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base_agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    )
+    upd = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderstatus",
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(1000).cast("bigint").alias("c"),
+    )
+    dele = orders.where(
+        (F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        "o_orderstatus",
+        F.lit(-1).cast("bigint").alias("n"),
+        (-F.col("cents")).cast("bigint").alias("c"),
+    )
+    ins = orders.where(F.col("o_orderkey") % 101 == 0).select(
+        F.lit("I").alias("o_orderstatus"),
+        F.lit(1).cast("bigint").alias("n"),
+        (F.col("o_orderkey") % 9999).cast("bigint").alias("c"),
+    )
+    maintained = (
+        base_agg.unionByName(upd).unionByName(dele).unionByName(ins)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("price_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return maintained
