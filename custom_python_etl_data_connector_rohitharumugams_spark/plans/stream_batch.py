@@ -542,3 +542,89 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(log_dir).select(
         "win_start_sec", "cnt", "total_value_cents"
     )
+
+
+@query(
+    "stream_python_source_incremental",
+    tags=("S8", "S1", "S9"),
+    oracle="""
+    SELECT CAST(12 AS BIGINT) AS total_rows,
+           CAST(12 AS BIGINT) AS distinct_ids,
+           CAST(8 AS BIGINT) AS leg1_rows,
+           CAST(4 AS BIGINT) AS leg2_rows,
+           ROUND(SUM(CAST(i AS DOUBLE) * 2.5), 2) AS total_value
+    FROM range(12) t(i)
+    """,
+)
+def stream_python_source_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST connector as a REAL Structured Streaming source
+    (sources/restapi.RestApiSimpleStreamReader — the PySpark 4 Python
+    streaming Data Source API): ``spark.readStream.format("restapi")``
+    polls the in-package demo API over real HTTP, offsets are the
+    upstream id high-water mark persisted in the CHECKPOINT, and the
+    parquet sink appends each micro-batch exactly once.
+
+    Two legs against the SAME checkpoint prove incremental resume at the
+    streaming-engine level (the readStream twin of
+    ``connector_incremental_sync``'s watermark delta):
+
+    1. upstream exposes ids 0..7 -> the first run drains 8 rows and
+       commits offset ``{"next_id": 8}``;
+    2. upstream grows to ids 0..11 -> the second run (same checkpoint,
+       grown base_url) transfers ONLY ids 8..11 — ``leg2_rows = 4`` is
+       the wire-delta proof; a source that re-read from zero would land
+       16 rows and redden both ``total_rows`` and ``leg1/leg2``.
+
+    Each leg's first request is armed to 429 (reset_rate_limit), so the
+    bounded-retry path runs on the streaming wire too. Every number is a
+    priori from the demo formula (``value = i * 2.5``), same as the
+    batch connector oracles.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.fakeapi import (
+        DEMO_TOKEN,
+        DEMO_TOKEN_ENV,
+        demo_api_url,
+        reset_rate_limit,
+    )
+    from ..sources.pipeline import register_sources
+
+    os.environ[DEMO_TOKEN_ENV] = DEMO_TOKEN
+    register_sources(spark)
+    base = f"{tempfile.gettempdir()}/sg_pystream_{Path(sf_dir.rstrip('/')).name}"
+    out, ck = f"{base}/out", f"{base}/ck"
+    shutil.rmtree(base, ignore_errors=True)
+    ddl = "id bigint, name string, value double, updated_at string"
+    for max_id, leg in ((7, "leg1"), (11, "leg2")):
+        reset_rate_limit()
+        sdf = (
+            spark.readStream.format("restapi")
+            .option("base_url", f"{demo_api_url()}?max_id={max_id}")
+            .option("schema_ddl", ddl)
+            # the streaming reader runs in its own Python worker process,
+            # which never sees driver-side os.environ mutations — resolve
+            # the credential HERE and ship the token, per the
+            # resolve_auth_headers contract (same rule as pipeline.extract)
+            .option("auth_token", os.environ[DEMO_TOKEN_ENV])
+            .load()
+            .withColumn("leg", F.lit(leg))
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    back = spark.read.schema(f"{ddl}, leg string").parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+        F.count_distinct("id").cast("bigint").alias("distinct_ids"),
+        F.sum((F.col("leg") == "leg1").cast("long")).cast("bigint").alias("leg1_rows"),
+        F.sum((F.col("leg") == "leg2").cast("long")).cast("bigint").alias("leg2_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -354,6 +355,81 @@ class RestApiReader(DataSourceReader):
         return rows, len(records) == 0
 
 
+
+
+class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch STREAMING twin of the batch reader: ``spark.readStream
+    .format("restapi")`` turns the polled REST endpoint into a Structured
+    Streaming source whose offset is the upstream id high-water mark
+    ``{"next_id": k}`` — the streaming-native form of the reference's
+    scheduled re-run story (/root/reference/README.md:24-29): each trigger
+    transfers only records with ``id >= next_id``, the checkpoint persists
+    the offset durably, and a restarted query resumes EXACTLY where the
+    committed offset left off (no re-delivery, no gap) with
+    ``readBetweenOffsets`` replaying any uncommitted batch
+    deterministically from the source.
+
+    Scale/fidelity notes:
+    - A SimpleDataSourceStreamReader runs driver-side by design (Spark
+      prefetches on the driver and ships records to executors); the
+      per-partition executor parallelism story belongs to the BATCH
+      reader. This is the right shape for an offset-polling API head:
+      one poller, many downstream tasks.
+    - The same bounded-retry/backoff client as the batch reader fetches
+      pages, so 429 + Retry-After handling (S4) is exercised on the
+      streaming path too.
+    - Offsets are upstream ids, not wall-clock: replays are exact and
+      the source is immune to clock skew between poller and API.
+    - ``Trigger.AvailableNow`` falls back to single-batch execution for
+      Python streaming sources (Spark logs this); with id-ordered
+      offsets the fallback is correct here — each run drains everything
+      past the committed offset in one batch and commits.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.fields = [f.name for f in schema.fields]
+        self.base_url = options["base_url"]
+        self.client = _HttpClient(options, resolve_auth_headers(options))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def _fetch_all(self) -> list[dict]:
+        """Page through the endpoint (offset pagination) to the end."""
+        out: list[dict] = []
+        page = 0
+        sep = "&" if "?" in self.base_url else "?"
+        while True:
+            _, parsed = self.client.get_json(f"{self.base_url}{sep}page={page}")
+            recs = (parsed or {}).get("data") or []
+            out.extend(r for r in recs if isinstance(r, dict))
+            if not recs:
+                return out
+            page += 1
+
+    def _rows(self, recs: list[dict]) -> Iterator[tuple]:
+        # a LIST iterator, not a generator: Spark's driver-side prefetch
+        # cache copy.copy()s the iterator it stores, and generators are
+        # not copyable (the batch is bounded by the upstream delta anyway)
+        return iter([tuple(r.get(f) for f in self.fields) for r in recs])
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["next_id"])
+        recs = [r for r in self._fetch_all() if int(r.get("id", -1)) >= lo]
+        nxt = max((int(r["id"]) for r in recs), default=lo - 1) + 1
+        return self._rows(recs), {"next_id": max(nxt, lo)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        lo, hi = int(start["next_id"]), int(end["next_id"])
+        return self._rows(
+            [r for r in self._fetch_all() if lo <= int(r.get("id", -1)) < hi]
+        )
+
+    def commit(self, end: dict) -> None:
+        # offsets are derived from upstream ids; nothing to release
+        pass
+
+
 class RestApiDataSource(DataSource):
     """``spark.read.format("restapi")`` — see module docstring."""
 
@@ -368,3 +444,6 @@ class RestApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RestApiReader:
         return RestApiReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> RestApiSimpleStreamReader:
+        return RestApiSimpleStreamReader(schema, dict(self.options))

@@ -684,3 +684,45 @@ def test_driver_window_connector_queries_are_repeatable(spark):
         first = sorted(tuple(r) for r in qs[name].fn(spark, sf).collect())
         second = sorted(tuple(r) for r in qs[name].fn(spark, sf).collect())
         assert first == second and first, f"{name} not repeatable"
+
+
+def test_stream_reader_offset_range_replay_is_deterministic(spark):
+    """RestApiSimpleStreamReader.readBetweenOffsets must replay EXACTLY the
+    half-open id range Spark asks for after a restart with an uncommitted
+    batch — same records, same order-insensitive content, regardless of how
+    far the upstream has since grown (id-based offsets are immune to
+    upstream appends)."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.fakeapi import (
+        DEMO_TOKEN,
+        demo_api_url,
+        reset_rate_limit,
+    )
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.restapi import (
+        RestApiSimpleStreamReader,
+    )
+
+    schema = StructType.fromDDL("id bigint, name string, value double, updated_at string")
+    reset_rate_limit()  # first request 429s: the retry path runs here too
+    small = RestApiSimpleStreamReader(
+        schema, {"base_url": f"{demo_api_url()}?max_id=7", "auth_token": DEMO_TOKEN}
+    )
+    grown = RestApiSimpleStreamReader(
+        schema, {"base_url": f"{demo_api_url()}?max_id=11", "auth_token": DEMO_TOKEN}
+    )
+    want = [(i, f"item{i}", i * 2.5) for i in range(2, 5)]
+    for reader in (small, grown):
+        got = sorted(
+            (r[0], r[1], r[2])
+            for r in reader.readBetweenOffsets({"next_id": 2}, {"next_id": 5})
+        )
+        assert got == want, got
+    # read(start) advances the offset past the upstream head and re-reading
+    # from there is empty (no re-delivery)
+    rows, end = small.read({"next_id": 0})
+    assert sorted(r[0] for r in rows) == list(range(8)) and end == {"next_id": 8}
+    rows2, end2 = small.read(end)
+    assert list(rows2) == [] and end2 == end
