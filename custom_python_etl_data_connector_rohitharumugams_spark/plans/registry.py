@@ -79,13 +79,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # scalar_date_order_report, scalar_id_generation,
 # scalar_variant_event_payloads, sort_top100_lineitems,
 # sql_collect_set_statuses, sql_correlated_small_quantity_revenue,
-# sql_cube_lineitem_volume, sql_first_last_event_values — plus the
-# three queries registered after this window froze:
-# connector_orc_landing, layout_bucketed_join_noshuffle,
-# agg_hll_partition_merge) ride rounds 8-9: with this window's rows
-# recorded, the simulated round-8 composition is 25 first-time + a
-# ~32-slot exact cover > 50, so the drop loop defers the overflow to
-# round 9. Re-run tools/window_optimizer.py at round-8 start.
+# sql_cube_lineitem_volume, sql_first_last_event_values — plus every
+# query registered after this window froze; the committed
+# CORRECTNESS_r*.json union vs the registry is the authoritative list)
+# ride rounds 8-9: the never-checked set exceeds one round's rotating
+# capacity (~18-23 slots after cover duty), so the drop loop defers the
+# overflow to round 9. Re-run tools/window_optimizer.py at round-8
+# start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan.

@@ -509,3 +509,25 @@ def test_compaction_plan_partitions_files_and_fills_bins(spark):
             assert cum >= (r.bin_id + 1) * T, (
                 f"{src} bin {r.bin_id} closed before reaching its target"
             )
+
+
+def test_hll_merge_invariant_margins_hold_off_fixture(spark):
+    """agg_hll_partition_merge's oracle bounds (2% vs exact, 1.5%
+    merged-vs-direct) must hold AWAY from the fixture cardinality too —
+    the sweep that killed the first-cut lgK=14 bounds (a 0.498% gap at
+    15k keys on a 0.5% bound) rides here at its two worst measured
+    points so a future lgK/bound edit re-faces the evidence."""
+    from pyspark.sql import functions as F
+
+    for n in (15_000, 150_000):
+        df = spark.range(n).select((F.col("id") % 40).alias("m"), F.col("id").alias("k"))
+        part = df.groupBy("m").agg(F.hll_sketch_agg("k", F.lit(16)).alias("sk"))
+        merged = part.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+        ).collect()[0]["e"]
+        direct = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("k", F.lit(16))).alias("e")
+        ).collect()[0]["e"]
+        assert abs(merged - n) * 100 <= n * 2, (n, merged)
+        assert abs(direct - n) * 100 <= n * 2, (n, direct)
+        assert abs(merged - direct) * 1000 <= direct * 15, (n, merged, direct)
