@@ -327,6 +327,8 @@ def connector_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         required_cols=["id"],
         since_col="updated_at",
         since_param="since",
+        # 12-item demo feed: 4 buckets, per the sink_buckets sizing rule
+        sink_buckets=4,
         source_options={
             "auth_env": DEMO_TOKEN_ENV,
             "mode": "offset",

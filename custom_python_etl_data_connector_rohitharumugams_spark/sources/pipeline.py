@@ -46,6 +46,13 @@ class ConnectorConfig:
     # newer than the collection's current high-water mark.
     since_col: str | None = None
     since_param: str | None = None
+    # docsink bucket count for this connector's collection — SIZE TO THE
+    # COLLECTION, not a constant: each bucket is one merge task and one
+    # file lineage, so a demo-sized feed on 16 buckets pays 16 tasks of
+    # pure overhead per sync while a 100 TB collection wants thousands.
+    # Same sizing rule as operators/bucketing.py n_buckets and the
+    # streaming state-store partition constant (plans/stream_batch.py).
+    sink_buckets: int = 16
 
 
 _SHIPPED: set[str] = set()
@@ -132,7 +139,12 @@ def transform(raw: DataFrame, cfg: ConnectorConfig) -> DataFrame:
 
 def load(df: DataFrame, cfg: ConnectorConfig) -> str:
     return write_collection(
-        df, cfg.sink_dir, f"{cfg.name}_raw", key_col=cfg.key_col, mode="upsert"
+        df,
+        cfg.sink_dir,
+        f"{cfg.name}_raw",
+        key_col=cfg.key_col,
+        n_buckets=cfg.sink_buckets,
+        mode="upsert",
     )
 
 
