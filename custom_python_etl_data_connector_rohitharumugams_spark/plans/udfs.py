@@ -133,3 +133,80 @@ def udtf_tokenize_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.* FROM __udtf_part, LATERAL tokenize_parts(p_partkey, p_name) t"
     )
+
+
+@query(
+    "udtf_fixed_width_parse",
+    tags=("U4", "P5"),
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+           n_name AS nation_name,
+           CAST(n_regionkey AS BIGINT) AS region_key
+    FROM nation ORDER BY nation_key
+    """,
+)
+def udtf_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (U4 depth): the output schema is computed at
+    ANALYSIS time by the UDTF's static ``analyze()`` from a constant layout
+    argument ('name:width:type,...') — the Spark 4 dynamic-schema UDTF API,
+    vs udtf_tokenize_part_names' fixed returnType. The operator is
+    fixed-width record parsing (the legacy mainframe/COBOL feed shape a
+    connector framework meets): nation rows are rendered into 24-char
+    fixed-width lines JVM-side (lpad/rpad/concat — the encode leg stays in
+    whole-stage codegen), and the UDTF slices them back into TYPED columns
+    whose names and types exist nowhere but the layout constant. The
+    oracle reads the source table directly, so the hash match proves the
+    encode->parse roundtrip is lossless including the analyze-derived
+    schema (a drifted width or type shows up as a schema/value mismatch,
+    not a silent truncation).
+
+    Scale shape: one Python-worker pass per row batch, no shuffle (the
+    UDTF is a LATERAL map); a production run points the same UDTF at a
+    ``spark.read.text`` scan of the fixed-width files themselves.
+    """
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @_udtf
+    class SplitFixedWidth:
+        @staticmethod
+        def analyze(line: AnalyzeArgument, spec: AnalyzeArgument) -> AnalyzeResult:
+            # type objects, not DDL strings: analyze() runs in a planner
+            # worker with no active session to parse "bigint"
+            types = {"bigint": LongType(), "string": StringType()}
+            schema = StructType()
+            for fld in spec.value.split(","):
+                name, _width, tp = fld.split(":")
+                schema = schema.add(name, types[tp])
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, line: str, spec: str):
+            if line is None:
+                return
+            out, off = [], 0
+            for fld in spec.split(","):
+                _name, width, tp = fld.split(":")
+                w = int(width)
+                raw = line[off : off + w].strip()
+                off += w
+                out.append(int(raw) if tp == "bigint" else raw)
+            yield tuple(out)
+
+    spark.udtf.register("split_fixed_width", SplitFixedWidth)
+    (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.concat(
+                F.lpad(F.col("n_nationkey").cast("string"), 4, " "),
+                F.rpad(F.col("n_name"), 16, " "),
+                F.lpad(F.col("n_regionkey").cast("string"), 4, " "),
+            ).alias("line")
+        )
+        .createOrReplaceTempView("__fixed_width_lines")
+    )
+    return spark.sql(
+        "SELECT t.* FROM __fixed_width_lines, LATERAL split_fixed_width("
+        "line, 'nation_key:4:bigint,nation_name:16:string,region_key:4:bigint') t "
+        "ORDER BY nation_key"
+    )
