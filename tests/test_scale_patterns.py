@@ -717,3 +717,94 @@ def test_corpus_build_e2e_scans_are_pruned(spark):
     for s in schemas:
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text", "source"}, f"unpruned scan: {cols}"
+
+
+def test_bucketed_join_exchange_count_is_load_bearing(spark, tmp_path):
+    """Negative control for layout_bucketed_join_noshuffle's oracle-pinned
+    join_exchanges=0: the SAME measurement over tables whose bucket counts
+    MISMATCH must count exchanges > 0 — i.e. the pinned column can actually
+    go red on a broken layout, it is not a constant."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bucketing
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bjneg LOCATION '{tmp_path}/wh'")
+    try:
+        orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+        li = load_table(spark, SF, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        bucketing.write_bucketed(orders, "bjneg.orders_b", "o_orderkey", n_buckets=8)
+        bucketing.write_bucketed(li, "bjneg.lineitem_b", "o_orderkey", n_buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bjneg.lineitem_b").join(
+                spark.table("bjneg.orders_b"), ["o_orderkey"]
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") > 0, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bjneg CASCADE")
+
+
+def test_partition_prune_scan_count_is_load_bearing(spark):
+    """Negative control for layout_partitioned_prune's partitions_scanned=1:
+    the SAME input_file_name() measurement with a two-month filter reports
+    2 directories, and with no filter reports every directory — the pruned
+    count tracks the predicate, not the layout constant."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.advanced import (
+        _partitioned_orders,
+    )
+
+    loc = _partitioned_orders(spark, SF)
+    part = spark.read.parquet(loc)
+
+    def dirs_read(df) -> int:
+        files = [r["f"] for r in df.select(F.input_file_name().alias("f")).distinct().collect()]
+        return len({f.rsplit("/", 2)[1] for f in files})
+
+    months = sorted(r["ym"] for r in part.select("ym").distinct().collect())
+    assert dirs_read(part.where(F.col("ym").isin(months[:2]))) == 2
+    assert dirs_read(part) == len(months)
+
+
+def test_cdc_ivm_matches_direct_recompute_in_spark(spark):
+    """The IVM query's delta algebra must equal a from-scratch Spark
+    recompute of the merged state (the DuckDB oracle proves cross-engine;
+    this pins the algebra within Spark under a different plan shape, and
+    would catch a sign error the oracle shares by construction if someone
+    edits both sides symmetrically)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    maintained = {
+        (r["o_orderstatus"], r["n_orders"], r["price_cents"])
+        for r in all_queries()["cdc_incremental_agg_maintenance"].fn(spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    merged = (
+        orders.where(~((k % 89 == 0) & (k % 97 != 0)))
+        .select(
+            "o_orderstatus",
+            F.when(k % 97 == 0, F.col("cents") + 1000).otherwise(F.col("cents")).alias("cents"),
+        )
+        .unionByName(
+            orders.where(k % 101 == 0).select(
+                F.lit("I").alias("o_orderstatus"), (k % 9999).cast("bigint").alias("cents")
+            )
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("price_cents"),
+        )
+    )
+    recomputed = {
+        (r["o_orderstatus"], r["n_orders"], r["price_cents"]) for r in merged.collect()
+    }
+    assert maintained == recomputed
