@@ -32,8 +32,41 @@ WINDOW = 50
 
 def exact_cover(tags: frozenset, cand: dict[str, frozenset]) -> list[str]:
     """Minimal set of candidate queries covering ``tags`` (exact DFS with
-    a least-carriers branching heuristic; instances here are ~25 tags)."""
-    best: list = [len(tags) + 1, None]
+    a least-carriers branching heuristic; instances here are ~25 tags).
+
+    Three reductions keep the DFS exact but tractable as the registry
+    grows (the raw DFS blew past 5 minutes on the ~160-candidate round-8
+    simulation; with these it is sub-second):
+    - project every candidate onto the needed tags and keep ONE name per
+      distinct projection (duplicates can never both be in a minimal
+      cover);
+    - drop candidates whose projection is a strict subset of another's
+      (a dominated set can always be swapped for its dominator);
+    - seed the branch-and-bound with the greedy cover's length, so the
+      first descent already prunes at the greedy depth.
+    """
+    # project + dedupe + dominance-filter the candidate pool
+    proj: dict[frozenset, str] = {}
+    for n in sorted(cand):  # sorted => deterministic representative
+        s = cand[n] & tags
+        if s and s not in proj:
+            proj[s] = n
+    sets = sorted(proj, key=len, reverse=True)
+    kept: list[frozenset] = []
+    for s in sets:
+        if not any(s < k for k in kept):
+            kept.append(s)
+    pool = {proj[s]: s for s in kept}
+
+    # greedy upper bound (classic ln-n approximation, here just a seed)
+    rem, greedy = set(tags), []
+    while rem:
+        n, s = max(pool.items(), key=lambda kv: (len(kv[1] & rem), kv[0]))
+        if not s & rem:
+            raise RuntimeError(f"tags {sorted(rem)} have no carriers")
+        greedy.append(n)
+        rem -= s
+    best: list = [len(greedy), list(greedy)]
 
     def dfs(rem: frozenset, used: list[str]) -> None:
         if not rem:
@@ -42,14 +75,12 @@ def exact_cover(tags: frozenset, cand: dict[str, frozenset]) -> list[str]:
             return
         if len(used) + 1 >= best[0]:
             return
-        t = min(rem, key=lambda t: sum(1 for s in cand.values() if t in s))
-        for n, s in cand.items():
+        t = min(rem, key=lambda t: sum(1 for s in pool.values() if t in s))
+        for n, s in pool.items():
             if t in s:
                 dfs(rem - s, used + [n])
 
-    dfs(tags, [])
-    if best[1] is None:
-        raise RuntimeError(f"tags {sorted(tags)} have no carriers")
+    dfs(frozenset(tags), [])
     return best[1]
 
 
