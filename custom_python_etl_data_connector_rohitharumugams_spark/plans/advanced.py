@@ -673,7 +673,17 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> str:
 
     from ..operators import bucketing
 
-    tag = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    # tag carries a hash of the FULL resolved path, not just the basename:
+    # two corpora both named "sf1" must not share cached tables (and the
+    # /tmp path must not collide across concurrent test processes)
+    import hashlib
+
+    resolved = str(Path(sf_dir.rstrip("/")).resolve())
+    tag = (
+        Path(resolved).name.replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
     db = f"sg_bucketdemo_{tag}"
     done = _BUCKET_TABLES.setdefault(spark, set())
     if db in done:
@@ -859,7 +869,14 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     (session, sf_dir); returns the dataset path."""
     import tempfile
 
-    tag = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    import hashlib
+
+    resolved = str(Path(sf_dir.rstrip("/")).resolve())
+    tag = (
+        Path(resolved).name.replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
     loc = f"{tempfile.gettempdir()}/sg_partorders_{tag}"
     done = _PART_DIRS.setdefault(spark, set())
     if loc in done:

@@ -609,6 +609,10 @@ def stream_python_source_incremental(spark: SparkSession, sf_dir: str) -> DataFr
             # the credential HERE and ship the token, per the
             # resolve_auth_headers contract (same rule as pipeline.extract)
             .option("auth_token", os.environ[DEMO_TOKEN_ENV])
+            # server-side delta: the reader appends min_id=<offset> so each
+            # trigger TRANSFERS only the delta (the wire proof below is
+            # about bytes on the wire, not a client-side filter)
+            .option("delta_param", "min_id")
             .load()
             .withColumn("leg", F.lit(leg))
         )
@@ -619,7 +623,12 @@ def stream_python_source_incremental(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # unchecked timeout would let leg2 start against the same
+        # checkpoint while leg1 still runs (same guard as the replay
+        # queries above)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"python-source stream {leg} did not finish in 300 s")
     back = spark.read.schema(f"{ddl}, leg string").parquet(out)
     return back.agg(
         F.count(F.lit(1)).cast("bigint").alias("total_rows"),

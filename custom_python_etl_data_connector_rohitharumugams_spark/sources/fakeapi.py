@@ -73,7 +73,11 @@ class _DemoApi(BaseHTTPRequestHandler):
         q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
         max_id = int(q.get("max_id", N_ITEMS - 1))
         since = q.get("since")
-        ids = range(min(max_id, N_ITEMS - 1) + 1)
+        # min_id: the id-offset delta filter the STREAMING reader's
+        # delta_param option targets (greater-or-equal — id offsets are
+        # exact, unlike timestamp boundaries, so no boundary nudge)
+        min_id = int(q.get("min_id", 0))
+        ids = range(min_id, min(max_id, N_ITEMS - 1) + 1)
         if since is not None:
             # strictly-greater semantics: the connector's _ge_boundary nudge
             # exists precisely so a > server re-delivers boundary records

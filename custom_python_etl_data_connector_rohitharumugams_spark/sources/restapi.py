@@ -380,6 +380,17 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
       streaming path too.
     - Offsets are upstream ids, not wall-clock: replays are exact and
       the source is immune to clock skew between poller and API.
+    - With ``delta_param`` configured (an API query param meaning
+      "records with id >= value"), each trigger asks the SERVER for the
+      delta, so the per-batch transfer is O(new records), not O(history)
+      — the client-side id filter stays on as a correctness net for
+      servers that ignore the param. Without it, every trigger re-pages
+      the full endpoint and filters locally: correct, but document that
+      cost before pointing it at a large upstream.
+    - Records without an integer ``id`` cannot be ordered against the
+      offset and are SKIPPED (the batch reader's _corrupt_record channel
+      is the landing path for malformed payloads; a streaming offset
+      log cannot hold a row it cannot order).
     - ``Trigger.AvailableNow`` falls back to single-batch execution for
       Python streaming sources (Spark logs this); with id-ordered
       offsets the fallback is correct here — each run drains everything
@@ -389,23 +400,41 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.fields = [f.name for f in schema.fields]
         self.base_url = options["base_url"]
+        self.delta_param = options.get("delta_param")
+        # same runaway-pagination bound as the batch reader: a server that
+        # ignores the page param must hang the poller with a clear error,
+        # not loop the driver to OOM
+        self.max_pages = int(options.get("max_pages", 10000))
         self.client = _HttpClient(options, resolve_auth_headers(options))
 
     def initialOffset(self) -> dict:
         return {"next_id": 0}
 
-    def _fetch_all(self) -> list[dict]:
-        """Page through the endpoint (offset pagination) to the end."""
+    def _fetch_from(self, lo: int) -> list[dict]:
+        """Page through the endpoint; with ``delta_param`` the server
+        filters to id >= lo and the transfer is the delta, not history."""
+        url = self.base_url
+        sep = "&" if "?" in url else "?"
+        if self.delta_param is not None:
+            url = f"{url}{sep}{self.delta_param}={lo}"
+            sep = "&"
         out: list[dict] = []
-        page = 0
-        sep = "&" if "?" in self.base_url else "?"
-        while True:
-            _, parsed = self.client.get_json(f"{self.base_url}{sep}page={page}")
+        for page in range(self.max_pages):
+            _, parsed = self.client.get_json(f"{url}{sep}page={page}")
             recs = (parsed or {}).get("data") or []
             out.extend(r for r in recs if isinstance(r, dict))
             if not recs:
                 return out
-            page += 1
+        raise RuntimeError(
+            f"restapi stream: exceeded max_pages={self.max_pages} without an "
+            "empty page — the server is ignoring pagination; raise max_pages "
+            "only if the upstream is really that large"
+        )
+
+    @staticmethod
+    def _rec_id(r: dict) -> int | None:
+        rid = r.get("id")
+        return rid if isinstance(rid, int) and not isinstance(rid, bool) else None
 
     def _rows(self, recs: list[dict]) -> Iterator[tuple]:
         # a LIST iterator, not a generator: Spark's driver-side prefetch
@@ -415,14 +444,24 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = int(start["next_id"])
-        recs = [r for r in self._fetch_all() if int(r.get("id", -1)) >= lo]
-        nxt = max((int(r["id"]) for r in recs), default=lo - 1) + 1
+        # client-side filter stays on even with server-side delta: a server
+        # that ignores delta_param must not re-deliver committed records
+        recs = [
+            r
+            for r in self._fetch_from(lo)
+            if self._rec_id(r) is not None and self._rec_id(r) >= lo
+        ]
+        nxt = max((self._rec_id(r) for r in recs), default=lo - 1) + 1
         return self._rows(recs), {"next_id": max(nxt, lo)}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         lo, hi = int(start["next_id"]), int(end["next_id"])
         return self._rows(
-            [r for r in self._fetch_all() if lo <= int(r.get("id", -1)) < hi]
+            [
+                r
+                for r in self._fetch_from(lo)
+                if self._rec_id(r) is not None and lo <= self._rec_id(r) < hi
+            ]
         )
 
     def commit(self, end: dict) -> None:

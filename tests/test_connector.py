@@ -726,3 +726,19 @@ def test_stream_reader_offset_range_replay_is_deterministic(spark):
     assert sorted(r[0] for r in rows) == list(range(8)) and end == {"next_id": 8}
     rows2, end2 = small.read(end)
     assert list(rows2) == [] and end2 == end
+
+
+def test_stream_reader_skips_unorderable_ids():
+    """Records whose id is missing, null, or non-integer cannot be ordered
+    against the stream's id offset and must be SKIPPED (documented in the
+    reader docstring), never crash the poller with int(None)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.restapi import (
+        RestApiSimpleStreamReader,
+    )
+
+    rid = RestApiSimpleStreamReader._rec_id
+    assert rid({"id": 3}) == 3
+    assert rid({"id": None}) is None
+    assert rid({}) is None
+    assert rid({"id": "7"}) is None
+    assert rid({"id": True}) is None  # bool is an int subclass; not an id

@@ -61,9 +61,9 @@ def exact_cover(tags: frozenset, cand: dict[str, frozenset]) -> list[str]:
     # greedy upper bound (classic ln-n approximation, here just a seed)
     rem, greedy = set(tags), []
     while rem:
-        n, s = max(pool.items(), key=lambda kv: (len(kv[1] & rem), kv[0]))
-        if not s & rem:
+        if not pool or not any(s & rem for s in pool.values()):
             raise RuntimeError(f"tags {sorted(rem)} have no carriers")
+        n, s = max(pool.items(), key=lambda kv: (len(kv[1] & rem), kv[0]))
         greedy.append(n)
         rem -= s
     best: list = [len(greedy), list(greedy)]
