@@ -227,6 +227,59 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_outer_interval_join",
+    tags=("T8", "J6", "F4"),
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id) AS n_clicks,
+           ROUND(COALESCE(SUM(CAST(FLOOR(c.value * 100 + 0.5) AS BIGINT)), 0)
+                 / 100.0, 2) AS total_click_value
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def stream_stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 OUTER sibling: every purchase appears, click-less ones with
+    n_clicks=0 / 0.00 — the conversion-funnel question "which purchases
+    had NO preceding engagement" that an inner join silently drops. Same
+    plan builder as the inner form (streaming/ops.click_purchase_join,
+    how='leftOuter'); the click filter must live in the JOIN condition,
+    not a WHERE (a post-join WHERE on the right side would turn the
+    outer join back into an inner one — both dialects here keep it in
+    the ON clause).
+
+    Streaming semantics documented on the op: outer rows are emitted
+    only when the watermark proves no future match can arrive, so a
+    finite replay withholds the tail until the watermark passes it —
+    tests/test_streaming.py proves streaming==batch by advancing the
+    watermark with a sentinel event. COUNT(c.event_id) counts non-null
+    matches exactly; the money sum coalesces NULL (no clicks) to 0
+    before the single rounded divide, identical in both dialects (F4).
+    """
+    from ..streaming.ops import click_purchase_join
+
+    e = load_table(spark, sf_dir, "events")
+    joined = click_purchase_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+        how="leftOuter",
+    )
+    cents = F.floor(F.col("click_value") * 100 + 0.5).cast("long")
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.round(F.coalesce(F.sum(cents), F.lit(0)) / 100.0, 2).alias(
+            "total_click_value"
+        ),
+    )
+
+
+@query(
     "stream_running_totals_update_log",
     tags=("T6", "W3"),
     oracle="""

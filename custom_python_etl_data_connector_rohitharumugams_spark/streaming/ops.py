@@ -183,6 +183,7 @@ def click_purchase_join(
     clicks: DataFrame,
     watermark: str = "1 hour",
     lookback: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """T8 stream-stream interval join: each purchase matched to the same
     user's clicks in the preceding ``lookback`` window.
@@ -194,6 +195,16 @@ def click_purchase_join(
     grows forever — THE sizing rule for stream-stream joins at 100 TB.
     On batch frames withWatermark is a no-op and the identical plan is the
     oracle (tests/test_streaming.py).
+
+    ``how="leftOuter"`` keeps click-less purchases: in streaming, the
+    engine emits the null-padded row only once the watermark proves no
+    future click can still land in the purchase's lookback window —
+    i.e. outer results trail the watermark by design, and a purchase
+    whose deadline the final watermark never passes is withheld, not
+    wrong. tests/test_streaming.py flushes that tail with a sentinel
+    event that advances the watermark past every real purchase, the
+    standard close-the-books move for finite replays (a production
+    stream just keeps running).
     """
     p = purchases.select(
         F.col("event_id").alias("purchase_id"),
@@ -212,6 +223,7 @@ def click_purchase_join(
         (F.col("user_id") == F.col("click_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("c_ts") < F.col("p_ts")),
+        how,
     ).select(
         "purchase_id", "user_id", "p_ts", "purchase_value", "click_id", "c_ts", "click_value"
     )

@@ -336,3 +336,66 @@ def test_checkpoint_recovery_run2_emissions_and_exactly_once(spark):
     # batch-id ordering: every run-2 window carries a batch id strictly
     # greater than every run-1 window's (resumed sequence, not restarted)
     assert run2_rows["batch_id"].min() > run1_rows["batch_id"].max()
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
+    """T8 outer: the watermarked LEFT OUTER interval join's streaming
+    emission equals the batch join — including the null-padded rows for
+    click-less purchases. Outer rows only emit once the watermark proves
+    no future click can qualify, so a finite replay withholds the tail;
+    a SENTINEL slice (one purchase+click pair 3 hours past the corpus
+    max, impossible user_id=-1) advances the watermark past every real
+    purchase's deadline — the standard close-the-books move for finite
+    replays. Sentinel rows are excluded from the comparison; everything
+    else must match the batch twin exactly, nulls included."""
+    import datetime
+    import glob
+    import shutil
+
+    out = str(tmp_path / "events_replay")
+    split_events_for_replay(spark, SF, out, n_slices=3)
+    e = load_table(spark, SF, "events")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + datetime.timedelta(hours=3)
+    sent = spark.createDataFrame(
+        [
+            (10**9, sentinel_ts, -1, "purchase", 0.0, "{}"),
+            (10**9 + 1, sentinel_ts, -1, "click", 0.0, "{}"),
+        ],
+        e.schema,
+    )
+    tmp_sent = str(tmp_path / "sent_tmp")
+    sent.coalesce(1).write.parquet(tmp_sent)
+    part = glob.glob(f"{tmp_sent}/part-*.parquet")[0]
+    shutil.copy2(part, f"{out}/slice-3.parquet")
+
+    purchases = events_stream(spark, out, max_files_per_trigger=1).where(
+        F.col("event_type") == "purchase"
+    )
+    clicks = events_stream(spark, out, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    got = run_to_memory(
+        spark,
+        ops.click_purchase_join(purchases, clicks, how="leftOuter"),
+        "t8_outer_out",
+        "append",
+        str(tmp_path / "cp"),
+    )
+    got = got[got.user_id >= 0]
+    batch = ops.click_purchase_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+        how="leftOuter",
+    ).toPandas()
+    n_unmatched = batch["click_id"].isna().sum()
+    assert n_unmatched > 0, "fixture lost its click-less purchases"
+
+    # NaN != NaN, so tuple equality over null-padded rows needs the nulls
+    # canonicalized first (the inner-join tests never carry nulls)
+    def canon(pdf):
+        return _sorted(pdf.fillna({c: -1 for c in ("click_id", "click_value")}).fillna(
+            pd.Timestamp("1970-01-01")
+        ))
+
+    assert canon(got) == canon(batch)
