@@ -168,6 +168,8 @@ def udtf_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, StringType, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
+    from ..functions.fixedwidth import parse_fixed_width, parse_spec
+
     @_udtf
     class SplitFixedWidth:
         @staticmethod
@@ -176,22 +178,17 @@ def udtf_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             # worker with no active session to parse "bigint"
             types = {"bigint": LongType(), "string": StringType()}
             schema = StructType()
-            for fld in spec.value.split(","):
-                name, _width, tp = fld.split(":")
+            for name, _width, tp in parse_spec(spec.value):
                 schema = schema.add(name, types[tp])
             return AnalyzeResult(schema=schema)
 
         def eval(self, line: str, spec: str):
             if line is None:
                 return
-            out, off = [], 0
-            for fld in spec.split(","):
-                _name, width, tp = fld.split(":")
-                w = int(width)
-                raw = line[off : off + w].strip()
-                off += w
-                out.append(int(raw) if tp == "bigint" else raw)
-            yield tuple(out)
+            # shared slicer (functions/fixedwidth) — the same definition
+            # the property tests exercise, so schema and slicing cannot
+            # drift apart
+            yield parse_fixed_width(line, spec)
 
     spark.udtf.register("split_fixed_width", SplitFixedWidth)
     (

@@ -531,3 +531,38 @@ def test_hll_merge_invariant_margins_hold_off_fixture(spark):
         assert abs(merged - n) * 100 <= n * 2, (n, merged)
         assert abs(direct - n) * 100 <= n * 2, (n, direct)
         assert abs(merged - direct) * 1000 <= direct * 15, (n, merged, direct)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99_999_999),
+            st.text(
+                alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz#-",
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_fixed_width_render_parse_roundtrip(vals):
+    """parse_fixed_width (the polymorphic UDTF's shared slicer) inverts the
+    lpad/rpad renderer for every strip-stable value that fits its width —
+    pure-Python property, no Spark session (the Spark-side encode leg and
+    the analyze() schema are covered by the oracle-checked query)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions.fixedwidth import (
+        parse_fixed_width,
+    )
+
+    spec = ",".join(
+        part
+        for i in range(len(vals))
+        for part in (f"k{i}:10:bigint", f"s{i}:14:string")
+    )
+    line = "".join(f"{k:>10}" + f"{s:<14}" for k, s in vals)
+    parsed = parse_fixed_width(line, spec)
+    expect = tuple(x for k, s in vals for x in (k, s))
+    assert parsed == expect
