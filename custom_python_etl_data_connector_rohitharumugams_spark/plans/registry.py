@@ -58,54 +58,43 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # set cover (DFS) over the tags the first-time cohort does not carry,
 # then a drop loop ejecting first-timers until 50 slots fit.
 #
-# Round-7 FINAL window (recomposed at HEAD after the late-round-7
-# registrations): the earlier mid-round composition fit only 18
-# first-time slots because the minimal checked-query cover of the tags
-# that cohort missed was 32. The queries registered later in round 7
-# (connector_gzip_landing S6/P5, scalar_null_handling_report P4/F4,
-# llm_langid_ngram L4/F1, multimodal_wav_decode L5/U3,
-# llm_corpus_build_e2e L1/L9/L12/L13/L10, layout_zorder_order_stats
-# S5-carrying, ...) are BOTH first-time AND tag carriers, so letting
-# them do cover duty shrank the checked cover to 27 exact slots (23
-# first-time); the FINAL recomposition — after this round also registered
-# the ORC landing, the HLL merge, the CDC IVM, the streaming Python
-# source, and the polymorphic UDTF, each both never-checked and a tag
-# carrier — reaches 25 cover + 25 first-time. llm_ann_ivf_pq_scaled_topk is force-
-# included (--include): the round-6 verdict item #3 promised it a green
-# driver row. The 22 deferred never-checked queries
-# (agg_approx_percentiles, agg_heavy_hitters_event_types,
-# analytics_conversion_funnel, analytics_event_type_transitions,
-# analytics_ols_price_by_size, dedup_exact_status_pairs,
+# Round-8 window (recomposed at round-8 start after CORRECTNESS_r07.json
+# landed — the round-7 window's 15 tag-redundant already-checked slots
+# were ejected by the optimizer's drop loop): 31 cover + 19 first-time.
+# The 19 first-timers drain the 28-query orphan backlog down to 9; the
+# deferred 9 (agg_approx_percentiles, dedup_exact_status_pairs,
 # llm_ann_ivf_pq_hifi_topk, llm_ann_ivf_pq_topk, llm_ivf_train_kmeans,
-# multimodal_avi_frames, multimodal_bmp_decode, multimodal_jpeg_decode,
-# multimodal_png_decode, scalar_conditional_customer_report,
-# scalar_date_order_report, scalar_id_generation,
-# scalar_variant_event_payloads, sort_top100_lineitems,
-# sql_collect_set_statuses, sql_correlated_small_quantity_revenue,
-# sql_cube_lineitem_volume, sql_first_last_event_values — plus every
-# query registered after this window froze; the committed
-# CORRECTNESS_r*.json union vs the registry is the authoritative list)
-# ride rounds 8-9: the never-checked set exceeds one round's rotating
-# capacity (~18-23 slots after cover duty), so the drop loop defers the
-# overflow to round 9. Re-run tools/window_optimizer.py at round-8
-# start.
+# scalar_conditional_customer_report, scalar_date_order_report,
+# scalar_id_generation, scalar_variant_event_payloads — plus every query
+# registered after this window froze; the committed CORRECTNESS_r*.json
+# union vs the registry is the authoritative list) ride round 9, the
+# rotation program's stated completion round. Re-run
+# tools/window_optimizer.py at round-9 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
-# round or inside the current window's rotation plan.
-# Evicted queries stay registered and pytest-parity-covered (tests/
-# test_oracle_parity.py runs all of them under the driver's compare).
+# round or inside the current window's rotation plan, and that no window
+# slot is wasted on a tag-redundant already-checked query while orphans
+# wait. Evicted queries stay registered and pytest-parity-covered
+# (tests/test_oracle_parity.py runs all of them under the driver's
+# compare).
 _PRIORITY: tuple[str, ...] = (
     # --- cover slots: minimal checked-query cover of the tags the ------
     # --- first-time cohort does not carry (exact, window_optimizer.py) --
+    "agg_hll_partition_merge",            # A3 A1 F2
+    "analytics_daily_order_gapfill",      # F5 F2 J2 F4
+    "analytics_nation_trade_volume",      # J1 J3 A1 F2
     "analytics_rich_inactive_customers",  # J4 A1 A6
     "asof_next_purchase_within_2d",       # J7 F2
     "connector_incremental_sync",         # S1 S2 S3 S4 S7
+    "connector_json_landing",             # S6 P4 P5
     "connector_key_sanitization_report",  # P3
     "connector_shardsink_manifest",       # S7b F8
     "join_cross_region_segment",          # J8 A1
     "join_range_price_bands",             # J5 A1
     "llm_boilerplate_ngrams",             # L12 L14 F5
+    "llm_bpe_token_counts",               # L4 F1
     "llm_chunk_documents",                # L6 F5
+    "llm_corpus_build_e2e",               # L1 L9 L12 L13 L10
     "llm_dedup_clusters",                 # L11 L2
     "llm_pii_scrub",                      # L8 F1
     "llm_sequence_packing",               # L7 W3
@@ -119,38 +108,32 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_windows",             # T3 W2
     "stream_sliding_event_volume",        # T2
     "stream_static_join_enrichment",      # T7 J1
-    "stream_stream_interval_join",        # T8 J6
     "udaf_weighted_avg_price",            # A7 U2
     "udf_scalar_name_clean",              # U1
-    # --- rotating slots: round-7 first-time cohort — never driver-checked
-    # --- in r1-r6; several double as tag carriers (A3 via the HLL merge,
-    # --- U4 via the polymorphic UDTF, O2 via BM25), which is what shrank
-    # --- the checked cover from 27 to 25 and fit 25 first-time slots ----
-    "agg_hll_partition_merge",            # A3 A1 F2
-    "analytics_abc_pareto_parts",         # W3 A1 F4 O1
-    "analytics_cohort_retention",         # A1 A2 J1 F2
-    "analytics_skyline_parts",            # W2 A1 J1 O1
-    "cdc_incremental_agg_maintenance",    # A1 A5 O3 F4
-    "connector_orc_landing",              # S6 P5
-    "graph_pagerank_suppliers",           # J1 J2 A1 F3
-    "layout_compaction_plan",             # W3 A1 F3 O1
-    "layout_zorder_order_stats",          # F3 A1 A2 S5
-    "llm_ann_ivf_pq_scaled_topk",         # L3 (verdict #3 promise: green row)
-    "llm_bm25_search",                    # L3 L4 F5 A1 O2
-    "llm_corpus_build_e2e",               # L1 L9 L12 L13 L10
-    "llm_embedding_decontamination",      # L9 L3 J3 A5
-    "llm_filtered_cosine_topk",           # L3 J1 W4 F5
-    "llm_langid_ngram",                   # L4 F1 A1 W4
-    "llm_token_budget_downsample",        # L13 W3 A1
-    "multimodal_wav_decode",              # L5 U3
-    "profile_lineitem_columns",           # A1 A2 O3
-    "scalar_null_handling_report",        # P4 F4
-    "scd2_user_event_intervals",          # W2 F2 A1
-    "sql_pivot_status_by_priority",       # A1 A4
-    "sql_top_revenue_supplier",           # A1 J1 O1 F3
-    "stream_python_source_incremental",   # S8 S1 S9
     "udtf_fixed_width_parse",             # U4 P5
-    "window_time_weighted_value",         # W2 F2 A1
+    # --- rotating slots: round-8 first-time cohort — never driver-checked
+    # --- in r1-r7; the four multimodal codecs, the remaining ANN point,
+    # --- and the stream-stream LEFT OUTER interval join are the evidence
+    # --- the round-7 verdict named as thinnest --------------------------
+    "agg_heavy_hitters_event_types",      # A1 U3
+    "analytics_conversion_funnel",        # A1 A5 W2
+    "analytics_event_type_transitions",   # W2 A1 F3
+    "analytics_ols_price_by_size",        # A1 F3 A5
+    "cdc_log_compaction_orders",          # W4 O5 O3
+    "connector_gzip_landing",             # S6 P5
+    "layout_bucketed_join_noshuffle",     # S5 J1 A1
+    "layout_partitioned_prune",           # S5 P2 A1
+    "llm_pq_encode",                      # L3 F5 A1
+    "multimodal_avi_frames",              # L5 U3
+    "multimodal_bmp_decode",              # L5 U3
+    "multimodal_jpeg_decode",             # L5 U3
+    "multimodal_png_decode",              # L5 U3
+    "sort_top100_lineitems",              # O1 O2
+    "sql_collect_set_statuses",           # A2 F5
+    "sql_correlated_small_quantity_revenue",  # A1 J1
+    "sql_cube_lineitem_volume",           # A4
+    "sql_first_last_event_values",        # W2
+    "stream_stream_left_outer_interval_join",  # T8 J6 F4
 )
 
 def priority_names() -> tuple[str, ...]:
