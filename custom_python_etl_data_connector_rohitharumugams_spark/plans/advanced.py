@@ -30,6 +30,7 @@ parity rules (plans/registry.py docstring).
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from weakref import WeakKeyDictionary
 
@@ -746,24 +747,24 @@ def layout_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFram
 
     The aggregate itself is computed from the bucketed tables too, so the
     hash match also proves the bucketed copies are byte-faithful to the
-    parquet source the oracle reads. The broadcast threshold is only
-    unset DURING the measurement (at driver scale the dim side is small
-    enough that Spark would legitimately broadcast it; at 100 TB neither
-    side broadcasts, which is exactly when bucketing pays) and restored
-    before returning.
+    parquet source the oracle reads. ``join_exchanges`` is measured on
+    THAT aggregate plan — the one that produces the returned rows — not
+    a separately built bare join, so a layout regression anywhere in the
+    returned path flips the pinned column. The count matches whole
+    ``Exchange hashpartitioning(...o_orderkey...)`` plan nodes: the
+    groupBy's own o_orderstatus shuffle is expected (re-keying from the
+    bucket key is the one exchange bucketing cannot remove) and must not
+    mask the join-key count, and a substring count of "Exchange" would
+    also swallow Reused/BroadcastExchange nodes. The broadcast threshold
+    is only unset DURING the measurement (at driver scale the dim side
+    is small enough that Spark would legitimately broadcast it; at
+    100 TB neither side broadcasts, which is exactly when bucketing
+    pays) and restored before returning.
     """
     db = _bucketed_pair(spark, sf_dir)
     li = spark.table(f"{db}.lineitem_b")
     od = spark.table(f"{db}.orders_b")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = li.join(od, ["o_orderkey"])
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        n_exchanges = plan.count("Exchange")
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    return (
+    agg = (
         li.select("o_orderkey", "l_quantity")
         .join(od.select("o_orderkey", "o_orderstatus"), ["o_orderkey"])
         .groupBy("o_orderstatus")
@@ -773,8 +774,17 @@ def layout_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("bigint")
             .alias("qty_cents"),
         )
-        .withColumn("join_exchanges", F.lit(n_exchanges).cast("bigint"))
     )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = len(
+            re.findall(r"\bExchange hashpartitioning\([^)]*\bo_orderkey\b", plan)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return agg.withColumn("join_exchanges", F.lit(n_exchanges).cast("bigint"))
 
 
 @query(

@@ -425,9 +425,20 @@ def connector_orc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back scan prunes to the 4 referenced columns via ORC's columnar
     projection exactly as the parquet scans do (PLAN_AUDIT ReadSchema).
     """
+    import hashlib
     import tempfile
 
-    out = f"{tempfile.gettempdir()}/sg_orcland_{Path(sf_dir.rstrip('/')).name}"
+    # landing dir keyed by the RESOLVED source path (same scheme as
+    # advanced.py's _bucketed_pair), not the bare basename: two corpora
+    # that share a basename (or two concurrent suites on different
+    # copies) must not overwrite/read each other's ORC landing
+    resolved = str(Path(sf_dir.rstrip("/")).resolve())
+    tag = (
+        Path(resolved).name.replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
+    out = f"{tempfile.gettempdir()}/sg_orcland_{tag}"
     load_table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("c_mktsegment").agg(

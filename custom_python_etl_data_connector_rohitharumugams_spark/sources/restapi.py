@@ -391,6 +391,13 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
       offset and are SKIPPED (the batch reader's _corrupt_record channel
       is the landing path for malformed payloads; a streaming offset
       log cannot hold a row it cannot order).
+    - REQUIRES append-only, monotonically assigned ids: ``read``
+      advances the offset to max(id)+1, so a record later backfilled
+      BELOW a committed high-water mark is permanently skipped. The
+      "no re-delivery, no gap" guarantee above holds only under that
+      assumption. For upstreams that backfill or assign ids out of
+      order, use the BATCH reader on a schedule (full- or
+      delta-window re-extract) instead of this offset-polling source.
     - ``Trigger.AvailableNow`` falls back to single-batch execution for
       Python streaming sources (Spark logs this); with id-ordered
       offsets the fallback is correct here — each run drains everything
@@ -412,7 +419,21 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def _fetch_from(self, lo: int) -> list[dict]:
         """Page through the endpoint; with ``delta_param`` the server
-        filters to id >= lo and the transfer is the delta, not history."""
+        filters to id >= lo and the transfer is the delta, not history.
+
+        Page-shape contract mirrors the batch reader's ``_emit``
+        (restapi.py ~:315): a malformed-JSON body, an error-shaped dict
+        without ``data``, or a non-list payload RAISES instead of being
+        treated as an exhausted page. The batch reader can route such
+        pages to its corrupt-record channel; a streaming source cannot —
+        a corrupt row has no id to order against the offset log, and
+        silently truncating the page chain would (a) end the micro-batch
+        early with no signal and (b) make ``readBetweenOffsets`` replay
+        FEWER rows than the committed batch if the error page appears
+        mid-replay. Failing the task instead lets Spark retry the batch
+        against a recovered gateway with exactly-once semantics intact.
+        A bare JSON-list body is a valid record page (same as batch);
+        ``{"data": null}`` is the exhausted-page convention."""
         url = self.base_url
         sep = "&" if "?" in url else "?"
         if self.delta_param is not None:
@@ -420,8 +441,26 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
             sep = "&"
         out: list[dict] = []
         for page in range(self.max_pages):
-            _, parsed = self.client.get_json(f"{url}{sep}page={page}")
-            recs = (parsed or {}).get("data") or []
+            body, parsed = self.client.get_json(f"{url}{sep}page={page}")
+            if parsed is None:
+                raise ValueError(
+                    f"restapi stream: malformed JSON page: {body[:200]!r}"
+                )
+            if isinstance(parsed, dict):
+                if "data" not in parsed:
+                    raise ValueError(
+                        "restapi stream: page payload has no 'data' field: "
+                        f"{body[:200]!r}"
+                    )
+                recs = parsed["data"]
+                if recs is None:
+                    return out  # {"data": null}: exhausted, not an error
+            else:
+                recs = parsed
+            if not isinstance(recs, list):
+                raise ValueError(
+                    f"restapi stream: page payload is not a record list: {body[:200]!r}"
+                )
             out.extend(r for r in recs if isinstance(r, dict))
             if not recs:
                 return out

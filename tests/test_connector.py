@@ -742,3 +742,64 @@ def test_stream_reader_skips_unorderable_ids():
     assert rid({}) is None
     assert rid({"id": "7"}) is None
     assert rid({"id": True}) is None  # bool is an int subclass; not an id
+
+
+def _stream_reader_with_pages(pages):
+    """A RestApiSimpleStreamReader whose HTTP client serves a scripted
+    sequence of (body, parsed) pages, then empty pages forever."""
+    from pyspark.sql.types import StructType
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.restapi import (
+        RestApiSimpleStreamReader,
+    )
+
+    reader = RestApiSimpleStreamReader(
+        StructType.fromDDL("id bigint, name string"),
+        {"base_url": "http://unused.invalid/api"},
+    )
+
+    class _Scripted:
+        def __init__(self, pages):
+            self.pages = list(pages)
+
+        def get_json(self, url):
+            if self.pages:
+                return self.pages.pop(0)
+            return ('{"data": []}', {"data": []})
+
+    reader.client = _Scripted(pages)
+    return reader
+
+
+def test_stream_reader_raises_on_bad_200_pages():
+    """The stream poller must mirror the batch _emit page-shape contract
+    (restapi.py): a malformed-JSON body, an error-shaped dict without
+    'data', or a non-list payload RAISES — treating any of them as an
+    exhausted page would silently truncate the micro-batch and make
+    readBetweenOffsets replay fewer rows than the committed batch."""
+    import pytest
+
+    for bad_page, why in [
+        (("not json{", None), "malformed JSON"),
+        (('{"error": "boom"}', {"error": "boom"}), "error-shaped dict"),
+        (('"whoops"', "whoops"), "non-list payload"),
+    ]:
+        reader = _stream_reader_with_pages(
+            [('{"data": [{"id": 1, "name": "a"}]}', {"data": [{"id": 1, "name": "a"}]}), bad_page]
+        )
+        with pytest.raises(ValueError):
+            reader.read({"next_id": 0})
+
+
+def test_stream_reader_accepts_bare_list_and_data_null_pages():
+    """Shapes the batch reader accepts must flow through the stream path
+    too: a bare JSON-list body is a record page; {"data": null} is the
+    exhausted-page convention, not an error."""
+    rows, end = _stream_reader_with_pages(
+        [
+            ('[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]',
+             [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]),
+            ('{"data": null}', {"data": None}),
+        ]
+    ).read({"next_id": 0})
+    assert sorted(r[0] for r in rows) == [1, 2] and end == {"next_id": 3}
