@@ -772,25 +772,69 @@ def llm_ann_ivf_pq_hifi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_ann_ivf_pq_scaled_topk", tags=("L3",), oracle=ANN_RECALL_ORACLE)
 def llm_ann_ivf_pq_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCALE-AWARE operating point of the learned IVF-PQ index: the probe
-    and rerank budgets are COMPUTED from the corpus size
-    (operators/similarity.scaled_pq_budgets — nprobe = 0.6 * n_lists,
-    rerank = ceil(8 * N / n_lists)) instead of pinned at the driver
-    fixture's. This turns DESIGN.md's prose rule ("production budgets
-    scale with N") into code: the fixed hifi point's 0.8-recall contract
-    decays to 0.26 at 4x corpus, while this point measures 0.88 at sf0.01
-    AND 0.92 at sf0.1 under the SAME gate (hits * 5 >= 4 * n_exact, part
-    of the oracle row; the sf0.1 leg is additionally pinned by
-    tests/test_llm_ops.py::test_scaled_pq_recall_holds_at_sf01).
+    """SCALE-AWARE operating point of the learned IVF-PQ index: ALL of
+    (n_lists, nprobe, rerank) are COMPUTED from the corpus size
+    (operators/similarity.scaled_pq_budgets — n_lists = ceil(sqrt(N)),
+    nprobe = ceil(sqrt(n_lists)), rerank = expected candidate count).
+    This turns DESIGN.md's prose rule ("production grows n_lists ~
+    sqrt(N)") into code: the fixed hifi point's 0.8-recall contract
+    decays to 0.26 at 4x corpus and the old flat-cell scaled rule held
+    recall only at O(N) per-query cost, while this point's candidate set
+    grows ~ N^0.75 (109 -> 312 -> 1691 over 40x data) and measures 0.94
+    at sf0.01 AND 0.97 at sf0.1 under the SAME gate (hits * 5 >= 4 *
+    n_exact, part of the oracle row; the sf0.1 leg is additionally pinned
+    by tests/test_llm_ops.py::test_scaled_pq_recall_holds_at_sf01).
     Corpus sizing is one COUNT aggregate (a single long to the driver —
-    the same bounded-collect discipline as kmeans centroids)."""
+    the same bounded-collect discipline as kmeans centroids); past
+    N ~ 65k the quantizer crosses onto kmeans_train's shuffle-free GEMM
+    assignment path built for exactly this n_lists growth."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    nprobe, rerank = S.scaled_pq_budgets(e.count(), n_lists=10)
+    n_lists, nprobe, rerank = S.scaled_pq_budgets(e.count())
     return _ann_recall_report(
         _exact_ground_truth(e),
         S.ivf_pq_learned_topk(
-            q, e, k=5, nprobe=nprobe, rerank=rerank, n_lists=10, train_iters=2
+            q, e, k=5, nprobe=nprobe, rerank=rerank, n_lists=n_lists, train_iters=2
+        ),
+        floor=(4, 5),
+    )
+
+
+@query("llm_ann_ivf_pq_opq_topk", tags=("L3", "U2"), oracle=ANN_RECALL_ORACLE)
+def llm_ann_ivf_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-ROTATED operating point of the learned IVF-PQ index: the
+    corpus is projected through a learned orthogonal rotation
+    (operators/similarity.opq_rotation — PCA + eigenvalue allocation, the
+    parametric OPQ of Ge et al. CVPR 2013) before the subspace split, so
+    each of the 4 sub-codebooks receives balanced variance (measured
+    max/min subspace-variance ratio 1.9 -> 1.02) instead of whatever
+    dims happen to be adjacent. Budgets are the SAME scale-derived
+    (n_lists, nprobe, rerank) as llm_ann_ivf_pq_scaled_topk, so the two
+    rows differ only in the rotation; R is orthogonal, so ground truth is
+    provably unchanged (pytest pins exact-topk equality under R) and the
+    oracle row is the unrotated ANN_RECALL_ORACLE verbatim. Measured
+    recall at the gate's 0.8 bar: 0.92 at sf0.01, 0.98 at sf0.1 — and
+    where ADC pruning actually bites (rerank halved below the candidate
+    count) the rotation buys 0.46 -> 0.53 and 0.50 -> 0.57 over the raw
+    split. Honest caveat: with this repo's deliberately tiny 4x4
+    codebook the full-budget gain is marginal; the balanced-variance
+    property is what makes a production 16x256 codebook's codes less
+    lossy.
+
+    Scale shape: the rotation is learned in ONE corpus pass of Arrow
+    partials (1+d+d^2 doubles per batch to the driver — the kmeans
+    driver-resident-centers contract) and applied as a shuffle-free
+    Arrow GEMM; everything downstream is the unchanged learned-IVF-PQ
+    plan. The rotated frame and its trained quantizer are per-corpus
+    session artifacts (similarity._OPQ_ROTATED / _LEARNED_CELLS)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    er = S.opq_rotate(e)
+    q = er.where(F.col("vec_id") < 20)
+    n_lists, nprobe, rerank = S.scaled_pq_budgets(e.count())
+    return _ann_recall_report(
+        _exact_ground_truth(e),
+        S.ivf_pq_learned_topk(
+            q, er, k=5, nprobe=nprobe, rerank=rerank, n_lists=n_lists, train_iters=2
         ),
         floor=(4, 5),
     )

@@ -154,21 +154,67 @@ def test_langid_ngram_classifier(spark):
 def test_scaled_pq_recall_holds_at_sf01(spark):
     """The scale-aware IVF-PQ point's 0.8-recall contract at the BENCH
     tier (sf0.1, 4x the oracle fixture) — the leg the driver's sf0.01
-    oracle row cannot see. scaled_pq_budgets derives (nprobe, rerank)
-    from the corpus count, so the prune fraction stays constant where the
-    fixed hifi point (6/400) decays to 0.26 recall at this tier
-    (DESIGN.md pareto). Measured here: 0.92."""
+    oracle row cannot see. scaled_pq_budgets now derives ALL of
+    (n_lists, nprobe, rerank) from the corpus count with sqrt growth
+    (n_lists=45, nprobe=7 at this tier), so per-query cost is sub-linear
+    where the old flat-cell rule paid O(N) — and recall must still clear
+    the gate the fixed hifi point (6/400) decays to 0.26 on. Measured
+    here: 0.97 (flat-cell rule measured 0.92)."""
     e = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    nprobe, rerank = S.scaled_pq_budgets(e.count(), n_lists=10)
+    n_lists, nprobe, rerank = S.scaled_pq_budgets(e.count())
     bf = S.cosine_topk(q, e, k=5).toPandas()
     ap = S.ivf_pq_learned_topk(
-        q, e, k=5, nprobe=nprobe, rerank=rerank, n_lists=10, train_iters=2
+        q, e, k=5, nprobe=nprobe, rerank=rerank, n_lists=n_lists, train_iters=2
     ).toPandas()
     bf_set = set(zip(bf.query_id, bf.neighbor_id))
     ap_set = set(zip(ap.query_id, ap.neighbor_id))
     recall = len(bf_set & ap_set) / len(bf_set)
     assert recall >= 0.8, f"scaled-budget recall broke its gate: {recall:.2f}"
+
+
+def test_opq_rotation_is_orthogonal_and_balances_subspace_variance(spark):
+    """The OPQ rotation's two defining properties, measured on the real
+    corpus: (a) R is orthogonal (R @ R.T == I within float tolerance), so
+    exact cosine/L2 — and therefore ground truth — are provably invariant
+    under it; (b) eigenvalue allocation balances the per-subspace
+    VARIANCE LOG-PRODUCT — the quantity OPQ's distortion bound depends
+    on (Ge et al. CVPR 2013), NOT the variance sum — across the 4 PQ
+    subspaces: the rotated spread must be far tighter than the raw
+    split's (measured on sf0.01: raw 0.77, rotated 0.12; the pre-fix
+    unshifted greedy produced 15.7, which is what this test pins
+    against). (b) is WHY the same code budget quantizes less lossily —
+    each sub-codebook sees comparable information volume."""
+    import numpy as np
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rot = S.opq_rotation(e)
+    assert rot.shape == (64, 64)
+    assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-8)
+
+    x = np.array([r["embedding"] for r in e.select("embedding").collect()], dtype=np.float64)
+
+    def logprod_spread(mat):
+        var = np.maximum(mat.var(axis=0), 1e-12)
+        per_sub = [np.log(var[m * 16:(m + 1) * 16]).sum() for m in range(4)]
+        return max(per_sub) - min(per_sub)
+
+    raw, rotated = logprod_spread(x), logprod_spread(x @ rot.T)
+    assert rotated < raw and rotated < 0.3, (raw, rotated)
+
+
+def test_opq_rotate_preserves_exact_neighbors(spark):
+    """Orthogonal invariance end-to-end: the exact cosine top-k over the
+    OPQ-rotated corpus equals the top-k over the raw corpus (same pairs),
+    so any recall difference between the rotated and raw IVF-PQ queries
+    is attributable to the ADC approximation alone."""
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    er = S.opq_rotate(e)
+    raw = S.cosine_topk(e.where(F.col("vec_id") < 20), e, k=5).toPandas()
+    rot = S.cosine_topk(er.where(F.col("vec_id") < 20), er, k=5).toPandas()
+    assert set(zip(raw.query_id, raw.neighbor_id)) == set(
+        zip(rot.query_id, rot.neighbor_id)
+    )
 
 
 def test_approx_count_distinct_within_rsd(spark, sf_dir):

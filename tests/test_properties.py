@@ -405,18 +405,33 @@ def test_salted_count_distinct_equals_naive(spark, rows, salt):
 )
 @_SETTINGS
 def test_scaled_pq_budgets_invariants(n_vectors, n_lists):
-    """Budget-rule algebra at any corpus size: nprobe stays within
-    [1, n_lists], rerank >= k always, and rerank grows linearly in N at
-    fixed n_lists (the constant-prune-fraction contract)."""
+    """Budget-rule algebra at any corpus size, BOTH paths. Flat-cell
+    (explicit n_lists): nprobe within [1, n_lists], rerank >= k, rerank
+    monotone in N (the constant-prune-fraction contract). Sqrt growth
+    (default): n_lists ~ sqrt(N) at least k, nprobe ~ 4th root, and the
+    expected candidate count nprobe * N / n_lists is SUB-linear — doubling
+    the corpus must less-than-double the rerank cap (the per-query-cost
+    contract the flat path cannot make)."""
     from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
         scaled_pq_budgets,
     )
 
-    nprobe, rerank = scaled_pq_budgets(n_vectors, n_lists=n_lists)
+    nl, nprobe, rerank = scaled_pq_budgets(n_vectors, n_lists=n_lists)
+    assert nl == n_lists
     assert 1 <= nprobe <= n_lists
     assert rerank >= 5
-    _, rerank2 = scaled_pq_budgets(2 * n_vectors, n_lists=n_lists)
+    _, _, rerank2 = scaled_pq_budgets(2 * n_vectors, n_lists=n_lists)
     assert rerank2 >= rerank  # monotone in corpus size
+
+    import math
+
+    nl_s, np_s, rr_s = scaled_pq_budgets(n_vectors)
+    assert nl_s == max(5, math.ceil(math.sqrt(n_vectors)))
+    assert 1 <= np_s <= nl_s and rr_s >= 5
+    nl_d, np_d, rr_d = scaled_pq_budgets(2 * n_vectors)
+    assert nl_d >= nl_s and np_d >= np_s  # index grows with the corpus
+    if n_vectors >= 64:  # above the max(k)/max(4) floors
+        assert rr_d <= 2 * rr_s  # sub-linear per-query exact stage
 
 
 @given(
