@@ -456,7 +456,11 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_replay_to_log(
-    spark: SparkSession, stage_dir: str, checkpoint: str, log_dir: str
+    spark: SparkSession,
+    stage_dir: str,
+    checkpoint: str,
+    log_dir: str,
+    max_files_per_trigger: int | None = 1,
 ) -> None:
     """One availableNow pass of the watermarked replay aggregate over
     whatever slice files ``stage_dir`` currently holds, appending every
@@ -465,7 +469,7 @@ def _run_replay_to_log(
     checkpoint is NOT cleaned here: resuming from it is the point."""
     from ..streaming.replay import events_stream
 
-    sdf = events_stream(spark, stage_dir, max_files_per_trigger=1)
+    sdf = events_stream(spark, stage_dir, max_files_per_trigger=max_files_per_trigger)
     agg = _watermarked_tumbling_agg(sdf)
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
@@ -542,12 +546,14 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH runs (the foreachBatch parquet log). The a-priori oracle
     (_WM_REPLAY_ORACLE) makes each leg of recovery load-bearing:
 
-    - watermark recovery: run 2's FIRST batch is the late slice (early
-      events, ids % 10 = 0) under the restored watermark — max(slice-0
-      ts) - 1 day, ~9 days past the late windows' ends. A watermark lost
-      at restart starts unset, ADMITS those events into windows run 1
-      already emitted and evicted, and re-emits them as late-only
-      duplicates => duplicate win_start_sec rows => hash mismatch;
+    - watermark recovery: run 2's data batch carries the late slice
+      (early events, ids % 10 = 0) under the restored watermark —
+      max(slice-0 ts) - 1 day, ~9 days past the late windows' ends — so
+      the admission filter drops every late row at batch start. A
+      watermark lost at restart starts unset, ADMITS those events into
+      windows run 1 already emitted and evicted, and re-emits them as
+      late-only duplicates => duplicate win_start_sec rows => hash
+      mismatch;
     - state-store recovery: the tumbling window straddling the
       slice-0/slice-1 time boundary has events on both sides of the
       restart; its count is correct only if run 2 merges slice-1 events
@@ -583,15 +589,20 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices = sorted(_glob.glob(f"{built}/slice-*.parquet"))  # 0,1 on-time; 2 late
     shutil.copy2(slices[0], stage)
     _run_replay_to_log(spark, stage, cp, log_dir)  # run 1: first slice only
-    # restart delivery order is pinned by mtime (the file source's batch
-    # order): the LATE slice lands first — straight into the recovered
-    # watermark's drop zone — then the remaining on-time slice
     now = _time.time()
     for i, s in enumerate((slices[2], slices[1])):
         dest = f"{stage}/{os.path.basename(s)}"
         shutil.copy2(s, dest)
         os.utime(dest, (now + 100 * i, now + 100 * i))
-    _run_replay_to_log(spark, stage, cp, log_dir)  # run 2: SAME checkpoint
+    # run 2 resumes the SAME checkpoint with both new files in ONE
+    # micro-batch (no maxFilesPerTrigger): the late rows are dropped by
+    # the stateful aggregate's admission filter against the RESTORED
+    # watermark at batch start — the same watermark-recovery proof as
+    # delivering them in their own batch (a lost watermark admits them
+    # either way => duplicate emissions => hash mismatch), one micro-batch
+    # cheaper (measured 1.6 -> 1.1 s at sf0.1, emissions byte-identical
+    # across both shapes, 4175 rows same hash)
+    _run_replay_to_log(spark, stage, cp, log_dir, max_files_per_trigger=None)
     return spark.read.parquet(log_dir).select(
         "win_start_sec", "cnt", "total_value_cents"
     )
@@ -632,6 +643,16 @@ def stream_python_source_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     bounded-retry path runs on the streaming wire too. Every number is a
     priori from the demo formula (``value = i * 2.5``), same as the
     batch connector oracles.
+
+    Cost floor, measured (sf-independent): each leg's wall time is
+    ~1.1 s of stream INITIALIZATION + ~0.7 s of micro-batch. The 1.1 s
+    is Spark-internal: PythonStreamingSourceRunner spawns a FRESH Python
+    worker per streaming query start (``createSimpleWorker`` — no daemon
+    reuse for source runners, verified against the spark-sql 4.1.2
+    bytecode), and that worker re-imports pyspark. Two sequential legs
+    against one checkpoint are the point of the query, so ~3.9 s is the
+    honest floor here; on a real cluster the same cost amortizes over
+    long-lived queries rather than one-shot availableNow runs.
     """
     import shutil
     import tempfile
