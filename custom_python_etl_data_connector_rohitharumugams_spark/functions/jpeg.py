@@ -272,6 +272,13 @@ def decode_gray_jpeg(data: bytes):
                 else:
                     raise ValueError("unexpected DHT id")
                 i += 17 + nv
+        elif marker == 0xDD:
+            # DRI declares restart-marker intervals this decoder does not
+            # implement: skipping it and decoding a scan that lacks (or
+            # carries) RSTn markers would silently agree with streams a
+            # compliant decoder resyncs or rejects — unsupported features
+            # fail LOUD, same rule as the 16-bit DQT below
+            raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xDA:
             scan_start = pos + 2 + ln
             break

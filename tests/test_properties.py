@@ -581,3 +581,98 @@ def test_fixed_width_render_parse_roundtrip(vals):
     parsed = parse_fixed_width(line, spec)
     expect = tuple(x for k, s in vals for x in (k, s))
     assert parsed == expect
+
+
+def _jpeg_scan_bounds(data: bytes) -> tuple[int, int]:
+    """(scan_start, scan_end) byte offsets of the entropy-coded segment:
+    after the SOS header, before the final EOI."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xDA:
+            return pos + 2 + ln, data.rfind(b"\xFF\xD9")
+        pos += 2 + ln
+    raise AssertionError("no SOS in encoder output")
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    wb=st.integers(1, 3),
+    hb=st.integers(1, 3),
+    cut_at=st.floats(0.0, 1.0),
+    cut_len=st.integers(1, 6),
+)
+@_SETTINGS
+def test_jpeg_decoder_rejects_or_differs_on_hostile_streams(
+    seed, wb, hb, cut_at, cut_len
+):
+    """Hostile-input contract of the baseline JPEG codec
+    (functions/jpeg.py), pure-Python property over random images:
+
+    - TRUNCATED SCAN (a slice cut out of the entropy stream, EOI kept):
+      the decoder must raise or produce pixels that DIFFER from the
+      intact decode — JPEG carries no checksum, so silent agreement is
+      the only unacceptable outcome. Cuts inside the final 2 scan bytes
+      are exempt: they can remove pure EOB padding, which a compliant
+      decoder legitimately never reads.
+    - DRI SEGMENT (restart intervals declared, scan carries no RSTn):
+      must raise — skipping DRI would silently agree with streams a
+      compliant decoder resyncs on; RSTn markers INSIDE the scan already
+      raise via the bit reader's marker-in-scan check.
+    - 16-BIT DQT (Pq=1): must raise — decoding Pq=1 payload bytes as
+      8-bit entries would dequantize garbage without any error.
+    """
+    import random
+    import struct
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions.jpeg import (
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    rng = random.Random(seed)
+    w, h = wb * 8, hb * 8
+    pixels = [rng.randrange(256) for _ in range(w * h)]
+    data = encode_gray_jpeg(pixels, w, h)
+    base = decode_gray_jpeg(data)
+    s0, s1 = _jpeg_scan_bounds(data)
+    assert s1 > s0 > 0
+
+    # 1) truncated scan
+    span = s1 - s0
+    if span > cut_len + 2:
+        at = s0 + int(cut_at * (span - cut_len - 2))
+        cut = data[:at] + data[at + cut_len : ]
+        try:
+            got = decode_gray_jpeg(cut)
+        except ValueError:
+            got = None
+        assert got is None or got != base, "truncated scan silently agreed"
+
+    # 2) DRI declared, no restart markers in scan
+    with_dri = (
+        data[:2]
+        + struct.pack(">HHH", 0xFFDD, 4, 4)  # DRI: interval 4 MCUs
+        + data[2:]
+    )
+    try:
+        decode_gray_jpeg(with_dri)
+        raise AssertionError("DRI stream decoded without restart support")
+    except ValueError:
+        pass
+
+    # 3) 16-bit quant table: rebuild the DQT segment with Pq=1
+    dqt = data.find(b"\xFF\xDB")
+    (dqt_len,) = struct.unpack_from(">H", data, dqt + 2)
+    entries = data[dqt + 5 : dqt + 2 + dqt_len]  # 64 8-bit Qk
+    wide = b"".join(struct.pack(">H", q) for q in entries)
+    seg16 = struct.pack(">HH", 0xFFDB, len(wide) + 3) + b"\x01" + wide
+    data16 = data[:dqt] + seg16 + data[dqt + 2 + dqt_len :]
+    try:
+        decode_gray_jpeg(data16)
+        raise AssertionError("16-bit DQT decoded as 8-bit without error")
+    except ValueError:
+        pass
