@@ -193,8 +193,35 @@ def read_collection(spark: SparkSession, base_dir: str, collection: str) -> Data
     )
 
 
-def compact_collection(spark: SparkSession, base_dir: str, collection: str) -> int:
-    """Rewrite the collection to ~one file per bucket; returns the file count.
+def bucket_file_counts(base_dir: str, collection: str) -> dict[int, int]:
+    """Parquet-file count per bucket — the fragmentation report a
+    compaction schedule selects from (``compact_collection(...,
+    buckets=[b for b, n in counts.items() if n > threshold])``).
+    Metadata-only: one directory listing per bucket, no data read; at
+    100 TB this is the object-store LIST call a table format keeps in its
+    manifest, and the natural point to swap one in."""
+    path = _collection_path(base_dir, collection)
+    counts: dict[int, int] = {}
+    for entry in os.listdir(path) if os.path.isdir(path) else []:
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        counts[b] = sum(
+            1
+            for f in os.listdir(os.path.join(path, entry))
+            if f.endswith(".parquet")
+        )
+    return counts
+
+
+def compact_collection(
+    spark: SparkSession,
+    base_dir: str,
+    collection: str,
+    buckets: list[int] | None = None,
+) -> int:
+    """Rewrite the collection (or just ``buckets`` of it) to ~one file per
+    bucket; returns the collection's total parquet-file count.
 
     Every upsert leaves one new file per touched bucket, so a frequently
     re-run connector accumulates small files until scans are dominated by
@@ -202,8 +229,20 @@ def compact_collection(spark: SparkSession, base_dir: str, collection: str) -> i
     is the same dynamic-partition-overwrite write the upsert uses, with the
     rows repartitioned by bucket first so each bucket directory ends up
     with a single file. Row content (including ``ingested_at``) is
-    preserved exactly; at 100 TB this runs per-bucket-range on a schedule
-    rather than whole-collection."""
+    preserved exactly.
+
+    ``buckets`` makes the 100 TB schedule literal: passing a bucket subset
+    prunes the scan to those partition directories and dynamic overwrite
+    swaps ONLY them, so a nightly job can walk bucket ranges (or target
+    the buckets :func:`bucket_file_counts` reports as fragmented) with
+    cost proportional to the fragmented slice, never the collection.
+    ``buckets=None`` keeps the whole-collection rewrite — fine while the
+    collection fits a maintenance window, and the only way to change
+    layout globally. What bucket-subset compaction does NOT buy: it never
+    rebalances ACROSS buckets (a hot key's bucket stays hot — that needs
+    a re-bucketing rewrite with a new n_buckets, which is a full pass by
+    definition, documented in DESIGN.md's docsink section).
+    """
     path = _collection_path(base_dir, collection)
     meta = _read_meta(path)
     n_buckets = int(meta["n_buckets"]) if meta else 16
@@ -214,11 +253,15 @@ def compact_collection(spark: SparkSession, base_dir: str, collection: str) -> i
     # A persist()+count() would materialize the ENTIRE collection (at the
     # module's 100 TB design point, for nothing).
     rows = spark.read.option("mergeSchema", "true").parquet(path)
+    shuffle_parts = n_buckets
+    if buckets is not None:
+        rows = rows.where(F.col(BUCKET_COL).isin(list(buckets)))
+        shuffle_parts = max(1, len(buckets))
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            rows.repartition(n_buckets, F.col(BUCKET_COL))
+            rows.repartition(shuffle_parts, F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(path)

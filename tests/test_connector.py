@@ -565,6 +565,50 @@ def test_docsink_compaction_shrinks_files_preserves_rows(spark, tmp_path):
     assert after_rows == before_rows
 
 
+def test_docsink_bucket_subset_compaction_touches_only_those_buckets(
+    spark, tmp_path
+):
+    """Incremental compaction (the 100 TB schedule): compacting a bucket
+    SUBSET rewrites only those partition directories — the untouched
+    buckets keep their exact files (names and all) — and row content is
+    preserved. bucket_file_counts is the metadata-only fragmentation
+    report the subset is selected from."""
+    import os as _os
+
+    for batch in range(4):
+        df = spark.createDataFrame(
+            [(i, f"v{batch}") for i in range(batch * 4, batch * 4 + 8)],
+            "id bigint, payload string",
+        )
+        docsink.write_collection(
+            df, str(tmp_path), "c", key_col="id", n_buckets=4, mode="append"
+        )
+    counts = docsink.bucket_file_counts(str(tmp_path), "c")
+    assert set(counts) == {0, 1, 2, 3} and all(n > 1 for n in counts.values())
+    frag = sorted(counts, key=counts.get, reverse=True)[:2]
+    untouched = [b for b in counts if b not in frag]
+    path = str(tmp_path / "c")
+
+    def files_of(b):
+        d = f"{path}/{docsink.BUCKET_COL}={b}"
+        return sorted(f for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    before_untouched = {b: files_of(b) for b in untouched}
+    before_rows = sorted(
+        map(tuple, docsink.read_collection(spark, str(tmp_path), "c")
+            .select("id", "payload").collect())
+    )
+    docsink.compact_collection(spark, str(tmp_path), "c", buckets=frag)
+    after = docsink.bucket_file_counts(str(tmp_path), "c")
+    assert all(after[b] == 1 for b in frag), after
+    assert {b: files_of(b) for b in untouched} == before_untouched
+    after_rows = sorted(
+        map(tuple, docsink.read_collection(spark, str(tmp_path), "c")
+            .select("id", "payload").collect())
+    )
+    assert after_rows == before_rows
+
+
 def test_run_connector_refuses_partial_extract(spark, api_url, tmp_path):
     """An error-shaped page truncating the extract must abort the load with
     nothing landed (watermark unchanged) unless allow_partial is passed —
