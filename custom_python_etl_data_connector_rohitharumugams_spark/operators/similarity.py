@@ -672,9 +672,9 @@ def scaled_pq_budgets(
     at N=500 (n_lists=23), 0.97 at N=2000 (45), 0.99 at N=20000 (142) —
     the 0.8 contract holds at every tier with margin AND per-query cost
     is flat-to-sublinear (candidates 109 -> 312 -> 1691 over 40x data,
-    a 0.73-per-decade exponent). n_lists crosses kmeans_train's
-    _KMEANS_LITERAL_MAX_K at N ~ 65k, onto the shuffle-free GEMM
-    assignment path built for exactly this growth.
+    a 0.73-per-decade exponent). Any n_lists this rule produces exceeds
+    kmeans_train's _KMEANS_LITERAL_MAX_K, so training rides the
+    shuffle-free GEMM assignment path built for exactly this growth.
 
     Legacy path (explicit ``n_lists``) — the flat-cell rule kept for
     callers that pin the quantizer: constant scan fraction
@@ -1162,9 +1162,18 @@ def lsh_topk(
     )
 
 
-#: above this k, literal center arrays bloat the plan (k x dim literals);
-#: assignment switches to the Arrow-batched GEMM form
-_KMEANS_LITERAL_MAX_K = 256
+#: above this k, assignment switches from the literal-center-arrays fold
+#: to the Arrow-batched GEMM form. Measured on the sf0.1 fixture (2 Lloyd's
+#: iterations, warm session): GEMM wins at EVERY production k — 1.6 s vs
+#: 2.5 s at k=10, 1.3 s vs 5.6 s at k=45, 1.4 s vs 16 s at k=142 — with
+#: identical assignments and inertia (the parity pytest pins agreement),
+#: because the literal fold's per-row cost and plan-analysis weight both
+#: grow with k while one BLAS product per batch doesn't. The threshold is
+#: kept small-but-nonzero (not 0) so the codegen'd literal path — the
+#: bit-identical-to-the-oracle's-fold form — stays a first-class tested
+#: branch (the k=5 pytests exercise it) for oracles that ever need
+#: fold-exact arithmetic.
+_KMEANS_LITERAL_MAX_K = 8
 
 
 def kmeans_train(

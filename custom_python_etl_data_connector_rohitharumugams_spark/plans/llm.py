@@ -786,8 +786,9 @@ def llm_ann_ivf_pq_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_llm_ops.py::test_scaled_pq_recall_holds_at_sf01).
     Corpus sizing is one COUNT aggregate (a single long to the driver —
     the same bounded-collect discipline as kmeans centroids); past
-    N ~ 65k the quantizer crosses onto kmeans_train's shuffle-free GEMM
-    assignment path built for exactly this n_lists growth."""
+    fixture scale the quantizer already rides kmeans_train's
+    shuffle-free GEMM assignment path built for exactly this n_lists
+    growth (the literal fold is kept only for tiny k)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     n_lists, nprobe, rerank = S.scaled_pq_budgets(e.count())
@@ -906,8 +907,8 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_kmeans_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-k coarse-quantizer training: k=300 exceeds
-    _KMEANS_LITERAL_MAX_K (256), so assignment takes kmeans_train's
+    """Large-k coarse-quantizer training: k=300 far exceeds
+    _KMEANS_LITERAL_MAX_K, so assignment takes kmeans_train's
     Arrow-batched GEMM branch (one BLAS |x|^2 - 2 X.C^T + |c|^2 product
     per batch against the closure-shipped center matrix — shuffle-free,
     similarity.py) instead of the literal-centers projection — the code

@@ -211,6 +211,15 @@ def test_no_python_in_unexpected_query_plans(spark):
         "llm_kmeans_large_k",                    # mapInPandas assignment GEMM
                                                  # (the large-k branch IS the
                                                  # Arrow-vectorized operator)
+        # every learned-quantizer query: kmeans assignment is the Arrow
+        # GEMM branch for k > _KMEANS_LITERAL_MAX_K (= 8; measured faster
+        # than the literal fold at every production k), so the trained
+        # cell map's plan legitimately carries one narrow MapInPandas
+        "llm_ann_ivf_learned_topk", "llm_ann_ivf_pq_learned_topk",
+        "llm_ann_ivf_pq_hifi_topk", "llm_ann_ivf_pq_scaled_topk",
+        "llm_ivf_train_kmeans",
+        "llm_ann_ivf_pq_opq_topk",               # + the OPQ rotation apply
+                                                 # (Arrow GEMM) by design
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
         "llm_semantic_dedup",                    # applyInPandas per-cell GEMM
         "llm_embedding_decontamination_planted", # mapInPandas benchmark GEMM
