@@ -635,6 +635,39 @@ def ivf_pq_learned_topk(
     )
 
 
+def ivf_frozen_add_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over an index built by FROZEN-quantizer addition — the
+    production maintenance pattern (FAISS ``train()`` once, ``add()``
+    forever): every corpus vector, including ones the quantizer never saw
+    at training time, is assigned to its nearest trained center
+    (:func:`assign_to_centers`, shuffle-free) and the shared
+    :func:`ivf_topk` probe/scan/rerank runs over those cells. No Lloyd's
+    iteration touches the full corpus — at 100 TB the quantizer trains on
+    a sample once and ingestion assigns new batches in one narrow pass,
+    which is what keeps a continuously-growing vector index maintainable
+    (retraining would re-shuffle the corpus per batch)."""
+    cellmap = assign_to_centers(corpus, centers, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias(id_col), F.col("cid").alias("__ivf_cell")
+    )
+    return ivf_topk(
+        queries,
+        corpus.join(cellmap, id_col),
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        list_col="__ivf_cell",
+    )
+
+
 def scaled_pq_budgets(
     n_vectors: int,
     n_lists: int | None = None,
@@ -1176,20 +1209,122 @@ def lsh_topk(
 _KMEANS_LITERAL_MAX_K = 8
 
 
+def assign_to_centers(
+    vectors: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-center assignment against a FROZEN quantizer — the FAISS
+    train()-then-add() step, shared by :func:`kmeans_train` (which calls
+    it once per Lloyd's iteration) and the incremental-index operators
+    (which call it with centers trained earlier, possibly on a sample,
+    so NEW vectors join the index without retraining). Returns
+    ``(vec_id, vec, cid, __d2)``.
+
+    Two shuffle-free branches, selected by len(centers):
+
+    - small k (<= _KMEANS_LITERAL_MAX_K): centers as two array literals
+      indexed by element_at over a sequence — the d2 expression appears
+      ONCE in the tree and ConstantFolding collapses each array to a
+      single Literal before codegen; array_min orders by (d2, cid) so
+      ties break toward the lower cluster id;
+    - large k: one float64 BLAS GEMM per Arrow batch
+      (|x|^2 - 2 X.C^T + |c|^2) against the closure-shipped (k x d)
+      center matrix — measured faster than the literal fold at every
+      production k (1.6 vs 2.5 s at k=10, 1.4 vs 16 s at k=142 over the
+      sf0.1 fixture) and the only viable shape at thousands of cells.
+      Centers are cid-sorted and argmin takes the first minimum, so tie
+      semantics match the literal branch; d2 is clamped at 0
+      (cancellation can dip ~-1e-13).
+    """
+    e = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    k = len(centers)
+
+    def d2_to(cvec):
+        return F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                cvec,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    if k <= _KMEANS_LITERAL_MAX_K:
+        cids = F.lit([cid for cid, _ in centers])
+        cvecs = F.lit([vec for _, vec in centers])
+        best = F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(len(centers))),
+                lambda i: F.struct(
+                    d2_to(F.element_at(cvecs, i)).alias("__d2"),
+                    F.element_at(cids, i).alias("cid"),
+                ),
+            )
+        )
+        return e.withColumn("__best", best).select(
+            "vec_id",
+            "vec",
+            F.col("__best.cid").alias("cid"),
+            F.col("__best.__d2").alias("__d2"),
+        )
+    import numpy as np
+
+    srt = sorted(centers)
+    cids_np = np.array([cid for cid, _ in srt], dtype=np.int32)
+    cmat = np.array([vec for _, vec in srt], dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def assign_gemm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ cmat.T)
+                + cnorm[None, :]
+            )
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": pdf["vec"],
+                    "cid": cids_np[best],
+                    "__d2": np.maximum(d2[np.arange(len(x)), best], 0.0),
+                }
+            )
+
+    vec_type = dict(e.dtypes)["vec"]
+    return e.mapInPandas(
+        assign_gemm,
+        schema=f"vec_id long, vec {vec_type}, cid int, __d2 double",
+    )
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int = 10,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[float]]:
+    return_centers: bool = False,
+) -> tuple:
     """Lloyd's k-means over an embedding column — the coarse-quantizer
     training step that turns :func:`ivf_topk`'s inverted lists from a given
     label into a learned partition.
 
     Returns ``(assignments, inertias)``: the final (vec_id, cid, __d2)
     assignment frame and the per-iteration inertia sequence (computed at
-    each assignment step, so Lloyd's guarantees it non-increasing).
+    each assignment step, so Lloyd's guarantees it non-increasing). With
+    ``return_centers=True`` also returns the trained (cid, vector)
+    centroids — the frozen-quantizer artifact :func:`assign_to_centers`
+    (the shared assignment step) indexes new vectors against without
+    retraining.
 
     Scale contract: every data-sized operation is a DataFrame op or a
     narrow Arrow stage — assignment is SHUFFLE-FREE on BOTH branches. For
@@ -1213,94 +1348,10 @@ def kmeans_train(
     init = e.orderBy("vec_id").limit(k).collect()
     cents = [(i, [float(x) for x in row["vec"]]) for i, row in enumerate(init)]
 
-    def d2_to(cvec):
-        return F.aggregate(
-            F.zip_with(
-                F.col("vec"),
-                cvec,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def assign_to(cents_py):
-        if k <= _KMEANS_LITERAL_MAX_K:
-            # centers as two array expressions (ids + nested vectors) indexed
-            # by element_at over a sequence, instead of a per-center
-            # struct-of-array literal forest: the d2 expression appears ONCE
-            # in the tree (not once per center) and ConstantFolding collapses
-            # each array to a single Literal before codegen. Measured on
-            # 3-iteration k=10 d=64 training: 3.4 s -> 2.4 s warm (Python
-            # construction + analysis per round shrinks; semantics identical
-            # — array_min still orders by (d2, cid))
-            cids = F.lit([cid for cid, _ in cents_py])
-            cvecs = F.lit([vec for _, vec in cents_py])
-            best = F.array_min(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(len(cents_py))),
-                    lambda i: F.struct(
-                        d2_to(F.element_at(cvecs, i)).alias("__d2"),
-                        F.element_at(cids, i).alias("cid"),
-                    ),
-                )
-            )
-            return e.withColumn("__best", best).select(
-                "vec_id",
-                "vec",
-                F.col("__best.cid").alias("cid"),
-                F.col("__best.__d2").alias("__d2"),
-            )
-        # large-k: SHUFFLE-FREE GEMM assignment per Arrow batch (the FAISS
-        # shape) — d2 = |x|^2 - 2 X.C^T + |c|^2 via one BLAS product
-        # against the closure-shipped (k x d) center matrix (300 x 64 =
-        # 150 KB — task-serialization noise). The previous broadcast-join
-        # form (corpus x k rows, each a 64-dim HOF fold, re-grouped by
-        # (vec_id, vec)) was one shuffle AND ~k x the expression work:
-        # measured 30.1 s -> 2.2 s on the k=300 bench query. Ties break
-        # toward the lower cid (centers sorted, argmin takes the first
-        # minimum). d2 is clamped at 0 (cancellation can dip ~-1e-13).
-        import numpy as np
-
-        srt = sorted(cents_py)
-        cids_np = np.array([cid for cid, _ in srt], dtype=np.int32)
-        cmat = np.array([vec for _, vec in srt], dtype=np.float64)
-        cnorm = (cmat * cmat).sum(axis=1)
-
-        def assign_gemm(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.array(pdf["vec"].tolist(), dtype=np.float64)
-                d2 = (
-                    (x * x).sum(axis=1, keepdims=True)
-                    - 2.0 * (x @ cmat.T)
-                    + cnorm[None, :]
-                )
-                best = d2.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "vec": pdf["vec"],
-                        "cid": cids_np[best],
-                        "__d2": np.maximum(
-                            d2[np.arange(len(x)), best], 0.0
-                        ),
-                    }
-                )
-
-        vec_type = dict(e.dtypes)["vec"]
-        return e.mapInPandas(
-            assign_gemm,
-            schema=f"vec_id long, vec {vec_type}, cid int, __d2 double",
-        )
-
     inertias: list[float] = []
     assign = None
     for _ in range(iters):
-        assign = assign_to(cents)
+        assign = assign_to_centers(e, cents, id_col="vec_id", vec_col="vec")
         # ONE action per iteration: the k collected centroid rows carry the
         # per-cluster d2 sum, so total inertia needs no second job (each
         # exploded (row, pos) pair carries __d2; summing it at pos=0 only
@@ -1325,4 +1376,10 @@ def kmeans_train(
         inertias.append(float(sum(r["sum_d2"] for r in stats)))
         cents = [(r["cid"], list(r["cvec"])) for r in stats]
 
+    if return_centers:
+        # `cents` is one update step AHEAD of the returned assignment
+        # (Lloyd's assigns, then updates) — exactly the artifact a frozen
+        # index wants: the best centroids training produced. (cid, vec)
+        # pairs, k rows, driver-resident by the module's centers contract.
+        return assign.drop("vec"), inertias, cents
     return assign.drop("vec"), inertias

@@ -173,6 +173,60 @@ def test_scaled_pq_recall_holds_at_sf01(spark):
     assert recall >= 0.8, f"scaled-budget recall broke its gate: {recall:.2f}"
 
 
+def test_assign_to_centers_frozen_quantizer_contract(spark):
+    """The frozen-assignment step behind ivf_frozen_add_topk: every
+    vector lands in exactly one cell with a cid the center list defines;
+    the call is deterministic; and a vector that IS a trained center is
+    assigned that center's cell with __d2 == 0 — the anchor that catches
+    a transposed center matrix or an off-by-one cid mapping, which a
+    recall bound alone could miss."""
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    _, _, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=12, iters=2, return_centers=True
+    )
+    assert len(centers) == 12
+    out = S.assign_to_centers(e, centers).collect()
+    assert len(out) == e.count()
+    cids = {cid for cid, _ in centers}
+    assert {r.cid for r in out} <= cids
+    again = S.assign_to_centers(e, centers).collect()
+    assert sorted((r.vec_id, r.cid) for r in out) == sorted(
+        (r.vec_id, r.cid) for r in again
+    )
+    # plant each center itself as a probe row: nearest center is itself
+    probe = spark.createDataFrame(
+        [(1000 + cid, list(vec)) for cid, vec in centers],
+        "vec_id long, embedding array<double>",
+    )
+    hits = {
+        r["vec_id"] - 1000: (r["cid"], r["__d2"])
+        for r in S.assign_to_centers(probe, centers).collect()
+    }
+    for cid, _vec in centers:
+        got_cid, d2 = hits[cid]
+        assert got_cid == cid and d2 < 1e-9, (cid, got_cid, d2)
+
+
+def test_frozen_add_recall_holds_at_sf01(spark):
+    """The frozen-quantizer index's 0.75 gate at the BENCH tier (the leg
+    the driver's sf0.01 row cannot see). Measured 0.92."""
+    import math
+
+    e = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
+    )
+    q = e.where(F.col("vec_id") < 20)
+    bf = S.cosine_topk(q, e, k=5).toPandas()
+    ap = S.ivf_frozen_add_topk(
+        q, e, centers, k=5, nprobe=max(4, math.ceil(0.5 * n_lists))
+    ).toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    recall = len(bf_set & set(zip(ap.query_id, ap.neighbor_id))) / len(bf_set)
+    assert recall >= 0.75, f"frozen-add recall broke its gate: {recall:.2f}"
+
+
 def test_opq_rotation_is_orthogonal_and_balances_subspace_variance(spark):
     """The OPQ rotation's two defining properties, measured on the real
     corpus: (a) R is orthogonal (R @ R.T == I within float tolerance), so

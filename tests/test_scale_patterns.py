@@ -218,6 +218,8 @@ def test_no_python_in_unexpected_query_plans(spark):
         "llm_ann_ivf_learned_topk", "llm_ann_ivf_pq_learned_topk",
         "llm_ann_ivf_pq_hifi_topk", "llm_ann_ivf_pq_scaled_topk",
         "llm_ivf_train_kmeans",
+        "llm_ann_frozen_add_topk",               # + the frozen add()
+                                                 # assignment pass itself
         "llm_ann_ivf_pq_opq_topk",               # + the OPQ rotation apply
                                                  # (Arrow GEMM) by design
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
