@@ -10,7 +10,7 @@ statistical outlier screen over the landed facts. Both are driver-oracled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -175,5 +175,99 @@ def analytics_value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("value") > F.col("hi_fence"), F.col("value"))),
                 2,
             ).alias("max_outlier"),
+        )
+    )
+
+
+@query(
+    "dq_distribution_drift",
+    tags=("A1", "F3", "J2"),
+    oracle="""
+    WITH binned AS (
+        SELECT year(o_orderdate) AS yr,
+               LEAST(9, CAST(FLOOR(o_totalprice / 50000) AS INT)) AS bin
+        FROM orders
+    ), counts AS (
+        SELECT yr, bin, COUNT(*) AS cnt FROM binned GROUP BY yr, bin
+    ), grid AS (
+        SELECT y.yr, b.bin
+        FROM (SELECT DISTINCT yr FROM binned) y
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS bin) b
+    ), filled AS (
+        SELECT g.yr, g.bin, COALESCE(c.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN counts c ON g.yr = c.yr AND g.bin = c.bin
+    ), ref AS (
+        SELECT bin, cnt AS ref_cnt FROM filled WHERE yr = 1995
+    ), tot AS (
+        SELECT yr, SUM(cnt) AS n FROM filled GROUP BY yr
+    ), m AS (
+        SELECT SUM(cnt) AS m FROM filled WHERE yr = 1995
+    )
+    SELECT f.yr,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(SUM(ABS(f.cnt * m.m - r.ref_cnt * t.n)) AS BIGINT)
+               AS tv_scaled,
+           SUM(ABS(f.cnt * m.m - r.ref_cnt * t.n)) * 5 > t.n * m.m AS drift
+    FROM filled f
+    JOIN ref r USING (bin)
+    JOIN tot t USING (yr)
+    CROSS JOIN m
+    GROUP BY f.yr, t.n, m.m
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion drift monitor: per-year order-price histograms compared
+    to the 1995 reference slice by TOTAL-VARIATION distance — the
+    continuous-monitoring half of data quality (dq_constraint_report
+    gates point-in-time validity; this catches a distribution that is
+    individually valid but has silently shifted, the failure mode that
+    poisons a training corpus without tripping any constraint).
+
+    Parity discipline — drift metrics are usually transcendental (PSI/KL
+    need ln, whose last ulp differs across libm builds and would break
+    the driver's exact hash), so the metric here is the EXACT-INTEGER
+    form of L1 distance: with per-bin counts n_i (year) and m_i
+    (reference), ``tv_scaled = sum_i |n_i * M - m_i * N|`` equals
+    ``N * M * sum_i |p_i - q_i|`` — pure int64 cross-multiplication,
+    bit-identical in any engine — and the drift flag is the integer
+    comparison ``tv_scaled * 5 > N * M`` (i.e. L1 > 0.2). The reference
+    year rides along as the tv_scaled = 0 self-check.
+
+    Scale shape: ONE scan of orders into a (year, bin) count aggregate
+    (10 fixed price bins — bin width is part of the monitor's contract,
+    so the histogram needs no data-dependent quantile pass); everything
+    after operates on |years| x 10 rows — grid fill, reference join, and
+    totals are broadcast-sized metadata joins. At 100 TB the fact scan
+    is the whole cost and it is one pass; per-slice monitors (by source,
+    by language) just add grouping columns to the same aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000))
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = o.groupBy("yr", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    years = counts.select("yr").distinct()
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    filled = (
+        years.crossJoin(F.broadcast(bins))
+        .join(counts, ["yr", "bin"], "left")
+        .select("yr", "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+    ref = filled.where(F.col("yr") == 1995).select(
+        "bin", F.col("cnt").alias("ref_cnt")
+    )
+    m = filled.where(F.col("yr") == 1995).agg(F.sum("cnt").alias("m"))
+    term = F.abs(F.col("cnt") * F.col("m") - F.col("ref_cnt") * F.col("n"))
+    return (
+        filled.withColumn("n", F.sum("cnt").over(Window.partitionBy("yr")))
+        .join(F.broadcast(ref), "bin")
+        .crossJoin(F.broadcast(m))
+        .groupBy("yr")
+        .agg(
+            F.first("n").cast("bigint").alias("n_rows"),
+            F.sum(term).cast("bigint").alias("tv_scaled"),
+            (F.sum(term) * 5 > F.first("n") * F.first("m")).alias("drift"),
         )
     )

@@ -820,3 +820,34 @@ def test_cdc_ivm_matches_direct_recompute_in_spark(spark):
         (r["o_orderstatus"], r["n_orders"], r["price_cents"]) for r in merged.collect()
     }
     assert maintained == recomputed
+
+
+def test_distribution_drift_reference_self_check_and_rederivation(spark):
+    """dq_distribution_drift semantics, re-derived independently in
+    pandas from raw (year, bin) counts: the reference year must report
+    tv_scaled = 0 / drift False (self-check), every fixture year must
+    appear, and each year's tv_scaled must equal the integer
+    cross-multiplied L1 sum computed outside Spark — pinning the metric
+    definition, not just engine parity (the oracle row already pins
+    DuckDB agreement)."""
+    import math
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    qs = all_queries()
+    out = {r.yr: r for r in qs["dq_distribution_drift"].fn(spark, SF).collect()}
+    o = load_table(spark, SF, "orders").toPandas()
+    o["yr"] = o["o_orderdate"].dt.year
+    o["bin"] = (o["o_totalprice"] // 50000).clip(upper=9).astype(int)
+    counts = o.groupby(["yr", "bin"]).size()
+    years = sorted(o["yr"].unique())
+    ref = {b: int(counts.get((1995, b), 0)) for b in range(10)}
+    M = sum(ref.values())
+    assert set(out) == set(years)
+    for yr in years:
+        cur = {b: int(counts.get((yr, b), 0)) for b in range(10)}
+        N = sum(cur.values())
+        tv = sum(abs(cur[b] * M - ref[b] * N) for b in range(10))
+        assert out[yr].n_rows == N and out[yr].tv_scaled == tv, yr
+        assert out[yr].drift == (tv * 5 > N * M), yr
+    assert out[1995].tv_scaled == 0 and not out[1995].drift
