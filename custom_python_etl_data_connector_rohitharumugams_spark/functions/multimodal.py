@@ -404,6 +404,92 @@ def decode_bmp(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_bmp(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize — image in, image out: parses each BMP payload
+    with the same layout rules as :func:`decode_bmp` (magic, 24-bit
+    depth, bottom-up rows, per-row padding), box-filters it ``factor x
+    factor`` with stride ``factor`` (each output channel value is the
+    INTEGER floor-mean of its box — exact arithmetic, so the oracle can
+    recompute every output pixel a priori from the synth formula; odd
+    edge rows/columns that don't fill a box are dropped, the standard
+    no-padding pooling convention), and RE-ENCODES a genuine BMP of the
+    resized image. The output of this operator feeds decode_bmp
+    unchanged — resize fidelity is proven by running the real decoder on
+    the resized file, not by trusting intermediate arrays.
+
+    Containment matches the decode tier: corrupt/NULL payloads and
+    images smaller than one box yield no row. Arrow-batched on
+    executors; at 100 TB this is the thumbnail/downsample pass of a
+    multimodal ingest pipeline — one narrow mapInPandas over the binary
+    column, no shuffle, output strictly smaller than input."""
+    import struct
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    src = df.select("doc_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_ids, out_payloads = [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    magic, _fsz, _r1, _r2, off = struct.unpack_from("<2sIHHI", raw, 0)
+                    hsz, w, h, planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
+                    if (
+                        magic != b"BM" or hsz != 40 or planes != 1
+                        or bpp != 24 or h <= 0 or w <= 0
+                    ):
+                        continue
+                    stride = ((w * 3 + 3) // 4) * 4
+                    if off + stride * h > len(raw):
+                        continue
+                    rw, rh = w // factor, h // factor
+                    if rw < 1 or rh < 1:
+                        continue
+                    # image-order rows (y=0 is top): file rows are bottom-up
+                    img = [
+                        raw[off + (h - 1 - y) * stride : off + (h - 1 - y) * stride + w * 3]
+                        for y in range(h)
+                    ]
+
+                    def pooled(X: int, Y: int, ch: int) -> int:
+                        s = 0
+                        for dy in range(factor):
+                            row = img[Y * factor + dy]
+                            for dx in range(factor):
+                                s += row[(X * factor + dx) * 3 + ch]
+                        return s // (factor * factor)
+
+                    rstride = ((rw * 3 + 3) // 4) * 4
+                    img_size = rstride * rh
+                    head = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+                    info = struct.pack(
+                        "<IiiHHIIiiII", 40, rw, rh, 1, 24, 0, img_size, 2835, 2835, 0, 0
+                    )
+                    rows = []
+                    for Y in range(rh - 1, -1, -1):  # write bottom-up
+                        row = bytearray()
+                        for X in range(rw):
+                            row += bytes(
+                                (pooled(X, Y, 0), pooled(X, Y, 1), pooled(X, Y, 2))
+                            )
+                        row += b"\x00" * (rstride - len(row))
+                        rows.append(bytes(row))
+                except (struct.error, IndexError):
+                    continue
+                out_ids.append(int(doc_id))
+                out_payloads.append(head + info + b"".join(rows))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(out_ids, dtype="int64"), "data": out_payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
 def _avi_frames(doc_id: int) -> list[bytes]:
     """Closed-form raw frames for ``doc_id``: 3-5 frames of 16-24 bytes
     (odd lengths included ON PURPOSE — they make RIFF's even-byte chunk

@@ -1154,6 +1154,59 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_bmp_resize",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents
+    ), r AS (
+        SELECT doc_id, w // 2 AS rw, h // 2 AS rh FROM g
+    ), px AS (
+        SELECT doc_id, rw, rh, unnest(range(0, rw)) AS X FROM r
+    ), pxy AS (
+        SELECT doc_id, rw, rh, X, unnest(range(0, rh)) AS Y FROM px
+    ), pxyc AS (
+        SELECT doc_id, rw, rh, X, Y, unnest(range(0, 3)) AS c FROM pxy
+    ), pooled AS (
+        SELECT doc_id, rw, rh, X, Y, c,
+               (  (doc_id * 7 + (2*Y)   * 131 + (2*X)   * 17 + c * 29) % 256
+                + (doc_id * 7 + (2*Y)   * 131 + (2*X+1) * 17 + c * 29) % 256
+                + (doc_id * 7 + (2*Y+1) * 131 + (2*X)   * 17 + c * 29) % 256
+                + (doc_id * 7 + (2*Y+1) * 131 + (2*X+1) * 17 + c * 29) % 256
+               ) // 4 AS v
+        FROM pxyc
+    )
+    SELECT doc_id,
+           CAST(MIN(rw) AS BIGINT) AS width,
+           CAST(MIN(rh) AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM((Y + 1) * (c + 1) * v) AS BIGINT) AS weighted_sum
+    FROM pooled
+    GROUP BY doc_id
+    """,
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE under the oracle — image in, image out, then the
+    real decoder on the output: synth_bmp writes genuine 24-bit BMPs,
+    functions/multimodal.resize_bmp parses each one with the format's
+    actual layout rules, 2x2 box-filters it with INTEGER floor-means
+    (exact arithmetic — no float resampling kernel whose rounding an
+    oracle couldn't mirror; odd edge rows/columns drop, the no-padding
+    pooling convention), and re-encodes a genuine BMP half the size;
+    decode_bmp then parses THAT file and the oracle recomputes every
+    resized dimension, the pooled pixel sum, and the layout-pinning
+    (y+1)*(channel-weight) checksum a priori from the synth formula. A
+    resize that mixes channels, mis-strides a box, re-encodes padding
+    into the pixel sum, or flips the output rows breaks the hash. This
+    is the downsample/thumbnail pass of a multimodal ingest pipeline:
+    one narrow Arrow stage per image column, no shuffle, output strictly
+    smaller than input."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_bmp(M.resize_bmp(M.synth_bmp(docs), factor=2))
+
+
+@query(
     "multimodal_png_decode",
     tags=("L5", "U3"),
     oracle="""

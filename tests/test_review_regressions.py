@@ -775,3 +775,54 @@ def test_decode_jpeg_contains_corrupt_and_pins_dc_chain(spark):
     if 503 in out:  # undetectable corruption must never silently agree
         r = out[503]
         assert (r.pixel_sum, r.weighted_sum) != expected[5][2:]
+
+
+def test_resize_bmp_identity_containment_and_valid_output(spark):
+    """resize_bmp contract: factor=1 is the identity under the real
+    decoder (same dims, sums, and layout checksum); corrupt/NULL
+    payloads and sub-box images yield no row; and factor=2 output is
+    itself a VALID BMP whose decode matches a pure-Python floor-mean
+    pooling of the synth formula."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    ids = spark.createDataFrame([(2,), (5,), (7,)], "doc_id long")
+    good = M.synth_bmp(ids)
+    base = {r.doc_id: r for r in M.decode_bmp(good).collect()}
+    ident = {r.doc_id: r for r in M.decode_bmp(M.resize_bmp(good, factor=1)).collect()}
+    assert {k: tuple(v) for k, v in base.items()} == {
+        k: tuple(v) for k, v in ident.items()
+    }
+
+    out = {r.doc_id: r for r in M.decode_bmp(M.resize_bmp(good, factor=2)).collect()}
+    for doc_id in (2, 5, 7):
+        w, h = M._bmp_dims(doc_id)
+        rw, rh = w // 2, h // 2
+        px = M._bmp_pixel
+        pooled = {
+            (X, Y, c): (
+                px(doc_id, 2 * X, 2 * Y, c)
+                + px(doc_id, 2 * X + 1, 2 * Y, c)
+                + px(doc_id, 2 * X, 2 * Y + 1, c)
+                + px(doc_id, 2 * X + 1, 2 * Y + 1, c)
+            )
+            // 4
+            for X in range(rw)
+            for Y in range(rh)
+            for c in range(3)
+        }
+        r = out[doc_id]
+        assert (r.width, r.height) == (rw, rh)
+        assert r.pixel_sum == sum(pooled.values())
+        assert r.weighted_sum == sum(
+            (Y + 1) * (c + 1) * v for (X, Y, c), v in pooled.items()
+        )
+
+    # containment: hostile payloads vanish, never crash or emit garbage
+    raw2 = bytes(good.where(F.col("doc_id") == 2).collect()[0]["data"])
+    hostile = spark.createDataFrame(
+        [(900, b"not a bmp"), (901, raw2[:20]), (902, None)],
+        "doc_id long, data binary",
+    )
+    assert M.resize_bmp(hostile, factor=2).count() == 0

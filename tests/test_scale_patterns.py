@@ -204,6 +204,9 @@ def test_no_python_in_unexpected_query_plans(spark):
         "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
         "multimodal_wav_decode", "multimodal_bmp_decode",   # real codecs:
         "multimodal_avi_frames", "multimodal_png_decode",   # Arrow-batched
+        "multimodal_bmp_resize",                            # parse+pool+
+                                                            # re-encode is
+                                                            # the operator
         "multimodal_jpeg_decode",                           # byte parsing +
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
