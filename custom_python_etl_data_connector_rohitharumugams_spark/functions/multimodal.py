@@ -339,6 +339,30 @@ def synth_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(run, schema="doc_id long, data binary")
 
 
+def _parse_bmp_header(raw: bytes):
+    """Shared containment gate for every BMP consumer (decode_bmp,
+    resize_bmp): validates magic / header size / planes / 24-bit depth /
+    positive dims and the pixel-array bounds, returning
+    ``(w, h, off, stride)`` or ``None`` for anything malformed. ONE
+    definition on purpose — two copies of these checks would let the
+    resize and decode tiers silently diverge on what counts as corrupt
+    (e.g. one later accepting top-down h<0 rows), so that resize could
+    emit files its own downstream decoder rejects."""
+    import struct
+
+    try:
+        magic, _fsz, _r1, _r2, off = struct.unpack_from("<2sIHHI", raw, 0)
+        hsz, w, h, planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
+    except struct.error:
+        return None
+    if magic != b"BM" or hsz != 40 or planes != 1 or bpp != 24 or h <= 0 or w <= 0:
+        return None
+    stride = ((w * 3 + 3) // 4) * 4
+    if off + stride * h > len(raw):
+        return None  # truncated pixel array
+    return w, h, off, stride
+
+
 def decode_bmp(df: DataFrame) -> DataFrame:
     """REAL image decode: parses the BMP file + info headers (magic, data
     offset, dimensions, planes, bit depth) and walks the pixel array with
@@ -362,14 +386,11 @@ def decode_bmp(df: DataFrame) -> DataFrame:
             for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
                 if raw is None or pd.isna(doc_id):
                     continue
+                parsed = _parse_bmp_header(raw)
+                if parsed is None:
+                    continue
+                w, h, off, stride = parsed
                 try:
-                    magic, _fsz, _r1, _r2, off = struct.unpack_from("<2sIHHI", raw, 0)
-                    hsz, w, h, planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
-                    if magic != b"BM" or hsz != 40 or planes != 1 or bpp != 24 or h <= 0 or w <= 0:
-                        continue
-                    stride = ((w * 3 + 3) // 4) * 4
-                    if off + stride * h > len(raw):
-                        continue  # truncated pixel array
                     total = weighted = 0
                     for yrow in range(h):
                         base = off + yrow * stride
@@ -436,17 +457,11 @@ def resize_bmp(df: DataFrame, factor: int = 2) -> DataFrame:
             for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
                 if raw is None or pd.isna(doc_id):
                     continue
+                parsed = _parse_bmp_header(raw)
+                if parsed is None:
+                    continue
+                w, h, off, stride = parsed
                 try:
-                    magic, _fsz, _r1, _r2, off = struct.unpack_from("<2sIHHI", raw, 0)
-                    hsz, w, h, planes, bpp = struct.unpack_from("<IiiHH", raw, 14)
-                    if (
-                        magic != b"BM" or hsz != 40 or planes != 1
-                        or bpp != 24 or h <= 0 or w <= 0
-                    ):
-                        continue
-                    stride = ((w * 3 + 3) // 4) * 4
-                    if off + stride * h > len(raw):
-                        continue
                     rw, rh = w // factor, h // factor
                     if rw < 1 or rh < 1:
                         continue

@@ -744,11 +744,12 @@ def opq_rotation(
     therefore the exact-rerank tail and the ground truth — are invariant;
     only the ADC approximation changes.
 
-    Scale shape: the covariance is ONE corpus pass of per-Arrow-batch
+    Scale shape: the covariance is ONE corpus pass of PER-PARTITION
     partials (count, sum-vector, flattened outer-product sum) via
     mapInPandas — each partial is 1 + d + d^2 doubles (~33 KB at d=64),
-    one per batch, summed on the driver in partition order (bounded
-    collect, same driver-resident-artifact contract as kmeans centers).
+    one per partition regardless of row or Arrow-batch count, summed on
+    the driver in partition order (bounded collect, same
+    driver-resident-artifact contract as kmeans centers).
     The d x d eigendecomposition is driver-side numpy (64 x 64 — trivial
     at any corpus size; d is the embedding width, not the row count).
     """
@@ -765,17 +766,31 @@ def opq_rotation(
         import pandas as pd
         from pyspark import TaskContext
 
+        # accumulate across the partition's Arrow batches and emit ONE
+        # partial per partition: the driver collect is bounded by the
+        # partition count (the kmeans driver-resident contract), never by
+        # corpus size — per-batch partials would grow it O(rows/batch)
         pid = TaskContext.get().partitionId()
+        n = 0
+        s = o = None
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n += len(x)
+            if s is None:
+                s = x.sum(axis=0)
+                o = x.T @ x
+            else:
+                s += x.sum(axis=0)
+                o += x.T @ x
+        if n:
             yield pd.DataFrame(
                 {
                     "pid": [pid],
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "o": [(x.T @ x).ravel().tolist()],
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "o": [o.ravel().tolist()],
                 }
             )
 
@@ -869,8 +884,11 @@ def opq_rotate(
     out = corpus.select(id_col, vec_col).mapInPandas(
         apply_rot, f"{id_col} long, {vec_col} array<double>"
     )
-    out = out.persist()
     if cache is not None:
+        # persist ONLY the cacheable frame: a weak-unreferenceable corpus
+        # gets a plain lazy frame — persisting it would orphan JVM cache
+        # blocks on every call (nothing would ever unpersist them)
+        out = out.persist()
         cache[key] = out
     return out
 

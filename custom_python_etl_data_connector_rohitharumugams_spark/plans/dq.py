@@ -205,9 +205,10 @@ def analytics_value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.yr,
            CAST(t.n AS BIGINT) AS n_rows,
-           CAST(SUM(ABS(f.cnt * m.m - r.ref_cnt * t.n)) AS BIGINT)
-               AS tv_scaled,
-           SUM(ABS(f.cnt * m.m - r.ref_cnt * t.n)) * 5 > t.n * m.m AS drift
+           CAST(SUM(ABS(f.cnt * 1000000 // t.n - r.ref_cnt * 1000000 // m.m))
+                AS BIGINT) AS tv_ppm,
+           SUM(ABS(f.cnt * 1000000 // t.n - r.ref_cnt * 1000000 // m.m))
+               > 200000 AS drift
     FROM filled f
     JOIN ref r USING (bin)
     JOIN tot t USING (yr)
@@ -225,13 +226,19 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity discipline — drift metrics are usually transcendental (PSI/KL
     need ln, whose last ulp differs across libm builds and would break
-    the driver's exact hash), so the metric here is the EXACT-INTEGER
-    form of L1 distance: with per-bin counts n_i (year) and m_i
-    (reference), ``tv_scaled = sum_i |n_i * M - m_i * N|`` equals
-    ``N * M * sum_i |p_i - q_i|`` — pure int64 cross-multiplication,
-    bit-identical in any engine — and the drift flag is the integer
-    comparison ``tv_scaled * 5 > N * M`` (i.e. L1 > 0.2). The reference
-    year rides along as the tv_scaled = 0 self-check.
+    the driver's exact hash), so the metric is EXACT-INTEGER L1 in parts
+    per million: each bin's share is the integer ``cnt * 1_000_000 div
+    N`` and ``tv_ppm = sum_i |share_i - ref_share_i|`` (= 10^6 * L1 up
+    to the floor, which both engines take identically); the drift flag
+    is ``tv_ppm > 200_000`` (L1 > 0.2). Normalizing BEFORE the
+    difference keeps every intermediate <= 10^6 * 10 bins regardless of
+    corpus size — the naive cross-multiplied form ``|n_i*M - m_i*N|``
+    overflows int64 near ~10^10 rows per slice, silently in non-ANSI
+    Spark while DuckDB promotes to int128, which is exactly the parity
+    break this query exists to rule out (the ppm form is safe to ~9e12
+    rows per slice, and overflow past that is an error in BOTH engines,
+    never a silent disagreement). The reference year rides along as the
+    tv_ppm = 0 self-check.
 
     Scale shape: ONE scan of orders into a (year, bin) count aggregate
     (10 fixed price bins — bin width is part of the monitor's contract,
@@ -259,7 +266,11 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", F.col("cnt").alias("ref_cnt")
     )
     m = filled.where(F.col("yr") == 1995).agg(F.sum("cnt").alias("m"))
-    term = F.abs(F.col("cnt") * F.col("m") - F.col("ref_cnt") * F.col("n"))
+    # integer div (not /): floor(double division) could disagree with the
+    # oracle's // in the last bit on huge counts; DIV is exact in both
+    term = F.abs(
+        F.expr("cnt * 1000000 DIV n") - F.expr("ref_cnt * 1000000 DIV m")
+    )
     return (
         filled.withColumn("n", F.sum("cnt").over(Window.partitionBy("yr")))
         .join(F.broadcast(ref), "bin")
@@ -267,7 +278,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr")
         .agg(
             F.first("n").cast("bigint").alias("n_rows"),
-            F.sum(term).cast("bigint").alias("tv_scaled"),
-            (F.sum(term) * 5 > F.first("n") * F.first("m")).alias("drift"),
+            F.sum(term).cast("bigint").alias("tv_ppm"),
+            (F.sum(term) > 200000).alias("drift"),
         )
     )

@@ -828,9 +828,9 @@ def test_cdc_ivm_matches_direct_recompute_in_spark(spark):
 def test_distribution_drift_reference_self_check_and_rederivation(spark):
     """dq_distribution_drift semantics, re-derived independently in
     pandas from raw (year, bin) counts: the reference year must report
-    tv_scaled = 0 / drift False (self-check), every fixture year must
-    appear, and each year's tv_scaled must equal the integer
-    cross-multiplied L1 sum computed outside Spark — pinning the metric
+    tv_ppm = 0 / drift False (self-check), every fixture year must
+    appear, and each year's tv_ppm must equal the integer
+    parts-per-million L1 sum computed outside Spark — pinning the metric
     definition, not just engine parity (the oracle row already pins
     DuckDB agreement)."""
     import math
@@ -846,11 +846,14 @@ def test_distribution_drift_reference_self_check_and_rederivation(spark):
     years = sorted(o["yr"].unique())
     ref = {b: int(counts.get((1995, b), 0)) for b in range(10)}
     M = sum(ref.values())
+    ref_ppm = {b: ref[b] * 1_000_000 // M for b in range(10)}
     assert set(out) == set(years)
     for yr in years:
         cur = {b: int(counts.get((yr, b), 0)) for b in range(10)}
         N = sum(cur.values())
-        tv = sum(abs(cur[b] * M - ref[b] * N) for b in range(10))
-        assert out[yr].n_rows == N and out[yr].tv_scaled == tv, yr
-        assert out[yr].drift == (tv * 5 > N * M), yr
-    assert out[1995].tv_scaled == 0 and not out[1995].drift
+        tv = sum(
+            abs(cur[b] * 1_000_000 // N - ref_ppm[b]) for b in range(10)
+        )
+        assert out[yr].n_rows == N and out[yr].tv_ppm == tv, yr
+        assert out[yr].drift == (tv > 200_000), yr
+    assert out[1995].tv_ppm == 0 and not out[1995].drift
