@@ -352,3 +352,102 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every token ``k``-gram, then keep the MINIMUM hash of
+    each sliding ``window`` of consecutive gram hashes; the distinct
+    selected values are the document's fingerprint set. Output:
+    ``(doc_id, fp)`` postings.
+
+    Why this mechanism earns its slot next to MinHash/SimHash: selection
+    is LOCAL — which hash a window selects depends only on that window's
+    ``k + window - 1`` tokens — which buys the famous guarantee that
+    NO sketch gives: any shared token run of at least ``k + window - 1``
+    tokens contributes at least one IDENTICAL fingerprint to both
+    documents, regardless of where the run sits in either document
+    (MinHash only matches with probability ~ Jaccard; winnowing matches
+    with certainty). Corollary used by the oracle: a document embedded
+    verbatim inside another (prefix/suffix/middle insertion) has its
+    ENTIRE fingerprint set contained in the host's.
+
+    Deviation from the paper, stated: ties inside a window select by
+    VALUE (array_min), not the paper's rightmost-position rule — the
+    rule only affects fingerprint DENSITY under repeated equal hashes,
+    never the containment guarantee, and value-min keeps the whole
+    pipeline inside codegen'd array expressions. Documents with fewer
+    than ``k`` tokens have no k-grams and emit NO fingerprints (they
+    can never match; pair them with exact_dedup, which has no length
+    floor).
+
+    Scale shape: per-row array expressions only (no shuffle to build
+    fingerprints — grams and window minima never leave their row);
+    the one data-sized movement is the downstream equi-join on fp,
+    which df_capped_postings bounds exactly like the shingle join.
+    Expression cost is O(tokens * window) per row with tiny constants;
+    the row-form lead() alternative used by shingle_postings costs a
+    doc-keyed shuffle instead — for fingerprints the array form wins
+    because selection needs the whole gram sequence per row anyway.
+    """
+    toks = tokens(F.col(text_col))
+    n_grams = F.size(toks) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), n_grams)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    n_win = F.greatest(F.lit(1), F.size(grams) - F.lit(window - 1))
+    selected = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    fps = F.when(n_grams >= 1, F.array_distinct(selected)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fps.alias("__fps"))
+        .select("doc_id", F.explode("__fps").alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    postings: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Near-dup pairs from winnowing postings by OVERLAP COEFFICIENT:
+    ``|fp(A) ∩ fp(B)| * den >= num * min(|fp(A)|, |fp(B)|)`` — integer
+    arithmetic end to end, so the cutoff is engine-exact. Overlap (not
+    Jaccard) is the right verifier for fingerprint CONTAINMENT: a short
+    document pasted into a long one shares all its fingerprints but few
+    of the host's, so Jaccard dilutes with host length while overlap
+    stays 1. Candidates come from the fp equi-join (never all pairs);
+    cap hot fingerprints first with df_capped_postings(postings renamed
+    fp->shingle) when the corpus carries boilerplate."""
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = postings.select(F.col("doc_id").alias("doc_id_1"), "fp")
+    b = postings.select(F.col("doc_id").alias("doc_id_2"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_id_1"),
+                                F.col("n_fp").alias("n_fp_1")), "doc_id_1")
+        .join(sizes.select(F.col("doc_id").alias("doc_id_2"),
+                           F.col("n_fp").alias("n_fp_2")), "doc_id_2")
+        .where(
+            F.col("n_inter") * threshold_den
+            >= F.lit(threshold_num) * F.least("n_fp_1", "n_fp_2")
+        )
+        .select("doc_id_1", "doc_id_2", "n_inter")
+    )

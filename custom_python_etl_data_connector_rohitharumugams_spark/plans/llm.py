@@ -459,6 +459,32 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_recall_report(d, D.jaccard_verify(cands, posts, threshold=0.5))
 
 
+@query("llm_winnowing_near_dup", tags=("L2", "F5"), oracle=PLANTED_RECALL_ORACLE)
+def llm_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup (Schleimer/Wilkerson/Aiken SIGMOD
+    2003 — operators/dedup.winnow_fingerprints) over a PREFIX-planted
+    corpus: clones get a marker PREPENDED, shifting every token
+    position, which is exactly the transformation winnowing is built
+    for and sketch banding is not — selection is local, so a document
+    embedded verbatim in another contributes its ENTIRE fingerprint set
+    to the host. That containment is a THEOREM (every fixture doc has
+    >= k tokens), so the verifier runs at overlap coefficient EXACTLY
+    1.0 (integer form: n_inter >= min(|fp_1|, |fp_2|)) and 100% planted
+    recall is asserted a priori, like the byte-identical SimHash-banded
+    point — not a tuned measurement. Candidates come from the fp
+    equi-join (never all pairs); fingerprint construction is pure
+    per-row array expressions, no shuffle until the join."""
+    d = load_table(spark, sf_dir, "documents")
+    clones = (
+        d.where(F.col("doc_id") % PLANT_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + PLANT_OFFSET)
+        .withColumn("text", F.concat(F.lit("wnw planted prefix marker "), F.col("text")))
+    )
+    posts = D.winnow_fingerprints(d.unionByName(clones))
+    pairs = D.winnow_overlap_pairs(posts, threshold_num=1, threshold_den=1)
+    return _planted_recall_report(d, pairs)
+
+
 @query("llm_simhash_near_dup", tags=("L2",), oracle=PLANTED_RECALL_ORACLE)
 def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-distance near-dup within source blocks over the

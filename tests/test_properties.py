@@ -676,3 +676,35 @@ def test_jpeg_decoder_rejects_or_differs_on_hostile_streams(
         raise AssertionError("16-bit DQT decoded as 8-bit without error")
     except ValueError:
         pass
+
+
+@given(
+    left_pad=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10),
+    right_pad=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10),
+    left_pad2=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10),
+    right_pad2=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10),
+    run=st.lists(st.sampled_from("uvwxyz"), min_size=7, max_size=12),
+)
+@_SETTINGS
+def test_winnowing_guarantee_shared_run_shares_a_fingerprint(
+    spark, left_pad, right_pad, left_pad2, right_pad2, run
+):
+    """THE winnowing theorem (Schleimer et al. 2003), which no sketch
+    matches: two documents sharing any token run of length >= k+window-1
+    (here 4+4-1 = 7) MUST share at least one fingerprint value, no matter
+    where the run sits in either document. MinHash only catches such a
+    pair with probability ~ Jaccard; winnowing catches it always — this
+    property is what the llm_winnowing_near_dup oracle's a-priori 100%
+    planted recall stands on."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    doc1 = " ".join(left_pad + run + right_pad)
+    doc2 = " ".join(left_pad2 + run + right_pad2)
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], "doc_id long, text string")
+    posts = winnow_fingerprints(df, k=4, window=4)
+    fps = {1: set(), 2: set()}
+    for r in posts.collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], (doc1, doc2)
