@@ -826,3 +826,70 @@ def test_resize_bmp_identity_containment_and_valid_output(spark):
         "doc_id long, data binary",
     )
     assert M.resize_bmp(hostile, factor=2).count() == 0
+
+
+def test_decode_png_rejects_crc_valid_hostile_content(spark):
+    """The adversarial class the existing PNG containment test doesn't
+    reach: payloads whose OUTER integrity layers are all VALID (chunk
+    grammar intact, every CRC32 correct, zlib stream well-formed) but
+    whose inner content is hostile — a decoder that trusts CRCs would
+    decode garbage silently. Three variants, each rebuilt with correct
+    CRCs from a genuine synth_png file:
+
+    - invalid filter-type byte (7) on a scanline => 'bad filter type';
+    - decompressed stream one full scanline LONG => length-contract
+      reject (h*(1+w*3) is part of IHDR's promise);
+    - decompressed stream one scanline SHORT => same, from below.
+    All three must yield no row while the untouched twin decodes.
+    """
+    import struct
+    import zlib
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    good = M.synth_png(spark.createDataFrame([(4,)], "doc_id long"))
+    raw = bytes(good.collect()[0]["data"])
+
+    def split_chunks(buf):
+        pos, chunks = 8, []
+        while pos + 8 <= len(buf):
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            chunks.append((bytes(buf[pos + 4 : pos + 8]),
+                           bytes(buf[pos + 8 : pos + 8 + ln])))
+            pos += 12 + ln
+        return chunks
+
+    def rebuild(chunks):
+        out = [b"\x89PNG\r\n\x1a\n"]
+        for ctype, data in chunks:
+            out.append(struct.pack(">I", len(data)) + ctype + data
+                       + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        return b"".join(out)
+
+    chunks = split_chunks(raw)
+    idat = b"".join(d for t, d in chunks if t == b"IDAT")
+    stream = bytearray(zlib.decompress(idat))
+    w, h = M._png_dims(4)
+    rowlen = 1 + w * 3
+
+    def with_stream(s):
+        body = zlib.compress(bytes(s))
+        return rebuild(
+            [(t, d) for t, d in chunks if t not in (b"IDAT",)][:1]
+            + [(b"IDAT", body)]
+            + [(t, d) for t, d in chunks if t == b"IEND"]
+        )
+
+    bad_filter = bytearray(stream)
+    bad_filter[(h - 1) * rowlen] = 7  # last scanline's filter byte
+    hostile = [
+        (500, with_stream(bad_filter)),
+        (501, with_stream(stream + bytes(rowlen))),   # one row too long
+        (502, with_stream(stream[:-rowlen])),         # one row too short
+        (4, raw),                                      # untouched twin
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = {r.doc_id for r in M.decode_png(df).collect()}
+    assert out == {4}, out
