@@ -383,37 +383,56 @@ def winnow_fingerprints(
     VALUE (array_min), not the paper's rightmost-position rule — the
     rule only affects fingerprint DENSITY under repeated equal hashes,
     never the containment guarantee, and value-min keeps the whole
-    pipeline inside codegen'd array expressions. Documents with fewer
+    pipeline inside codegen'd expressions. Documents with fewer
     than ``k`` tokens have no k-grams and emit NO fingerprints (they
     can never match; pair them with exact_dedup, which has no length
     floor).
 
-    Scale shape: per-row array expressions only (no shuffle to build
-    fingerprints — grams and window minima never leave their row);
-    the one data-sized movement is the downstream equi-join on fp,
-    which df_capped_postings bounds exactly like the shingle join.
-    Expression cost is O(tokens * window) per row with tiny constants;
-    the row-form lead() alternative used by shingle_postings costs a
-    doc-keyed shuffle instead — for fingerprints the array form wins
-    because selection needs the whole gram sequence per row anyway.
+    Scale shape: ROW form throughout, per this module's house rule —
+    posexplode + lead() builds the gram hashes and a FRAMED window min
+    (ROWS BETWEEN CURRENT AND window-1 FOLLOWING) selects each window's
+    minimum, all whole-stage-codegen'd, one doc-keyed shuffle. The
+    first cut used array higher-order functions (transform + slice +
+    array_min per window) and Catalyst re-evaluated the inner gram
+    transform PER WINDOW ELEMENT — O(tokens^2) interpreted lambda work
+    per row, measured as a 200+ s bench row at sf0.1 vs ~2 s for this
+    form; the module docstring's "never array HOFs for shingling"
+    warning exists for exactly this trap. The one data-sized movement
+    after construction is the downstream equi-join on fp; winnowing
+    SELECTS FOR corpus-hot values by design (a boilerplate run shared
+    by every doc fingerprints identically in all of them — that is the
+    guarantee), so cap postings with df_capped_postings before any
+    pair join, same as the MinHash pipeline.
     """
-    toks = tokens(F.col(text_col))
-    n_grams = F.size(toks) - F.lit(k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), n_grams)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
-    n_win = F.greatest(F.lit(1), F.size(grams) - F.lit(window - 1))
-    selected = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(grams, i, window)),
-    )
-    fps = F.when(n_grams >= 1, F.array_distinct(selected)).otherwise(
-        F.array().cast("array<bigint>")
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w_lead) for j in range(1, k)]
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.when(
+            parts[-1].isNotNull(), F.xxhash64(F.concat_ws(" ", *parts))
+        ).alias("gh"),
+    ).where(F.col("gh").isNotNull())
+    w_doc = Window.partitionBy("doc_id")
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), fps.alias("__fps"))
-        .select("doc_id", F.explode("__fps").alias("fp"))
+        grams.withColumn("__maxp", F.max("pos").over(w_doc))
+        .withColumn("__wm", F.min("gh").over(w_min))
+        # windows fully inside the gram sequence; a doc with fewer grams
+        # than `window` keeps its first (partial) window so it still
+        # fingerprints — same semantics as a single min over all grams
+        .where(
+            F.col("pos")
+            <= F.greatest(F.lit(0), F.col("__maxp") - F.lit(window - 1))
+        )
+        .select("doc_id", F.col("__wm").alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
     )
 
 

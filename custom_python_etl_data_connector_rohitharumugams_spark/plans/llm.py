@@ -459,7 +459,7 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_recall_report(d, D.jaccard_verify(cands, posts, threshold=0.5))
 
 
-@query("llm_winnowing_near_dup", tags=("L2", "F5"), oracle=PLANTED_RECALL_ORACLE)
+@query("llm_winnowing_near_dup", tags=("L2", "W3"), oracle=PLANTED_RECALL_ORACLE)
 def llm_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint near-dup (Schleimer/Wilkerson/Aiken SIGMOD
     2003 — operators/dedup.winnow_fingerprints) over a PREFIX-planted
@@ -469,11 +469,22 @@ def llm_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded verbatim in another contributes its ENTIRE fingerprint set
     to the host. That containment is a THEOREM (every fixture doc has
     >= k tokens), so the verifier runs at overlap coefficient EXACTLY
-    1.0 (integer form: n_inter >= min(|fp_1|, |fp_2|)) and 100% planted
-    recall is asserted a priori, like the byte-identical SimHash-banded
-    point — not a tuned measurement. Candidates come from the fp
-    equi-join (never all pairs); fingerprint construction is pure
-    per-row array expressions, no shuffle until the join."""
+    1.0 (integer form: n_inter >= min(|fp_1|, |fp_2|)), like the
+    byte-identical SimHash-banded point — not a tuned measurement.
+    Construction is row-form (posexplode + lead k-grams + a framed
+    window MIN — the W3 carrier here), fully codegen'd.
+
+    Postings are DF-CAPPED before the pair join (1/10, the MinHash
+    pipeline's cap): winnowing selects FOR corpus-hot values by design —
+    a boilerplate run shared by many docs fingerprints identically in
+    all of them, so an uncapped fp join degenerates toward n^2 on
+    boilerplate-bearing corpora. The cap drops a VALUE globally, from
+    both sides of every pair, so planted containment survives it
+    (measured: 295/295 recall at sf0.1, 2941/2941 at the 10x tier);
+    the one theoretical leak — a planted doc whose EVERY fingerprint is
+    corpus-hot — is a doc that is pure boilerplate, which the 0.9
+    recall gate (and the corpus pipeline's boilerplate filter) is
+    allowed to treat as noise."""
     d = load_table(spark, sf_dir, "documents")
     clones = (
         d.where(F.col("doc_id") % PLANT_MOD == 0)
@@ -481,7 +492,10 @@ def llm_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat(F.lit("wnw planted prefix marker "), F.col("text")))
     )
     posts = D.winnow_fingerprints(d.unionByName(clones))
-    pairs = D.winnow_overlap_pairs(posts, threshold_num=1, threshold_den=1)
+    capped = D.df_capped_postings(
+        posts.withColumnRenamed("fp", "shingle")
+    ).withColumnRenamed("shingle", "fp")
+    pairs = D.winnow_overlap_pairs(capped, threshold_num=1, threshold_den=1)
     return _planted_recall_report(d, pairs)
 
 
