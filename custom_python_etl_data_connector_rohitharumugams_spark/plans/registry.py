@@ -58,18 +58,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # set cover (DFS) over the tags the first-time cohort does not carry,
 # then a drop loop ejecting first-timers until 50 slots fit.
 #
-# Round-8 window (recomposed at round-8 start after CORRECTNESS_r07.json
-# landed — the round-7 window's 15 tag-redundant already-checked slots
-# were ejected by the optimizer's drop loop): 31 cover + 19 first-time.
-# The 19 first-timers drain the 28-query orphan backlog down to 9; the
-# deferred 9 (agg_approx_percentiles, dedup_exact_status_pairs,
-# llm_ann_ivf_pq_hifi_topk, llm_ann_ivf_pq_topk, llm_ivf_train_kmeans,
-# scalar_conditional_customer_report, scalar_date_order_report,
-# scalar_id_generation, scalar_variant_event_payloads — plus every query
-# registered after this window froze; the committed CORRECTNESS_r*.json
-# union vs the registry is the authoritative list) ride round 9, the
-# rotation program's stated completion round. Re-run
-# tools/window_optimizer.py at round-9 start.
+# Round-9 window (recomposed at round-9 start after CORRECTNESS_r08.json
+# landed): 32 cover + 14 first-time = 46 slots (4 spare under the 50
+# cap). The 14 first-timers are the ENTIRE remaining orphan backlog —
+# this is the rotation program's stated completion round: once
+# CORRECTNESS_r09.json lands green, every registered query has at least
+# one committed driver row and the deferred list is empty. Queries
+# registered after this window froze ride round 10; re-run
+# tools/window_optimizer.py at round-10 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window
@@ -78,62 +74,52 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (tests/test_oracle_parity.py runs all of them under the driver's
 # compare).
 _PRIORITY: tuple[str, ...] = (
-    # --- cover slots: minimal checked-query cover of the tags the ------
-    # --- first-time cohort does not carry (exact, window_optimizer.py) --
-    "agg_hll_partition_merge",            # A3 A1 F2
-    "analytics_daily_order_gapfill",      # F5 F2 J2 F4
-    "analytics_nation_trade_volume",      # J1 J3 A1 F2
-    "analytics_rich_inactive_customers",  # J4 A1 A6
-    "asof_next_purchase_within_2d",       # J7 F2
-    "connector_incremental_sync",         # S1 S2 S3 S4 S7
-    "connector_json_landing",             # S6 P4 P5
-    "connector_key_sanitization_report",  # P3
-    "connector_shardsink_manifest",       # S7b F8
-    "join_cross_region_segment",          # J8 A1
-    "join_range_price_bands",             # J5 A1
-    "llm_boilerplate_ngrams",             # L12 L14 F5
-    "llm_bpe_token_counts",               # L4 F1
-    "llm_chunk_documents",                # L6 F5
-    "llm_corpus_build_e2e",               # L1 L9 L12 L13 L10
-    "llm_dedup_clusters",                 # L11 L2
-    "llm_pii_scrub",                      # L8 F1
-    "llm_sequence_packing",               # L7 W3
-    "pricing_summary",                    # S5 P1 P2 A1 O1
-    "scalar_map_event_totals",            # F6 F7
-    "setop_except_lapsed_customers",      # O4
-    "sql_window_distribution",            # W1
-    "stream_checkpoint_recovery",         # T4 T1 S8 S9
-    "stream_dedup_user_event_types",      # T5 O5
-    "stream_running_totals_update_log",   # T6 W3
-    "stream_session_windows",             # T3 W2
-    "stream_sliding_event_volume",        # T2
-    "stream_static_join_enrichment",      # T7 J1
-    "udaf_weighted_avg_price",            # A7 U2
-    "udf_scalar_name_clean",              # U1
-    "udtf_fixed_width_parse",             # U4 P5
-    # --- rotating slots: round-8 first-time cohort — never driver-checked
-    # --- in r1-r7; the four multimodal codecs, the remaining ANN point,
-    # --- and the stream-stream LEFT OUTER interval join are the evidence
-    # --- the round-7 verdict named as thinnest --------------------------
-    "agg_heavy_hitters_event_types",      # A1 U3
-    "analytics_conversion_funnel",        # A1 A5 W2
-    "analytics_event_type_transitions",   # W2 A1 F3
-    "analytics_ols_price_by_size",        # A1 F3 A5
-    "cdc_log_compaction_orders",          # W4 O5 O3
-    "connector_gzip_landing",             # S6 P5
-    "layout_bucketed_join_noshuffle",     # S5 J1 A1
-    "layout_partitioned_prune",           # S5 P2 A1
-    "llm_pq_encode",                      # L3 F5 A1
-    "multimodal_avi_frames",              # L5 U3
-    "multimodal_bmp_decode",              # L5 U3
-    "multimodal_jpeg_decode",             # L5 U3
-    "multimodal_png_decode",              # L5 U3
-    "sort_top100_lineitems",              # O1 O2
-    "sql_collect_set_statuses",           # A2 F5
-    "sql_correlated_small_quantity_revenue",  # A1 J1
-    "sql_cube_lineitem_volume",           # A4
-    "sql_first_last_event_values",        # W2
-    "stream_stream_left_outer_interval_join",  # T8 J6 F4
+    "agg_rollup_pricing",  # cover: A4
+    "analytics_idle_supplier_parts",  # cover: J4 A2
+    "analytics_value_outliers_iqr",  # cover: A6 J3 P2 A5
+    "asof_next_purchase_within_2d",  # cover: J7 F2
+    "connector_incremental_sync",  # cover: S1 S2 S3 S4 S7
+    "connector_json_landing",  # cover: S6 P4 P5
+    "connector_key_sanitization_report",  # cover: P3
+    "connector_shardsink_manifest",  # cover: S7b F8
+    "join_range_price_bands",  # cover: J5 A1
+    "llm_bm25_search",  # cover: L3 L4 F5 A1 O2
+    "llm_boilerplate_ngrams",  # cover: L12 L14 F5
+    "llm_chunk_documents",  # cover: L6 F5
+    "llm_corpus_build_e2e",  # cover: L1 L9 L12 L13 L10
+    "llm_cosine_topk",  # cover: L3 J8 W4 F5
+    "llm_neardup_degree_histogram",  # cover: L2 L11 A1 F5
+    "llm_pii_scrub",  # cover: L8 F1
+    "llm_sequence_packing",  # cover: L7 W3
+    "pricing_summary",  # cover: S5 P1 P2 A1 O1
+    "setop_except_lapsed_customers",  # cover: O4
+    "sql_approx_topk_brands",  # cover: A3 O2
+    "sql_unpivot_customer_metrics",  # cover: F6 O3
+    "sql_window_distribution",  # cover: W1
+    "stream_checkpoint_recovery",  # cover: T4 T1 S8 S9
+    "stream_dedup_user_event_types",  # cover: T5 O5
+    "stream_running_totals_update_log",  # cover: T6 W3
+    "stream_session_windows",  # cover: T3 W2
+    "stream_sliding_event_volume",  # cover: T2
+    "stream_static_join_enrichment",  # cover: T7 J1
+    "stream_stream_interval_join",  # cover: T8 J6
+    "udaf_weighted_avg_price",  # cover: A7 U2
+    "udf_scalar_name_clean",  # cover: U1
+    "udtf_fixed_width_parse",  # cover: U4 P5
+    "agg_approx_percentiles",  # first-time: A6
+    "dedup_exact_status_pairs",  # first-time: O5
+    "dq_distribution_drift",  # first-time: A1 F3 J2
+    "llm_ann_frozen_add_topk",  # first-time: L3 U2
+    "llm_ann_ivf_pq_hifi_topk",  # first-time: L3
+    "llm_ann_ivf_pq_opq_topk",  # first-time: L3 U2
+    "llm_ann_ivf_pq_topk",  # first-time: L3
+    "llm_ivf_train_kmeans",  # first-time: L3
+    "llm_winnowing_near_dup",  # first-time: L2 W3
+    "multimodal_bmp_resize",  # first-time: L5 U3
+    "scalar_conditional_customer_report",  # first-time: F4
+    "scalar_date_order_report",  # first-time: F2
+    "scalar_id_generation",  # first-time: F8
+    "scalar_variant_event_payloads",  # first-time: F7
 )
 
 def priority_names() -> tuple[str, ...]:
