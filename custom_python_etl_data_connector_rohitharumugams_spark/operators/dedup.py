@@ -375,9 +375,14 @@ def winnow_fingerprints(
     tokens contributes at least one IDENTICAL fingerprint to both
     documents, regardless of where the run sits in either document
     (MinHash only matches with probability ~ Jaccard; winnowing matches
-    with certainty). Corollary used by the oracle: a document embedded
-    verbatim inside another (prefix/suffix/middle insertion) has its
-    ENTIRE fingerprint set contained in the host's.
+    with certainty). Corollary used by the oracle: a document of at
+    least ``k + window - 1`` tokens embedded verbatim inside another
+    (prefix/suffix/middle insertion) has its ENTIRE fingerprint set
+    contained in the host's. The length floor is load-bearing: a doc of
+    ``k .. k + window - 2`` tokens has fewer grams than the window, so
+    its single partial-window fingerprint is the min over FEWER hashes
+    than any full host window considers — a value the host's windows
+    need not select — and containment is not guaranteed for it.
 
     Deviation from the paper, stated: ties inside a window select by
     VALUE (array_min), not the paper's rightmost-position rule — the

@@ -756,6 +756,11 @@ def opq_rotation(
     import numpy as np
 
     d_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if d_row is None:
+        raise ValueError(
+            "opq_rotation: empty corpus — the rotation is learned from data; "
+            "pass an identity rotation of your embedding width instead"
+        )
     dim = int(d_row["d"])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")

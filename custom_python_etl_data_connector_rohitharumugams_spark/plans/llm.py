@@ -467,8 +467,11 @@ def llm_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     position, which is exactly the transformation winnowing is built
     for and sketch banding is not — selection is local, so a document
     embedded verbatim in another contributes its ENTIRE fingerprint set
-    to the host. That containment is a THEOREM (every fixture doc has
-    >= k tokens), so the verifier runs at overlap coefficient EXACTLY
+    to the host. That containment is a THEOREM for docs of at least
+    k + window - 1 tokens (shorter docs emit only a partial-window
+    fingerprint the host need not select; every fixture doc here has
+    >= 10 tokens, clearing the k=4/window=4 floor of 7), so the
+    verifier runs at overlap coefficient EXACTLY
     1.0 (integer form: n_inter >= min(|fp_1|, |fp_2|)), like the
     byte-identical SimHash-banded point — not a tuned measurement.
     Construction is row-form (posexplode + lead k-grams + a framed

@@ -205,7 +205,13 @@ def bucket_file_counts(base_dir: str, collection: str) -> dict[int, int]:
     for entry in os.listdir(path) if os.path.isdir(path) else []:
         if not entry.startswith(f"{BUCKET_COL}="):
             continue
-        b = int(entry.split("=", 1)[1])
+        try:
+            b = int(entry.split("=", 1)[1])
+        except ValueError:
+            # e.g. __HIVE_DEFAULT_PARTITION__ or a stray directory: not a
+            # bucket this sink wrote, so not this report's business — the
+            # fragmentation report must survive foreign partition values
+            continue
         counts[b] = sum(
             1
             for f in os.listdir(os.path.join(path, entry))

@@ -461,7 +461,15 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
                 raise ValueError(
                     f"restapi stream: page payload is not a record list: {body[:200]!r}"
                 )
-            out.extend(r for r in recs if isinstance(r, dict))
+            bad = next((r for r in recs if not isinstance(r, dict)), None)
+            if bad is not None:
+                # same fail-loud contract as the malformed-page shapes above:
+                # a non-dict ENTRY is the server corrupting a record, and
+                # silently dropping it would skew the committed offset log
+                raise ValueError(
+                    f"restapi stream: non-object record in page: {bad!r:.200}"
+                )
+            out.extend(recs)
             if not recs:
                 return out
         raise RuntimeError(

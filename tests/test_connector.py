@@ -609,6 +609,25 @@ def test_docsink_bucket_subset_compaction_touches_only_those_buckets(
     assert after_rows == before_rows
 
 
+def test_bucket_file_counts_skips_foreign_partition_values(spark, tmp_path):
+    """A non-integer partition value in the collection directory (e.g.
+    __HIVE_DEFAULT_PARTITION__ left by another writer) must not kill the
+    fragmentation report — it is skipped, not parsed."""
+    import os as _os
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, payload string")
+    docsink.write_collection(
+        df, str(tmp_path), "c", key_col="id", n_buckets=2, mode="append"
+    )
+    _os.makedirs(
+        str(tmp_path / "c" / f"{docsink.BUCKET_COL}=__HIVE_DEFAULT_PARTITION__")
+    )
+    counts = docsink.bucket_file_counts(str(tmp_path), "c")
+    assert set(counts) <= {0, 1} and all(
+        isinstance(b, int) for b in counts
+    ), counts
+
+
 def test_run_connector_refuses_partial_extract(spark, api_url, tmp_path):
     """An error-shaped page truncating the extract must abort the load with
     nothing landed (watermark unchanged) unless allow_partial is passed —
@@ -833,6 +852,21 @@ def test_stream_reader_raises_on_bad_200_pages():
         )
         with pytest.raises(ValueError):
             reader.read({"next_id": 0})
+
+
+def test_stream_reader_raises_on_non_dict_record_in_valid_page():
+    """A non-dict ENTRY inside an otherwise valid list page is the server
+    corrupting a record: it must raise like the malformed-page shapes, not
+    be silently dropped — a dropped record is invisible in the offset log
+    and breaks the fail-loud contract the page shapes already honor."""
+    import pytest
+
+    reader = _stream_reader_with_pages(
+        [('{"data": [{"id": 1, "name": "a"}, 42]}',
+          {"data": [{"id": 1, "name": "a"}, 42]})]
+    )
+    with pytest.raises(ValueError, match="non-object record"):
+        reader.read({"next_id": 0})
 
 
 def test_stream_reader_accepts_bare_list_and_data_null_pages():

@@ -257,6 +257,14 @@ def test_opq_rotation_is_orthogonal_and_balances_subspace_variance(spark):
     assert rotated < raw and rotated < 0.3, (raw, rotated)
 
 
+def test_opq_rotation_empty_corpus_raises_clearly(spark):
+    """opq_rotation on an empty corpus must fail with a clear ValueError
+    at the dimension probe, not a TypeError on NoneType deep inside."""
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.opq_rotation(e.where(F.lit(False)))
+
+
 def test_opq_rotate_preserves_exact_neighbors(spark):
     """Orthogonal invariance end-to-end: the exact cosine top-k over the
     OPQ-rotated corpus equals the top-k over the raw corpus (same pairs),
