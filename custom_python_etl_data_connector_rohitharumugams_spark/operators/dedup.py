@@ -436,8 +436,15 @@ def winnow_fingerprints(
             F.col("pos")
             <= F.greatest(F.lit(0), F.col("__maxp") - F.lit(window - 1))
         )
-        .select("doc_id", F.col("__wm").alias("fp"))
-        .dropDuplicates(["doc_id", "fp"])
+        # per-doc dedup as collect_set + explode, NOT dropDuplicates:
+        # the rows leave the window stage hash-partitioned by doc_id, a
+        # distribution this groupBy reuses, while dropDuplicates would
+        # re-shuffle on (doc_id, fp). Per-doc set size is bounded by the
+        # doc's gram count (winnowing density ~2/(window+1) of grams) —
+        # the same per-doc envelope minhash_signatures' groupBy carries.
+        .groupBy("doc_id")
+        .agg(F.collect_set("__wm").alias("__fps"))
+        .select("doc_id", F.explode("__fps").alias("fp"))
     )
 
 
@@ -454,21 +461,32 @@ def winnow_overlap_pairs(
     of the host's, so Jaccard dilutes with host length while overlap
     stays 1. Candidates come from the fp equi-join (never all pairs);
     cap hot fingerprints first with df_capped_postings(postings renamed
-    fp->shingle) when the corpus carries boilerplate."""
-    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = postings.select(F.col("doc_id").alias("doc_id_1"), "fp")
-    b = postings.select(F.col("doc_id").alias("doc_id_2"), "fp")
-    inter = (
-        a.join(b, "fp")
-        .where(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    fp->shingle) when the corpus carries boilerplate.
+
+    Plan shape: per-doc sizes ride WITH the postings as a window count
+    (one doc_id exchange over the postings subtree, evaluated once) and
+    travel through the fp equi-join into the pair groupBy's key set —
+    the earlier groupBy-sizes + two joins formulation re-planned the
+    whole postings subtree three times and cost 9 extra plan legs
+    (21 -> 10 exchanges on llm_winnowing_near_dup). The two join sides
+    differ only in aliases, so ReuseExchange computes their fp shuffle
+    once; n_fp_1/n_fp_2 are constant per (doc_id_1, doc_id_2), so
+    widening the groupBy key adds no cardinality."""
+    if "n_fp" not in postings.columns:
+        postings = postings.withColumn(
+            "n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    a = postings.select(
+        F.col("doc_id").alias("doc_id_1"), "fp", F.col("n_fp").alias("n_fp_1")
+    )
+    b = postings.select(
+        F.col("doc_id").alias("doc_id_2"), "fp", F.col("n_fp").alias("n_fp_2")
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_id_1"),
-                                F.col("n_fp").alias("n_fp_1")), "doc_id_1")
-        .join(sizes.select(F.col("doc_id").alias("doc_id_2"),
-                           F.col("n_fp").alias("n_fp_2")), "doc_id_2")
+        a.join(b, "fp")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2", "n_fp_1", "n_fp_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .where(
             F.col("n_inter") * threshold_den
             >= F.lit(threshold_num) * F.least("n_fp_1", "n_fp_2")

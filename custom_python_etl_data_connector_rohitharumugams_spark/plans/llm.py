@@ -494,9 +494,17 @@ def llm_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + PLANT_OFFSET)
         .withColumn("text", F.concat(F.lit("wnw planted prefix marker "), F.col("text")))
     )
-    posts = D.winnow_fingerprints(d.unionByName(clones))
+    corpus = d.unionByName(clones)
+    posts = D.winnow_fingerprints(corpus)
+    # n_docs from the corpus scan, NOT df_capped_postings' default
+    # count_distinct(doc_id)-over-postings: the default re-plans the whole
+    # posexplode+window fingerprint subtree just for the denominator. The
+    # corpus count is >= the posted-doc count (docs under k tokens post
+    # nothing), so the cap keeps at least as many postings — containment
+    # recall can only improve.
     capped = D.df_capped_postings(
-        posts.withColumnRenamed("fp", "shingle")
+        posts.withColumnRenamed("fp", "shingle"),
+        n_docs=corpus.agg(F.count(F.lit(1))),
     ).withColumnRenamed("shingle", "fp")
     pairs = D.winnow_overlap_pairs(capped, threshold_num=1, threshold_den=1)
     return _planted_recall_report(d, pairs)
