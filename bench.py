@@ -136,6 +136,26 @@ def main() -> None:
             if timings[name] <= STALL_RERUN_SEC:
                 break
 
+    # Noise-floor min-of-4: queries under NOISE_FLOOR_SEC are dominated by
+    # fixed job overhead (scheduling + codegen lookup, ~0.1-0.3 s), where
+    # this host's 15-25% timing weather is a 2x-ratio-sized effect on its
+    # own — round 8's only over-2x book entry was a 0.12 s -> 0.30 s query
+    # whose every sample was pure floor. Two extra samples each (the 86
+    # sub-0.5 s queries sum to ~26 s, so this is bounded at ~1 min) make
+    # the floor measurements as stall-robust as the slow queries' rerun
+    # protocol. Recorded in BENCH_DETAIL.json; protocol in BASELINE.md.
+    NOISE_FLOOR_SEC = 0.5
+    floor_resampled: list[str] = []
+    for name in sorted(qdefs):
+        if timings[name] >= NOISE_FLOOR_SEC:
+            continue
+        floor_resampled.append(name)
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            run(qdefs[name].fn(spark, sf_dir))
+            sample = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings[name], sample)
+
     stop_hb.set()
     stall_sec = round(sum(e - s for s, e in stall_windows), 3)
 
@@ -166,6 +186,7 @@ def main() -> None:
         "keymap": keymap,
         "host_stall_sec_detected": stall_sec,
         "stall_reruns": reruns,
+        "noise_floor_min_of_4_count": len(floor_resampled),
     }
     detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True))
 
