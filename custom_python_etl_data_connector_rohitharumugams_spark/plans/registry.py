@@ -120,6 +120,9 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_date_order_report",  # first-time: F2
     "scalar_id_generation",  # first-time: F8
     "scalar_variant_event_payloads",  # first-time: F7
+    # --- round-9 additions (registered after the optimizer window froze;
+    # --- ride the 4 spare slots) ---------------------------------------
+    "udf_grouped_zscore_stats_join",  # first-time: U3 U2 J3 (scale twin)
 )
 
 def priority_names() -> tuple[str, ...]:

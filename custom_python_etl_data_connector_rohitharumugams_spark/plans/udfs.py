@@ -78,7 +78,19 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (U3): per-group standardization. The oracle
     is the pure-window formulation — proving the pandas path partitions
-    groups exactly like the JVM plan."""
+    groups exactly like the JVM plan.
+
+    Cost model (the documented grouped-map bound, measured at the 10x/30x
+    tiers): applyInPandas materializes EACH GROUP as one pandas frame in
+    one Python worker, so parallelism == group cardinality (3 here —
+    the 30x run schedules a 3-task stage on 32 cores) and worker memory
+    is O(largest group). Measured min-of-3: 5.6 s at 6 M rows -> 14.4 s
+    at 18 M rows (exponent ~0.86 — linear work, zero added parallelism;
+    the SCALING.md +1.13 entry's extra 0.3 was host weather). This is
+    inherent to the operator the query demonstrates, not a plan defect;
+    the scale path for this COMPUTATION is udf_grouped_zscore_stats_join
+    below (JVM stats + broadcast + mapInPandas: batch-bounded memory,
+    full-width parallelism)."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["l_extendedprice"].mean()
@@ -103,6 +115,64 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").applyInPandas(
         zscore, schema="l_orderkey long, l_linenumber int, price_z double"
+    )
+
+
+@query(
+    "udf_grouped_zscore_stats_join",
+    tags=("U3", "U2", "J3"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_extendedprice - AVG(l_extendedprice) OVER w)
+                 / stddev_samp(l_extendedprice) OVER w, 4) AS price_z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def udf_grouped_zscore_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of udf_grouped_zscore — same result, same
+    oracle, different physical shape. Grouped-map's cost model is
+    parallelism == group cardinality and memory == O(largest group); with
+    3 return flags over 100 TB of lineitem that is 3 workers each handed
+    ~33 TB. This form decomposes the z-score into what each stage does
+    best: the per-group (mu, sd) are algebraic aggregates the JVM
+    computes with map-side partials (3-row result), broadcast back onto
+    the scan, and the residual per-row arithmetic runs in mapInPandas
+    over ARROW BATCHES — memory bounded by the batch size regardless of
+    group width, parallelism = input partitions, zero shuffles of the
+    fact table (the agg shuffles 3 partial rows per task, the join is a
+    broadcast). The pandas node is retained deliberately as the U3/U2
+    carrier; replacing it with built-in expressions would make the whole
+    plan one codegen stage but stop exercising the Arrow batch path this
+    query exists to prove scale-safe."""
+
+    def z_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            z = ((pdf["l_extendedprice"] - pdf["__mu"]) / pdf["__sd"]).round(4)
+            # same null alignment as the grouped-map twin: 1-row groups
+            # give sd NULL -> NaN after Arrow, constant groups sd 0 ->
+            # inf; the oracle yields NULL for both
+            z = z.where(np.isfinite(z), None)
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "price_z": z,
+                }
+            )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    stats = l.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("__mu"),
+        F.stddev_samp("l_extendedprice").alias("__sd"),
+    )
+    joined = l.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice").join(
+        F.broadcast(stats), "l_returnflag"
+    )
+    return joined.mapInPandas(
+        z_batches, schema="l_orderkey long, l_linenumber int, price_z double"
     )
 
 

@@ -199,6 +199,8 @@ def test_no_python_in_unexpected_query_plans(spark):
 
     PYTHON_IS_THE_OPERATOR = {
         "udf_scalar_name_clean", "udaf_weighted_avg_price", "udf_grouped_zscore",
+        "udf_grouped_zscore_stats_join",         # U3 scale twin: the Arrow
+                                                 # batch path IS the point
         "udtf_tokenize_part_names",              # U1-U4: the UDF mechanism itself
         "udtf_fixed_width_parse",                # U4: polymorphic UDTF IS the op
         "multimodal_decode_features", "multimodal_frame_sample",  # Arrow decode
