@@ -192,6 +192,130 @@ def benchmark_decontamination_gemm(
     )
 
 
+def benchmark_decontamination_pruned(
+    e: DataFrame,
+    benchmark_label: int = 0,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_lists: int | None = None,
+    nprobe: int | None = None,
+    train_iters: int = 5,
+) -> DataFrame:
+    """IVF-CELL-PRUNED decontamination — the 100 TB shape when the
+    benchmark itself is large. The exact twins compare every corpus
+    vector against EVERY benchmark vector (GEMM width |B|); here the
+    benchmark is indexed into ``n_lists`` spherical-kmeans cells
+    (driver-side Lloyd's on the collected benchmark — legal under the
+    same bounded-benchmark contract both twins already invoke) and each
+    corpus vector scores only the cells its ``nprobe`` nearest centroids
+    name: per-row work drops from |B| to ~|B| * nprobe / n_lists + the
+    n_lists-wide assignment, i.e. |B| -> ~sqrt(|B|)-ish under the
+    module's sqrt budgets (n_lists = ceil(sqrt(|B|)), nprobe =
+    ceil(sqrt(n_lists)) — the ivf ladder's growth policy, so selectivity
+    RISES with benchmark size instead of being a fixed tune).
+
+    Exact-duplicate recall is GUARANTEED, not probabilistic: the probe
+    set always contains the row's argmax cell computed by the same
+    float64 arithmetic that assigned the benchmark vectors, so a corpus
+    vector identical to a benchmark vector lands in — and therefore
+    scans — the cell holding its twin and reports cosine exactly 1.0
+    (this is what the planted oracle gates). Near-threshold NON-identical
+    pairs in unprobed cells can be missed — the standard IVF recall
+    trade, disclosed; the exact twins stay registered as the baseline.
+    Rows none of whose probed cells hold any benchmark vector report the
+    cosine floor -1.0 (below every threshold).
+
+    Scale shape: one linear corpus scan (mapInPandas), per batch one
+    (rows x n_lists) assignment GEMM plus per-probed-cell sub-GEMMs;
+    nothing corpus-sized is collected or shuffled (the only shuffle is
+    the final per-label 3-column roll-up, identical to the twins)."""
+    import math
+
+    import numpy as np
+
+    bench_rows = (
+        e.where(F.col(label_col) == benchmark_label)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    corp = e.where(F.col(label_col) != benchmark_label).select(
+        F.col(label_col).alias("label"), F.col(vec_col).alias("vec")
+    )
+    if not bench_rows:
+        return corp.select(
+            "label",
+            F.lit(0).cast("bigint").alias("n_vectors"),
+            F.lit(0).cast("bigint").alias("n_contaminated"),
+            F.lit(0.0).alias("max_sim"),
+        ).limit(0)
+    bmat = np.array([list(r["v"]) for r in bench_rows], dtype=np.float64)
+    bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+    bmat /= np.where(bn == 0.0, 1.0, bn)
+    nb = len(bmat)
+    if n_lists is None:
+        n_lists = math.isqrt(nb - 1) + 1  # ceil(sqrt(nb))
+    n_lists = max(1, min(n_lists, nb))
+    if nprobe is None:
+        nprobe = math.isqrt(n_lists - 1) + 1 if n_lists > 1 else 1
+    nprobe = max(1, min(nprobe, n_lists))
+
+    # spherical k-means on the unit-normalized benchmark: deterministic
+    # stride init over collection order, fixed iterations, centers
+    # renormalized each round (max-cosine assignment == min-L2 on the
+    # sphere). Driver-side numpy on a by-contract-bounded matrix.
+    centers = bmat[:: max(1, nb // n_lists)][:n_lists].copy()
+    n_lists = len(centers)
+    for _ in range(train_iters):
+        a = np.argmax(bmat @ centers.T, axis=1)
+        for j in range(n_lists):
+            members = bmat[a == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cn = np.linalg.norm(c)
+                centers[j] = c / (cn if cn else 1.0)
+    assign = np.argmax(bmat @ centers.T, axis=1)
+    cell_mats = [bmat[assign == j] for j in range(n_lists)]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x /= np.where(xn == 0.0, 1.0, xn)
+            cd = x @ centers.T
+            probes = np.argsort(-cd, axis=1)[:, :nprobe]
+            # force the argmax cell into slot 0: np.argmax's first-max
+            # tie-break is the SAME rule that assigned the benchmark
+            # vectors above, while argsort's tie order is unspecified —
+            # without this, an exact duplicate could probe a tied cell
+            # and miss its twin, voiding the guaranteed-recall contract
+            probes[:, 0] = np.argmax(cd, axis=1)
+            best = np.full(len(x), -1.0)
+            for j in range(n_lists):
+                if not len(cell_mats[j]):
+                    continue
+                rows = np.nonzero((probes == j).any(axis=1))[0]
+                if not len(rows):
+                    continue
+                s = (x[rows] @ cell_mats[j].T).max(axis=1)
+                best[rows] = np.maximum(best[rows], s)
+            yield pd.DataFrame(
+                {"label": pdf["label"], "max_sim": np.round(best, 4)}
+            )
+
+    per_vec = corp.mapInPandas(score, schema="label int, max_sim double")
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("max_sim") > threshold).cast("long")).alias("n_contaminated"),
+        F.round(F.max("max_sim"), 4).alias("max_sim"),
+    )
+
+
 #: per-chunk similarity-entry budget for the in-task GEMM tiling (~128 MB
 #: of float64 sims); the A-side chunk size is this divided by |B|
 _GEMM_CHUNK_ELEMS = 16_000_000

@@ -1897,6 +1897,49 @@ query(
 
 
 @query(
+    "llm_embedding_decontamination_pruned",
+    tags=("L9", "L3", "U2"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           TRUE AS planted_all_flagged,
+           CAST(1.0 AS DOUBLE) AS max_sim
+    FROM embeddings WHERE label = 0 AND vec_id % 3 = 0
+    """,
+)
+def llm_embedding_decontamination_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-CELL-PRUNED decontamination
+    (similarity.benchmark_decontamination_pruned) under the same
+    planted-contamination invariant as the GEMM twin: every third
+    benchmark vector cloned into the corpus MUST be flagged at max_sim
+    exactly 1.0. The invariant holds a priori for THIS index too — the
+    probe set always contains the row's argmax cell, computed by the
+    same arithmetic that assigned the benchmark, so an identical vector
+    always scans the cell holding its twin. This is the scale path the
+    exact twins baseline: per-corpus-row benchmark work is
+    ~|B|*nprobe/n_lists + n_lists (sqrt budgets) instead of |B|, which
+    is what retires the exact form's documented superlinear exponent on
+    tiers that grow the benchmark side along with the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = (
+        e.where((F.col("label") == 0) & (F.col("vec_id") % 3 == 0))
+        .withColumn("vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET))
+        .withColumn("label", F.lit(99))
+    )
+    out = S.benchmark_decontamination_pruned(
+        e.unionByName(planted), benchmark_label=0, threshold=0.3
+    )
+    return out.where(F.col("label") == 99).select(
+        F.col("n_vectors").cast("bigint").alias("n_planted"),
+        (F.col("n_contaminated") == F.col("n_vectors")).alias(
+            "planted_all_flagged"
+        ),
+        F.col("max_sim"),
+    )
+
+
+@query(
     "llm_neardup_degree_histogram",
     tags=("L2", "L11", "A1", "F5"),
     oracle=f"""

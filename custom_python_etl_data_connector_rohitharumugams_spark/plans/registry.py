@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- round-9 additions (registered after the optimizer window froze;
     # --- ride the 4 spare slots) ---------------------------------------
     "udf_grouped_zscore_stats_join",  # first-time: U3 U2 J3 (scale twin)
+    "llm_embedding_decontamination_pruned",  # first-time: L9 L3 U2 (ivf-pruned)
 )
 
 def priority_names() -> tuple[str, ...]:

@@ -649,6 +649,35 @@ def test_embedding_decontamination_flags_planted_copy(spark):
     assert out[8].n_contaminated == 0 and out[8].max_sim == 0.0
 
 
+def test_pruned_decontamination_contained_by_exact_and_finds_twins(spark, sf_dir):
+    """The IVF-pruned decontaminator's two contracts, on the real corpus:
+    (a) CONTAINMENT — probing a subset of cells can only lower per-label
+    max_sim and n_contaminated relative to the exact scan, never raise
+    them; (b) GUARANTEED exact-duplicate recall — a planted identical
+    copy of a benchmark vector is flagged at max_sim exactly 1.0 because
+    the probe set always contains the row's argmax cell (the same
+    first-max tie-break that assigned the benchmark side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = (
+        e.where((F.col("label") == 0) & (F.col("vec_id") % 3 == 0))
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        .withColumn("label", F.lit(99))
+    )
+    corpus = e.unionByName(planted)
+    exact = {r.label: r for r in S.benchmark_decontamination(corpus).collect()}
+    pruned = {
+        r.label: r
+        for r in S.benchmark_decontamination_pruned(corpus).collect()
+    }
+    assert set(pruned) == set(exact)
+    for lbl in exact:
+        assert pruned[lbl].n_vectors == exact[lbl].n_vectors
+        assert pruned[lbl].n_contaminated <= exact[lbl].n_contaminated, lbl
+        assert pruned[lbl].max_sim <= exact[lbl].max_sim, lbl
+    assert pruned[99].max_sim == 1.0
+    assert pruned[99].n_contaminated == pruned[99].n_vectors > 0
+
+
 def test_filtered_cosine_topk_excludes_other_labels(spark):
     """The metadata filter is a hard constraint: a near-identical vector
     with a DIFFERENT label must never appear in the neighbor list, even

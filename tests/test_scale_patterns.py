@@ -230,6 +230,7 @@ def test_no_python_in_unexpected_query_plans(spark):
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
         "llm_semantic_dedup",                    # applyInPandas per-cell GEMM
         "llm_embedding_decontamination_planted", # mapInPandas benchmark GEMM
+        "llm_embedding_decontamination_pruned",  # mapInPandas IVF-pruned GEMM
         "agg_heavy_hitters_event_types",         # mapInPandas Misra-Gries sketch
         # hierarchical CC finish: single-task union-find over the CONTRACTED
         # edge set (<=3M rows by construction) — metadata-scale, not
