@@ -792,6 +792,63 @@ def ivf_frozen_add_topk(
     )
 
 
+def cell_occupancy_drift(
+    base_assign: DataFrame,
+    batch_assign: DataFrame,
+    threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """The frozen-index RE-TRAIN TRIGGER: total-variation distance, in
+    exact-integer parts-per-million, between the cell-occupancy histogram
+    the quantizer had when it was frozen (``base_assign``) and the
+    occupancy an ingested batch produces under the same frozen centers
+    (``batch_assign``). One row: ``(tv_ppm, retrain)`` with ``retrain =
+    tv_ppm > threshold_ppm``.
+
+    This makes the "train once, add forever — until drift" lifecycle
+    executable: ivf_frozen_add_topk's docstring promises ingestion never
+    retrains, and THIS is the cheap monitor that decides when that
+    promise expires. Occupancy is the right drift proxy for an IVF index
+    because it is exactly what decays search quality: a drifted
+    distribution piles new vectors into few cells, so fixed-nprobe
+    recall drops (hot cells under-probed) while scan cost rises (hot
+    cells long). The histograms are k rows each — the monitor's cost is
+    the assignment pass the ingest already pays, plus a k-row compare.
+
+    Parity discipline is dq_distribution_drift's (plans/dq.py): shares
+    as ``cnt * 1_000_000 div n`` (integer floor both engines take
+    identically — no transcendental PSI/KL whose libm ulp would break
+    the driver's exact hash), TV = sum of absolute share differences.
+    Identical assignments therefore give tv_ppm EXACTLY 0, and a batch
+    confined to one cell gives tv_ppm >= 10^6 - base_share_of_that_cell
+    - k (floors), a theorem the planted oracle leans on. An EMPTY batch
+    yields NULL tv_ppm (0-denominator div -> NULL, NULL-absorbing sum):
+    there is no occupancy to compare — gate ingest batches non-empty
+    before consulting the monitor."""
+    base = base_assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__bc"))
+    batch = batch_assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__nc"))
+    joined = base.join(batch, "cid", "full_outer").select(
+        F.coalesce(F.col("__bc"), F.lit(0)).alias("__bc"),
+        F.coalesce(F.col("__nc"), F.lit(0)).alias("__nc"),
+    )
+    # k-row frame: the 1-row totals broadcast back onto it
+    totals = joined.agg(
+        F.sum("__bc").alias("__bn"), F.sum("__nc").alias("__nn")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.expr("__bc * 1000000L div __bn")
+                - F.expr("__nc * 1000000L div __nn")
+            ).alias("__d")
+        )
+        .agg(F.sum("__d").cast("bigint").alias("tv_ppm"))
+        .select(
+            "tv_ppm", (F.col("tv_ppm") > threshold_ppm).alias("retrain")
+        )
+    )
+
+
 def scaled_pq_budgets(
     n_vectors: int,
     n_lists: int | None = None,

@@ -931,6 +931,77 @@ def llm_ann_frozen_add_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_frozen_index_drift_trigger",
+    tags=("L3", "A1", "F3"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(0 AS BIGINT) AS identity_tv_ppm,
+           FALSE AS identity_retrain,
+           TRUE AS drift_retrain
+    FROM embeddings
+    """,
+)
+def llm_frozen_index_drift_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen index's "until drift" clause, executable
+    (similarity.cell_occupancy_drift): llm_ann_frozen_add_topk freezes a
+    half-corpus-trained quantizer and promises ingestion never retrains;
+    this query runs the monitor that decides when the promise expires,
+    under two a-priori batches:
+
+    - IDENTITY batch (the full corpus, re-assigned under the same frozen
+      centers): deterministic assignment means identical occupancy
+      counts, identical integer floor-shares, hence identity_tv_ppm
+      EXACTLY 0 and no retrain — a theorem, not a measurement.
+    - PLANTED-DRIFT batch (only the vectors of the baseline's
+      smallest-occupancy nonempty cell — the worst-case single-cell
+      pile-up): its occupancy is 100% one cell whose baseline share is
+      <= 10^6/n_nonempty <= 500000 ppm, so tv_ppm >= 10^6 - 500000 -
+      n_cells > the 200000 threshold whenever the baseline occupies >= 2
+      cells — which tests/test_llm_ops.py pins on the real fixtures (a
+      corpus degenerate enough to occupy ONE cell of a sqrt-rule
+      quantizer is all-identical vectors, where no drift is detectable
+      or needed).
+
+    Why occupancy drift is the right trigger: piled-up cells are exactly
+    what decays frozen-index quality — fixed-nprobe recall drops while
+    scan cost rises. The monitor costs the assignment pass ingest
+    already pays plus a k-row compare; the threshold (TV > 0.2) and the
+    integer-ppm parity discipline are dq_distribution_drift's."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
+    )
+    base = S.assign_to_centers(e, centers).select("vec_id", "cid")
+    identity = S.assign_to_centers(e, centers).select("cid")
+    min_cell = (
+        base.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").asc(), F.col("cid").asc())
+        .limit(1)
+        .select("cid")
+    )
+    drift_batch = base.join(F.broadcast(min_cell), "cid").select("cid")
+    id_rep = S.cell_occupancy_drift(base, identity).select(
+        F.col("tv_ppm").alias("identity_tv_ppm"),
+        F.col("retrain").alias("identity_retrain"),
+    )
+    dr_rep = S.cell_occupancy_drift(base, drift_batch).select(
+        F.col("retrain").alias("drift_retrain")
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(id_rep))
+        .crossJoin(F.broadcast(dr_rep))
+        .select(
+            "n_vectors", "identity_tv_ppm", "identity_retrain", "drift_retrain"
+        )
+    )
+
+
+@query(
     "llm_semantic_dedup",
     tags=("L2", "L3", "U3"),
     oracle="""

@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- ride the 4 spare slots) ---------------------------------------
     "udf_grouped_zscore_stats_join",  # first-time: U3 U2 J3 (scale twin)
     "llm_embedding_decontamination_pruned",  # first-time: L9 L3 U2 (ivf-pruned)
+    "llm_frozen_index_drift_trigger",  # first-time: L3 A1 F3 (drift monitor)
 )
 
 def priority_names() -> tuple[str, ...]:

@@ -649,6 +649,34 @@ def test_embedding_decontamination_flags_planted_copy(spark):
     assert out[8].n_contaminated == 0 and out[8].max_sim == 0.0
 
 
+def test_cell_occupancy_drift_identity_zero_and_planted_drift_fires(spark, sf_dir):
+    """Pins the two theorems llm_frozen_index_drift_trigger's oracle leans
+    on, plus their stated precondition: (a) re-assigning the same corpus
+    under the same frozen centers gives tv_ppm EXACTLY 0 / no retrain;
+    (b) a batch confined to one cell trips the 200000-ppm trigger; (c)
+    the precondition for (b) — the baseline occupies >= 2 cells on the
+    real fixture under the sqrt-rule quantizer — actually holds."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _in, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
+    )
+    base = S.assign_to_centers(e, centers).select("vec_id", "cid")
+    occupancy = {r.cid: r.n for r in base.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(occupancy) >= 2, occupancy  # precondition (c)
+
+    ident = S.cell_occupancy_drift(base, S.assign_to_centers(e, centers).select("cid")).collect()[0]
+    assert ident.tv_ppm == 0 and not ident.retrain
+
+    min_cell = min(occupancy, key=lambda c: (occupancy[c], c))
+    drifted = S.cell_occupancy_drift(
+        base, base.where(F.col("cid") == min_cell).select("cid")
+    ).collect()[0]
+    assert drifted.retrain and drifted.tv_ppm >= 1_000_000 - 500_000 - n_lists
+
+
 def test_pruned_decontamination_contained_by_exact_and_finds_twins(spark, sf_dir):
     """The IVF-pruned decontaminator's two contracts, on the real corpus:
     (a) CONTAINMENT — probing a subset of cells can only lower per-label

@@ -225,6 +225,8 @@ def test_no_python_in_unexpected_query_plans(spark):
         "llm_ivf_train_kmeans",
         "llm_ann_frozen_add_topk",               # + the frozen add()
                                                  # assignment pass itself
+        "llm_frozen_index_drift_trigger",        # + the same frozen assign
+                                                 # (GEMM) feeding the monitor
         "llm_ann_ivf_pq_opq_topk",               # + the OPQ rotation apply
                                                  # (Arrow GEMM) by design
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
