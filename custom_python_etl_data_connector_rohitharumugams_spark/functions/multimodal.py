@@ -8,9 +8,13 @@ parses genuine RIFF/WAVE PCM16 audio (stdlib ``wave``),
 padding), :func:`extract_avi_frames` genuine RIFF/AVI containers
 (nested LISTs, avih header, even-byte chunk padding),
 :func:`decode_png` genuine PNG (CRC-verified chunk grammar, zlib
-DEFLATE, full five-filter predictive reconstruction), and
+DEFLATE, full five-filter predictive reconstruction),
 :func:`decode_jpeg` genuine baseline JPEG (Annex K Huffman tables, DC
-prediction, zigzag, byte unstuffing, full IDCT — functions/jpeg.py).
+prediction, zigzag, byte unstuffing, full IDCT — functions/jpeg.py),
+:func:`decode_gif` genuine GIF89a (global color table, extension
+skipping, variable-width LZW with resets and the KwKwK case), and
+:func:`extract_mp4_samples` genuine ISO BMFF (box tree with largesize
+escapes, stsc/stsz/stco sample-table demux).
 Headers and full payload streams are actually decoded, and each
 registered query's oracle pins the output against closed-form
 expectations (payloads are synthesized as real files from a doc_id
@@ -1273,4 +1277,220 @@ def decode_gif(df: DataFrame) -> DataFrame:
         run,
         schema="doc_id long, width long, height long, pixel_sum long, "
         "weighted_sum long",
+    )
+
+
+# -- MP4: the ISO BMFF container tier, real box walk --------------------------
+# The second video-container grammar next to RIFF/AVI, and a genuinely
+# different one: big-endian length-prefixed box tree (ISO/IEC 14496-12,
+# public spec) with 64-bit largesize escapes, and — the real demux logic —
+# sample extraction resolved through the stbl SAMPLE TABLE (stsc
+# chunk-mapping x stsz sizes x stco absolute offsets) instead of frames
+# sitting in named chunks. Files are written mdat-before-moov (the recorded-
+# file layout), so the parser cannot cheat by streaming: it must read the
+# table at the END of the file and seek back.
+
+
+def _mp4_samples(doc_id: int) -> list[bytes]:
+    """Closed-form samples for ``doc_id``: 3-5 samples of 12-18 bytes —
+    the formula the oracle recomputes."""
+    n = 3 + doc_id % 3
+    return [
+        bytes(
+            ((doc_id * 7 + k * 31 + j * 11) % 256)
+            for j in range(12 + (doc_id + k) % 7)
+        )
+        for k in range(n)
+    ]
+
+
+def synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL minimal ISO BMFF files: ftyp, an mdat
+    holding the sample bytes (64-BIT LARGESIZE header on every even doc
+    — the escape real muxers use past 4 GiB, so both header widths are
+    load-bearing), and a trailing moov whose stbl carries the true
+    sample table: stsd/stts, an stsc that maps the FIRST chunk to 2
+    samples and a SECOND chunk to the rest (two entries — a constant
+    one-chunk table would let a parser skip stsc resolution entirely),
+    per-sample stsz, and absolute-offset stco. stdlib struct only,
+    Arrow-batched."""
+    import struct
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def box(fourcc: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    def full(fourcc: bytes, payload: bytes, version: int = 0) -> bytes:
+        return box(fourcc, struct.pack(">I", version << 24) + payload)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                samples = _mp4_samples(doc_id)
+                n = len(samples)
+                body = b"".join(samples)
+                ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+                if doc_id % 2 == 0:  # largesize escape: size=1 + u64
+                    mdat = (
+                        struct.pack(">I", 1)
+                        + b"mdat"
+                        + struct.pack(">Q", 16 + len(body))
+                        + body
+                    )
+                    data_at = len(ftyp) + 16
+                else:
+                    mdat = box(b"mdat", body)
+                    data_at = len(ftyp) + 8
+                chunk2_at = data_at + sum(len(s) for s in samples[:2])
+                stsd = full(
+                    b"stsd",
+                    struct.pack(">I", 1)
+                    + box(b"raw ", struct.pack(">6xH", 1) + bytes(8)),
+                )
+                stts = full(b"stts", struct.pack(">III", 1, n, 40))
+                stsc = full(
+                    b"stsc",
+                    struct.pack(">I", 2)
+                    + struct.pack(">III", 1, 2, 1)       # chunk 1: 2 samples
+                    + struct.pack(">III", 2, n - 2, 1),  # chunk 2: the rest
+                )
+                stsz = full(
+                    b"stsz",
+                    struct.pack(">II", 0, n)
+                    + b"".join(struct.pack(">I", len(s)) for s in samples),
+                )
+                stco = full(b"stco", struct.pack(">III", 2, data_at, chunk2_at))
+                stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+                minf = box(b"minf", stbl)
+                hdlr = full(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"v\x00")
+                mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000, 40 * n, 0x55C4, 0))
+                mdia = box(b"mdia", mdhd + hdlr + minf)
+                tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1) + bytes(68))
+                mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 40 * n) + bytes(80))
+                moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+                payloads.append(ftyp + mdat + moov)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def extract_mp4_samples(df: DataFrame) -> DataFrame:
+    """REAL ISO BMFF demux: walks the big-endian box tree (u32 size +
+    fourcc, u64 largesize escape), recurses through moov/trak/mdia/minf/
+    stbl, parses the sample table (stsz sizes, stsc chunk mapping, stco
+    chunk offsets) and resolves every sample's ABSOLUTE byte range the
+    way a real demuxer does: chunk i holds samples-per-chunk from the
+    last stsc entry whose first_chunk <= i, samples laid consecutively
+    from the chunk's stco offset. Emits (doc_id, sample_id, n_bytes,
+    byte_sum, header_samples). A parser that ignores stsc and assumes
+    one chunk reads the wrong bytes for every sample past the second —
+    which the oracle's closed-form byte sums make fatal. Corrupt or NULL
+    payloads (bad magic, truncated boxes, offsets past EOF, table count
+    mismatches) yield no rows — the shared containment contract."""
+    import struct
+
+    src = df.select("doc_id", "data")
+
+    def demux(raw: bytes) -> tuple[list[tuple[int, int]], int]:
+        """Return ([(offset, size)] per sample, stsz count)."""
+        tables: dict[bytes, bytes] = {}
+
+        def walk(pos: int, end: int) -> None:
+            while pos < end:
+                if pos + 8 > end:
+                    raise ValueError("mp4: truncated box header")
+                (size,) = struct.unpack_from(">I", raw, pos)
+                fourcc = bytes(raw[pos + 4 : pos + 8])
+                data_at = pos + 8
+                if size == 1:
+                    if pos + 16 > end:
+                        raise ValueError("mp4: truncated largesize")
+                    (size,) = struct.unpack_from(">Q", raw, pos + 8)
+                    data_at = pos + 16
+                if size < data_at - pos or pos + size > end:
+                    raise ValueError("mp4: box overruns container")
+                if fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(data_at, pos + size)
+                elif fourcc in (b"stsz", b"stsc", b"stco"):
+                    tables[fourcc] = bytes(raw[data_at : pos + size])
+                pos += size
+
+        if len(raw) < 12 or raw[4:8] != b"ftyp":
+            raise ValueError("mp4: no ftyp")
+        walk(0, len(raw))
+        missing = {b"stsz", b"stsc", b"stco"} - set(tables)
+        if missing:
+            raise ValueError(f"mp4: missing sample tables {missing}")
+        stsz = tables[b"stsz"]
+        uniform, n = struct.unpack_from(">II", stsz, 4)
+        if uniform:
+            sizes = [uniform] * n
+        else:
+            if len(stsz) < 12 + 4 * n:
+                raise ValueError("mp4: stsz count mismatch")
+            sizes = list(struct.unpack_from(f">{n}I", stsz, 12))
+        (n_stsc,) = struct.unpack_from(">I", tables[b"stsc"], 4)
+        stsc = [
+            struct.unpack_from(">III", tables[b"stsc"], 8 + 12 * i)
+            for i in range(n_stsc)
+        ]
+        if not stsc or stsc[0][0] != 1:
+            raise ValueError("mp4: bad stsc")
+        (n_chunks,) = struct.unpack_from(">I", tables[b"stco"], 4)
+        offsets = list(
+            struct.unpack_from(f">{n_chunks}I", tables[b"stco"], 8)
+        )
+        spans: list[tuple[int, int]] = []
+        s = 0
+        for ci in range(1, n_chunks + 1):
+            per = next(
+                spc for fc, spc, _d in reversed(stsc) if fc <= ci
+            )
+            at = offsets[ci - 1]
+            for _ in range(per):
+                if s >= n:
+                    break
+                if at + sizes[s] > len(raw):
+                    raise ValueError("mp4: sample past EOF")
+                spans.append((at, sizes[s]))
+                at += sizes[s]
+                s += 1
+        if s != n:
+            raise ValueError("mp4: sample count mismatch")
+        return spans, n
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "sample_id", "n_bytes",
+                                   "byte_sum", "header_samples")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    spans, n = demux(bytes(raw))
+                except (ValueError, IndexError, struct.error):
+                    continue
+                for k, (at, sz) in enumerate(spans):
+                    out["doc_id"].append(int(doc_id))
+                    out["sample_id"].append(k)
+                    out["n_bytes"].append(sz)
+                    out["byte_sum"].append(sum(raw[at : at + sz]))
+                    out["header_samples"].append(n)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, sample_id long, n_bytes long, byte_sum long, "
+        "header_samples long",
     )

@@ -1469,6 +1469,44 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_samples",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(range(0, 3 + doc_id % 3)) AS k
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, k, 12 + (doc_id + k) % 7 AS ln FROM g
+    ), by_byte AS (
+        SELECT doc_id, k, ln, unnest(range(0, ln)) AS j FROM fr
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS sample_id,
+           CAST(MIN(ln) AS BIGINT) AS n_bytes,
+           CAST(SUM((doc_id * 7 + k * 31 + j * 11) % 256) AS BIGINT)
+               AS byte_sum,
+           CAST(MIN(3 + doc_id % 3) AS BIGINT) AS header_samples
+    FROM by_byte
+    GROUP BY doc_id, k
+    """,
+)
+def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF (MP4) demux under the oracle — the second video
+    container next to RIFF/AVI and a structurally different grammar:
+    big-endian box tree with 64-bit largesize escapes (every even doc's
+    mdat uses one), mdat-before-moov recorded-file layout, and sample
+    extraction resolved through the REAL stbl sample table — a 2-entry
+    stsc chunk map x per-sample stsz x absolute stco offsets
+    (functions/multimodal.synth_mp4 / extract_mp4_samples, stdlib
+    struct). The oracle recomputes every sample's length and byte sum a
+    priori; a demuxer that assumes one chunk, skips the largesize, or
+    walks the tree by fixed offsets breaks the hash. Corrupt payloads
+    yield no rows (containment pytest-pinned)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.extract_mp4_samples(M.synth_mp4(docs))
+
+
+@query(
     "multimodal_avi_frames",
     tags=("L5", "U3"),
     oracle="""

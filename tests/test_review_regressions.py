@@ -979,3 +979,71 @@ def test_gif_lzw_roundtrip_crosses_width_bumps_and_resets():
     assert _lzw_decode(_lzw_encode(mono, 8), 8, len(mono)) == mono
     kwk = bytes([5]) * 500  # pure KwKwK chain
     assert _lzw_decode(_lzw_encode(kwk, 8), 8, 500) == kwk
+
+
+def test_extract_mp4_contains_corrupt_and_sample_table_is_load_bearing(spark):
+    """MP4 containment + proof the stbl resolution matters:
+
+    - corrupt payloads (no ftyp, truncated box header, box overrunning
+      the file, a missing stco table, sample offsets past EOF, NULL)
+      each yield no rows;
+    - the 2-entry stsc chunk map is LOAD-BEARING: rewriting chunk 2's
+      stco offset to point at chunk 1 changes every later sample's
+      bytes, which the closed-form byte sums catch (asserted by
+      comparing against the formula, not the decoder's own output)."""
+    import struct
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+
+    # doc 8: even (largesize mdat) with 5 samples; doc 7: plain mdat
+    good = M.synth_mp4(spark.createDataFrame([(8,), (7,)], "doc_id long"))
+    rows = {r.doc_id: bytes(r.data) for r in good.collect()}
+
+    no_ftyp = b"\x00\x00\x00\x08free" + rows[7][12:]
+    truncated = rows[7][:-10]  # cuts into the trailing moov
+    overrun = bytearray(rows[7])
+    struct.pack_into(">I", overrun, 0, len(overrun) + 100)  # ftyp size lies
+    # corrupt stco: second chunk offset -> past EOF
+    bad_stco = bytearray(rows[7])
+    at = bad_stco.index(b"stco")
+    struct.pack_into(">I", bad_stco, at + 16, len(bad_stco) + 50)
+    # mis-resolve: second chunk offset -> chunk 1's offset (valid range,
+    # wrong bytes) — decode succeeds but sums must disagree with formula
+    wrong_chunk = bytearray(rows[8])
+    at = wrong_chunk.index(b"stco")
+    (c1,) = struct.unpack_from(">I", wrong_chunk, at + 12)
+    struct.pack_into(">I", wrong_chunk, at + 16, c1)
+
+    hostile = spark.createDataFrame(
+        [
+            (101, bytes(no_ftyp)),
+            (102, bytes(truncated)),
+            (103, bytes(overrun)),
+            (104, bytes(bad_stco)),
+            (105, None),
+            (8, rows[8]),
+            (7, rows[7]),
+        ],
+        "doc_id long, data binary",
+    )
+    got = M.extract_mp4_samples(hostile).collect()
+    assert {r.doc_id for r in got} == {7, 8}
+    for doc in (7, 8):
+        samples = M._mp4_samples(doc)
+        by_k = {r.sample_id: r for r in got if r.doc_id == doc}
+        assert len(by_k) == len(samples)
+        for k, s in enumerate(samples):
+            assert (by_k[k].n_bytes, by_k[k].byte_sum) == (len(s), sum(s)), (doc, k)
+
+    misres = M.extract_mp4_samples(
+        spark.createDataFrame([(8, bytes(wrong_chunk))], "doc_id long, data binary")
+    ).collect()
+    samples = M._mp4_samples(8)
+    # chunk 1 (samples 0-1) still correct; at least one later sample wrong
+    wrong = [
+        r for r in misres
+        if r.sample_id >= 2 and r.byte_sum != sum(samples[r.sample_id])
+    ]
+    assert wrong, "stsc/stco resolution was not load-bearing"

@@ -210,6 +210,7 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                             # re-encode is
                                                             # the operator
         "multimodal_gif_decode",                            # palette+LZW
+        "multimodal_mp4_samples",                           # BMFF box walk
         "multimodal_jpeg_decode",                           # byte parsing +
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
