@@ -1,0 +1,171 @@
+"""Distributed BPE tokenizer TRAINING (Sennrich, Haddow, Birch — "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016; the
+word-count formulation production trainers use).
+
+This is the op a training-data platform runs right before tokenizing 100 TB:
+learn the merge table FROM the corpus. Scale shape, stated precisely:
+
+- ONE corpus scan builds the ``(word, cnt)`` table; every merge round after
+  that touches only DISTINCT WORDS — Zipf puts the vocabulary orders of
+  magnitude below corpus size, which is exactly why the word-count
+  formulation (not a per-token stream) is the distributed one.
+- Per round: adjacent-pair counting is the module house-rule ROW FORM
+  (posexplode + lead + one pair-keyed groupBy, whole-stage codegen'd);
+  the argmax pair is a 1-row driver artifact — the merge TABLE is the
+  model, driver-resident by the same contract as kmeans centers
+  (operators/similarity.kmeans_train).
+- The merge application is one narrow Arrow pass over the word table
+  (mapInPandas): the non-overlapping left-to-right pair rewrite is
+  sequential PER WORD by definition, so the Python node IS the operator —
+  and it runs on vocabulary-sized data, never the corpus.
+- Lineage is cut per round (persist + materialize, previous round released)
+  exactly like operators/graph.py's connected-components rounds; without
+  the cut, round k's plan re-derives rounds 1..k-1.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+
+#: merge rounds stop early when the best pair's corpus frequency falls
+#: below this floor — merging hapax pairs memorizes the corpus tail
+MIN_PAIR_FREQ = 2
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, cnt)`` over whitespace tokens — the one corpus-sized scan
+    of BPE training. Empty tokens (double spaces) are dropped on both
+    the engine and oracle side."""
+    return (
+        docs.select(F.explode(T.tokens(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair frequencies weighted by word count — row form
+    (posexplode + lead over the word partition), one pair-keyed shuffle."""
+    ex = words.select(
+        "word", "cnt", F.posexplode("syms").alias("pos", "sym")
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    return (
+        ex.select(
+            "cnt", "sym", F.lead("sym").over(w).alias("nxt")
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every word's symbol sequence with (left, right) -> left+right,
+    left-to-right non-overlapping (the BPE rule: 'aaa' under merge (a,a)
+    becomes ['aa','a'], not two overlapping pairs). Arrow pass over the
+    vocabulary-sized word table; the sequential per-word rewrite is why
+    this is a Python node by design."""
+    merged_sym = left + right
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for syms in pdf["syms"]:
+                s = list(syms)
+                res = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        res.append(merged_sym)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "cnt": pdf["cnt"], "syms": out}
+            )
+
+    return words.mapInPandas(run, schema="word string, cnt long, syms array<string>")
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int, min_pair_freq: int = MIN_PAIR_FREQ
+) -> tuple[list[tuple[str, str, int]], DataFrame, list[int]]:
+    """Learn up to ``n_merges`` BPE merges from a ``(word, cnt)`` table.
+
+    Returns ``(merges, words_final, pair_totals)``: ``merges`` is the
+    learned driver-resident model — ``[(left, right, corpus_freq), ...]``
+    in rank order with ties broken (freq DESC, left ASC, right ASC) so
+    training is deterministic across partitionings; ``words_final``
+    carries each word's post-merge symbol sequence (the state a
+    tokenizer-apply pass would broadcast the merge table against);
+    ``pair_totals`` is the corpus-weighted ADJACENT-PAIR total before
+    each round plus one final entry after the last merge. It differs
+    from the corpus symbol total by a round-INVARIANT constant (each
+    word contributes len-1 pairs and merges never empty a word, so
+    sum cnt*(len-1) = sym_total - sum cnt), so "strictly decreasing
+    pair_totals" == "strictly decreasing symbol totals" — the theorem
+    the registered query's oracle gates (every applied merge rewrites
+    at least one occurrence). Stops early when no pair reaches
+    ``min_pair_freq``.
+
+    One action per round: the argmax pair (min of struct(-freq, sym,
+    nxt) — same tie-break as the sort form, no per-round sort job) and
+    the pair total ride ONE aggregate, which also materializes the
+    round's persisted state (the previous round unpersists only after
+    its successor is cached)."""
+    # the state table is vocabulary-sized (Zipf: ~10-100k rows even at
+    # corpus scale measured in TB), so a handful of partitions beats the
+    # corpus-sized default: per-partition task overhead x rounds is the
+    # dominant cost of training, not data volume
+    state = words.coalesce(1).select(
+        "word",
+        "cnt",
+        F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit("")).alias(
+            "syms"
+        ),
+    ).persist()
+    prev: DataFrame | None = None
+
+    def round_stats(df: DataFrame):
+        return _pair_counts(df).agg(
+            F.min(
+                F.struct(
+                    (-F.col("freq")).alias("nf"), F.col("sym"), F.col("nxt")
+                )
+            ).alias("top"),
+            F.sum("freq").alias("total"),
+        ).collect()[0]
+
+    pair_totals: list[int] = []
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        row = round_stats(state)  # materializes state's persist
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        if row["total"] is None:
+            break
+        freq = -int(row["top"]["nf"])
+        if freq < min_pair_freq:
+            break
+        pair_totals.append(int(row["total"]))
+        left, right = row["top"]["sym"], row["top"]["nxt"]
+        merges.append((left, right, freq))
+        prev = state
+        state = _apply_merge(state, left, right).persist()
+    final = round_stats(state)  # the state after the last applied merge
+    if prev is not None:
+        prev.unpersist()
+    pair_totals.append(int(final["total"] or 0))
+    return merges, state, pair_totals

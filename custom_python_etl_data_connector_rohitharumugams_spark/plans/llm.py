@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import multimodal as M
 from ..functions import text as T
+from ..operators import bpe as B
 from ..operators import dedup as D
 from ..operators import similarity as S
 from .registry import query
@@ -233,6 +234,75 @@ def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(T.bpe_ish_tokens(F.col("text")))).cast("bigint").alias("bpe_tokens"),
         F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("ws_tokens"),
         F.count(F.lit(1)).alias("doc_cnt"),
+    )
+
+
+@query(
+    "llm_bpe_train",
+    tags=("L4", "A1", "W3"),
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+        SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> '' GROUP BY word
+    ), pos AS (
+        SELECT word, cnt,
+               unnest(generate_series(1, CAST(length(word) - 1 AS BIGINT))) AS i
+        FROM wc WHERE length(word) >= 2
+    ), pairs AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS l,
+               substr(word, CAST(i AS INT) + 1, 1) AS r,
+               SUM(cnt) AS freq
+        FROM pos GROUP BY 1, 2
+    ), top AS (
+        SELECT l, r, freq FROM pairs ORDER BY freq DESC, l, r LIMIT 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wc) AS n_words,
+           CAST(6 AS BIGINT) AS n_merges,
+           l AS first_left,
+           r AS first_right,
+           CAST(freq AS BIGINT) AS first_freq,
+           TRUE AS syms_strictly_decreasing
+    FROM top
+    """,
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE TOKENIZER TRAINING (operators/bpe.bpe_train;
+    Sennrich et al. ACL 2016) — the op a training platform runs before
+    tokenizing the corpus: learn 8 merges from the documents table's
+    word counts (6 merges). Oracle strategy, mixed exact + invariant like the ANN
+    ladder: the FIRST learned merge is fully SQL-derivable (top
+    weighted adjacent character pair over distinct words, tie-break
+    freq DESC then lexicographic — DuckDB recomputes it bit-exactly,
+    including the tie-break), later rounds depend on earlier rewrites no
+    SQL can express, so they ride two a-priori claims instead: all 6
+    requested merges are learnable on this corpus (every round's best
+    pair clears the frequency floor — word-soup fixtures are nowhere
+    near the degenerate tail), and the corpus-weighted symbol total
+    decreases STRICTLY every round (each applied merge rewrites at
+    least one occurrence — a theorem). The learned merge table is the
+    driver-resident model artifact, same contract as kmeans centers;
+    per-round work touches only the Zipf-bounded distinct-word table,
+    never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = B.word_counts(d)
+    n_words = words.count()
+    merges, _state, totals = B.bpe_train(words, n_merges=6)
+    dec = all(b < a for a, b in zip(totals, totals[1:]))
+    first = merges[0] if merges else ("", "", 0)
+    return spark.createDataFrame(
+        [
+            (
+                n_words,
+                len(merges),
+                first[0],
+                first[1],
+                first[2],
+                dec and len(totals) == len(merges) + 1,
+            )
+        ],
+        "n_words bigint, n_merges bigint, first_left string, "
+        "first_right string, first_freq bigint, syms_strictly_decreasing boolean",
     )
 
 

@@ -816,3 +816,53 @@ def test_semantic_dedup_exact_flood_collapses_before_gemm(spark):
     # their keeper's cell but never entered a GEMM task
     kept_cells = out[out.vec_id < 1000].groupby("cell").size()
     assert kept_cells.max() <= 50
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """Distributed BPE training equals the textbook single-process trainer
+    (Sennrich et al. 2016) on the real corpus: same merge table in the
+    same rank order, same frequencies, same tie-break — plus the two
+    invariants the registered query's oracle leans on (every round
+    clears the frequency floor; pair totals strictly decrease)."""
+    from collections import Counter
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bpe as B
+
+    d = load_table(spark, sf_dir, "documents")
+    words = B.word_counts(d)
+    merges, state, totals = B.bpe_train(words, n_merges=6)
+
+    # reference trainer on the collected word counts
+    wc = {r.word: r.cnt for r in words.collect()}
+    vocab = {w: list(w) for w in wc}
+    ref: list[tuple[str, str, int]] = []
+    for _ in range(6):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        (la, rb), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < B.MIN_PAIR_FREQ:
+            break
+        ref.append((la, rb, freq))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    assert merges == ref
+    assert len(merges) == 6
+    assert all(b < a for a, b in zip(totals, totals[1:])), totals
+    # the final distributed state equals the reference vocabulary rewrite
+    got = {r.word: list(r.syms) for r in state.collect()}
+    assert got == vocab

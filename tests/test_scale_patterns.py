@@ -211,6 +211,8 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                             # the operator
         "multimodal_gif_decode",                            # palette+LZW
         "multimodal_mp4_samples",                           # BMFF box walk
+        "llm_bpe_train",                         # per-word merge rewrite is
+                                                 # sequential by definition
         "multimodal_jpeg_decode",                           # byte parsing +
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
