@@ -210,6 +210,8 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                             # re-encode is
                                                             # the operator
         "multimodal_gif_decode",                            # palette+LZW
+        "connector_binaryfile_media_landing",               # binaryFile ->
+                                                            # real GIF decode
         "multimodal_mp4_samples",                           # BMFF box walk
         "llm_bpe_train",                         # per-word merge rewrite is
                                                  # sequential by definition
