@@ -25,6 +25,8 @@ learn the merge table FROM the corpus. Scale shape, stated precisely:
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -169,3 +171,111 @@ def bpe_train(
         prev.unpersist()
     pair_totals.append(int(final["total"] or 0))
     return merges, state, pair_totals
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize a CORPUS with a trained merge table — the pass that
+    actually touches 100 TB, so its shape matters most: the merge table
+    ships in the task closure (driver-resident model, kilobytes), the
+    corpus streams through ONE narrow mapInPandas, and each Arrow batch
+    memoizes word -> subword-count (Zipf again: a batch of documents
+    repeats few distinct words, so the sequential merge rewrite runs
+    once per DISTINCT word per batch, not once per token). Emits
+    ``(doc_id, n_words, n_subwords, n_chars)`` per document; splitting
+    semantics mirror word_counts (whitespace, empties dropped).
+
+    Two containment theorems ride every row (the registered query's
+    oracle gates them corpus-wide): a word is never split into fewer
+    than 1 subword and never more than its character count, so
+    n_words <= n_subwords <= n_chars."""
+    ranked = [(left, right) for left, right, _freq in merges]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            memo: dict[str, int] = {}
+
+            def subwords(word: str) -> int:
+                got = memo.get(word)
+                if got is None:
+                    syms = list(word)
+                    for left, right in ranked:
+                        out, i = [], 0
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == left
+                                and syms[i + 1] == right
+                            ):
+                                out.append(left + right)
+                                i += 2
+                            else:
+                                out.append(syms[i])
+                                i += 1
+                        syms = out
+                    got = memo[word] = len(syms)
+                return got
+
+            ids, nw, ns, nc = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or pd.isna(doc_id):
+                    continue
+                words = [w for w in text.split(" ") if w]
+                ids.append(int(doc_id))
+                nw.append(len(words))
+                ns.append(sum(subwords(w) for w in words))
+                nc.append(sum(len(w) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "n_subwords": pd.Series(ns, dtype="int64"),
+                    "n_chars": pd.Series(nc, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id long, n_words long, n_subwords long, n_chars long"
+    )
+
+
+#: per-corpus-frame cache of trained merge tables, keyed weakly by the docs
+#: DataFrame (catalog.load_table returns ONE frame per (sf_dir, table) per
+#: session) — the same driver-resident-model reuse contract as
+#: similarity._LEARNED_CELLS: training is eager and deterministic, so the
+#: train query and the corpus-tokenize query share one training run instead
+#: of each re-running the merge rounds. The cached value is a kilobyte-scale
+#: python list; entries die with the frame (and the session).
+_TRAINED: "WeakKeyDictionary[DataFrame, dict[tuple, tuple]]" = WeakKeyDictionary()
+
+
+def trained_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_freq: int = MIN_PAIR_FREQ,
+) -> tuple[list[tuple[str, str, int]], list[int]]:
+    """Train (or reuse) the merge table for a corpus frame: returns
+    ``(merges, pair_totals)`` from :func:`bpe_train` over
+    :func:`word_counts`, cached per (frame, params)."""
+    key = (n_merges, text_col, min_pair_freq)
+    try:
+        cache = _TRAINED.setdefault(docs, {})
+    except TypeError:  # frame not weak-referenceable: train uncached
+        cache = None
+    got = cache.get(key) if cache is not None else None
+    if got is None:
+        merges, state, totals = bpe_train(
+            word_counts(docs, text_col), n_merges, min_pair_freq
+        )
+        state.unpersist()  # the model is the merge list; drop the word state
+        got = (merges, totals)
+        if cache is not None:
+            cache[key] = got
+    return got

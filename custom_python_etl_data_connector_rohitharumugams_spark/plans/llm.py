@@ -285,9 +285,8 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round work touches only the Zipf-bounded distinct-word table,
     never the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    words = B.word_counts(d)
-    n_words = words.count()
-    merges, _state, totals = B.bpe_train(words, n_merges=6)
+    n_words = B.word_counts(d).count()
+    merges, totals = B.trained_merges(d, n_merges=6)
     dec = all(b < a for a, b in zip(totals, totals[1:]))
     first = merges[0] if merges else ("", "", 0)
     return spark.createDataFrame(
@@ -303,6 +302,58 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_words bigint, n_merges bigint, first_left string, "
         "first_right string, first_freq bigint, syms_strictly_decreasing boolean",
+    )
+
+
+@query(
+    "llm_bpe_tokenize_corpus",
+    tags=("L4", "U3", "A1"),
+    oracle="""
+    WITH w AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw,
+               length(replace(text, ' ', '')) AS nc
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS word_total,
+           CAST(SUM(nc) AS BIGINT) AS char_total,
+           TRUE AS subwords_bounded
+    FROM w GROUP BY source
+    """,
+)
+def llm_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE TOKENIZATION with the trained merge table
+    (operators/bpe.bpe_apply) — the pass that actually touches 100 TB:
+    merge table in the task closure (kilobytes), corpus through ONE
+    narrow Arrow stage, per-batch word->subword memoization (Zipf: a
+    batch repeats few distinct words, so the sequential rewrite runs
+    per distinct word, not per token). Training itself is shared with
+    llm_bpe_train through the per-corpus-frame model cache
+    (operators/bpe.trained_merges — one training run per session, the
+    kmeans-centers reuse contract). Oracle: word and char totals per
+    source are SQL-exact (split semantics mirrored down to empty-token
+    filtering and space-only char removal); the subword total sits
+    strictly between them BY THEOREM (>=1 subword per word, <=1 subword
+    per char), which the boolean gates corpus-wide — so a tokenizer
+    that drops words, splits on the wrong boundary, or counts pad
+    symbols breaks the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    merges, _totals = B.trained_merges(d, n_merges=6)
+    per_doc = B.bpe_apply(d, merges)
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("word_total"),
+            F.sum("n_chars").cast("bigint").alias("char_total"),
+            (
+                (F.sum("n_words") <= F.sum("n_subwords"))
+                & (F.sum("n_subwords") <= F.sum("n_chars"))
+            ).alias("subwords_bounded"),
+        )
     )
 
 

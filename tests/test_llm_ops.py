@@ -866,3 +866,24 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
     # the final distributed state equals the reference vocabulary rewrite
     got = {r.word: list(r.syms) for r in state.collect()}
     assert got == vocab
+
+
+def test_bpe_apply_counts_match_trained_state_lookup(spark, sf_dir):
+    """The corpus apply pass equals a per-word lookup into the trained
+    final state: for every document, n_subwords == sum over its words of
+    len(final syms(word)) — ties the two halves of the tokenizer (train
+    rewrites the vocabulary, apply rewrites the corpus) to one truth.
+    Also pins the per-doc containment theorem the registered query
+    aggregates (n_words <= n_subwords <= n_chars)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bpe as B
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, state, _totals = B.bpe_train(B.word_counts(d), n_merges=6)
+    sizes = {r.word: len(r.syms) for r in state.collect()}
+    per_doc = {r.doc_id: r for r in B.bpe_apply(d, merges).collect()}
+    for row in d.select("doc_id", "text").collect():
+        words = [w for w in row.text.split(" ") if w]
+        expect = sum(sizes[w] for w in words)
+        got = per_doc[row.doc_id]
+        assert got.n_subwords == expect, row.doc_id
+        assert got.n_words <= got.n_subwords <= got.n_chars

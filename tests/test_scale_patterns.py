@@ -215,6 +215,7 @@ def test_no_python_in_unexpected_query_plans(spark):
         "multimodal_mp4_samples",                           # BMFF box walk
         "llm_bpe_train",                         # per-word merge rewrite is
                                                  # sequential by definition
+        "llm_bpe_tokenize_corpus",               # + the corpus apply pass
         "multimodal_jpeg_decode",                           # byte parsing +
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
