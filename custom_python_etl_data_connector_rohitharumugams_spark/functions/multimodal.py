@@ -999,7 +999,20 @@ def _lzw_encode(
     eoi = clear + 1
     out = bytearray()
     buf = nbits = 0
+    # The DECODER's width schedule is authoritative, so the encoder keeps
+    # an explicit mirror of it: the decoder adds one table entry per data
+    # code it reads EXCEPT the first after each clear (its add needs the
+    # next code's first symbol, so it trails the encoder's own adds by
+    # one), and bumps the width when its table length reaches 2^size.
+    # Emitting at the encoder's own add count (the naive form) writes
+    # every width-boundary code one bit wide; emitting at mirror state is
+    # exact at every boundary INCLUDING the post-loop flush + EOI, where
+    # the decoder still performs an add that can cross a boundary (found
+    # by fuzzing at min_code_size < 8 — the round-trip property test now
+    # sweeps 2..8).
     code_size = min_code_size + 1
+    dec_len = eoi + 1  # decoder table length (roots + clear + eoi)
+    first_after_clear = True
 
     def emit(code: int) -> None:
         nonlocal buf, nbits
@@ -1009,6 +1022,23 @@ def _lzw_encode(
             out.append(buf & 0xFF)
             buf >>= 8
             nbits -= 8
+
+    def emit_data(code: int) -> None:
+        # emit at the decoder's CURRENT width, then advance its mirror
+        nonlocal first_after_clear, dec_len, code_size
+        emit(code)
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            dec_len += 1
+            if dec_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+
+    def reset_mirror() -> None:
+        nonlocal dec_len, code_size, first_after_clear
+        dec_len = eoi + 1
+        code_size = min_code_size + 1
+        first_after_clear = True
 
     def fresh() -> dict[bytes, int]:
         return {bytes([i]): i for i in range(clear)}
@@ -1023,30 +1053,19 @@ def _lzw_encode(
         if wc in table:
             w = wc
             continue
-        emit(table[w])
+        emit_data(table[w])
         table[wc] = next_code
         next_code += 1
         adds += 1
-        # bump one add LATER than the encoder's own table would suggest:
-        # the decoder adds its mirror entry one code behind (it needs the
-        # NEXT code's first symbol), so its width schedule trails by one —
-        # an encoder that bumps at next_code == 2^cs writes the boundary
-        # code one bit wider than the decoder reads it. Delayed by one,
-        # the widest code emittable before the bump is 2^cs - 1 (the emit
-        # precedes the add), which still fits — so the schedules agree at
-        # every boundary. (This is the classic GIF off-by-one; the
-        # property test crosses 9->10->11 bits to pin it.)
-        if next_code == (1 << code_size) + 1 and code_size < 12:
-            code_size += 1
         w = bytes([b])
         if (clear_every and adds >= clear_every) or next_code == 4096:
-            emit(clear)  # at the CURRENT width; the reset follows it
+            emit(clear)  # at the CURRENT width; both sides reset after it
+            reset_mirror()
             table = fresh()
             next_code = eoi + 1
-            code_size = min_code_size + 1
             adds = 0
     if w:
-        emit(table[w])
+        emit_data(table[w])
     emit(eoi)
     if nbits:
         out.append(buf & 0xFF)
@@ -1402,7 +1421,15 @@ def extract_mp4_samples(df: DataFrame) -> DataFrame:
         """Return ([(offset, size)] per sample, stsz count)."""
         tables: dict[bytes, bytes] = {}
 
-        def walk(pos: int, end: int) -> None:
+        if len(raw) < 12 or raw[4:8] != b"ftyp":
+            raise ValueError("mp4: no ftyp")
+        # ITERATIVE box walk (explicit stack, not recursion): a hostile
+        # file nesting thousands of 8-byte container headers would blow
+        # the interpreter's recursion limit, and RecursionError is not a
+        # containment-clause exception — the row must drop, not the task
+        stack: list[tuple[int, int]] = [(0, len(raw))]
+        while stack:
+            pos, end = stack.pop()
             while pos < end:
                 if pos + 8 > end:
                     raise ValueError("mp4: truncated box header")
@@ -1417,19 +1444,26 @@ def extract_mp4_samples(df: DataFrame) -> DataFrame:
                 if size < data_at - pos or pos + size > end:
                     raise ValueError("mp4: box overruns container")
                 if fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                    walk(data_at, pos + size)
-                elif fourcc in (b"stsz", b"stsc", b"stco"):
+                    stack.append((pos + size, end))  # resume after the box
+                    end = pos + size  # descend into it
+                    pos = data_at
+                    continue
+                if fourcc in (b"stsz", b"stsc", b"stco"):
                     tables[fourcc] = bytes(raw[data_at : pos + size])
                 pos += size
 
-        if len(raw) < 12 or raw[4:8] != b"ftyp":
-            raise ValueError("mp4: no ftyp")
-        walk(0, len(raw))
         missing = {b"stsz", b"stsc", b"stco"} - set(tables)
         if missing:
             raise ValueError(f"mp4: missing sample tables {missing}")
         stsz = tables[b"stsz"]
         uniform, n = struct.unpack_from(">II", stsz, 4)
+        # bound the count BEFORE any allocation sized by it: a hostile
+        # 32-bit count would otherwise build a multi-GB list and die on
+        # MemoryError, which the containment clause does not catch (the
+        # LZW decoder's max_out guard, applied to the sample table). A
+        # sample is >= 1 byte, so n can never exceed the file length.
+        if n > len(raw):
+            raise ValueError("mp4: sample count exceeds file size")
         if uniform:
             sizes = [uniform] * n
         else:

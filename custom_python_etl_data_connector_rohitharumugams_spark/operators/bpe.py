@@ -224,9 +224,15 @@ def bpe_apply(
 
             ids, nw, ns, nc = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None or pd.isna(doc_id):
+                if pd.isna(doc_id):
                     continue
-                words = [w for w in text.split(" ") if w]
+                # NULL text is a zero-count row, NOT a dropped one: the
+                # registered query's oracle counts every document
+                # (COUNT(*)) while its SUMs null-skip — dropping the doc
+                # here would undercount n_docs by exactly the null rows
+                words = (
+                    [w for w in text.split(" ") if w] if text is not None else []
+                )
                 ids.append(int(doc_id))
                 nw.append(len(words))
                 ns.append(sum(subwords(w) for w in words))
@@ -260,10 +266,13 @@ def trained_merges(
     n_merges: int,
     text_col: str = "text",
     min_pair_freq: int = MIN_PAIR_FREQ,
-) -> tuple[list[tuple[str, str, int]], list[int]]:
+) -> tuple[list[tuple[str, str, int]], list[int], int]:
     """Train (or reuse) the merge table for a corpus frame: returns
-    ``(merges, pair_totals)`` from :func:`bpe_train` over
-    :func:`word_counts`, cached per (frame, params)."""
+    ``(merges, pair_totals, n_words)`` from :func:`bpe_train` over
+    :func:`word_counts`, cached per (frame, params). ``n_words`` (the
+    vocabulary size) rides the cache so callers never re-scan the corpus
+    just to count distinct words — the count reads the already-persisted
+    word state before it is dropped."""
     key = (n_merges, text_col, min_pair_freq)
     try:
         cache = _TRAINED.setdefault(docs, {})
@@ -274,8 +283,9 @@ def trained_merges(
         merges, state, totals = bpe_train(
             word_counts(docs, text_col), n_merges, min_pair_freq
         )
+        n_words = state.count()  # reads the persisted final state
         state.unpersist()  # the model is the merge list; drop the word state
-        got = (merges, totals)
+        got = (merges, totals, n_words)
         if cache is not None:
             cache[key] = got
     return got

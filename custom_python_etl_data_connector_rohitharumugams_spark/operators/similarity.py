@@ -830,12 +830,16 @@ def cell_occupancy_drift(
         F.coalesce(F.col("__bc"), F.lit(0)).alias("__bc"),
         F.coalesce(F.col("__nc"), F.lit(0)).alias("__nc"),
     )
-    # k-row frame: the 1-row totals broadcast back onto it
-    totals = joined.agg(
-        F.sum("__bc").alias("__bn"), F.sum("__nc").alias("__nn")
-    )
+    # totals as an UNPARTITIONED WINDOW over the k-row histogram frame,
+    # not a separate agg + crossJoin: the agg form re-plans the whole
+    # base/batch assignment subtree a second time (the corpus-sized GEMM
+    # pass — the exact re-plan trap winnow_overlap_pairs documents); the
+    # window keeps the subtree evaluated once, and k rows in a single
+    # window partition is trivially safe
+    w_all = Window.partitionBy()
     return (
-        joined.crossJoin(F.broadcast(totals))
+        joined.withColumn("__bn", F.sum("__bc").over(w_all))
+        .withColumn("__nn", F.sum("__nc").over(w_all))
         .select(
             F.abs(
                 F.expr("__bc * 1000000L div __bn")

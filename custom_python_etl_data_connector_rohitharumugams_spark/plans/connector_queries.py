@@ -550,13 +550,26 @@ def connector_binaryfile_media_landing(spark: SparkSession, sf_dir: str) -> Data
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 40
     )
-    if not os.path.isdir(out) or len(os.listdir(out)) == 0:
-        os.makedirs(out, exist_ok=True)
-        # fixture setup (not the measured scan): 40 tiny files via one
-        # collect of the synth frame — the landing SCAN below is the op
+    n_expected = docs.count()
+    if not os.path.isdir(out) or len(os.listdir(out)) != n_expected:
+        # fixture setup (not the measured scan): tiny files via one
+        # collect of the synth frame — the landing SCAN below is the op.
+        # Written into a temp dir and atomically renamed: checking only
+        # "dir non-empty" would let a partial write (crash / concurrent
+        # session mid-loop) permanently serve a short fixture
+        import shutil
+
+        tmp = f"{out}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         for r in M.synth_gif(docs).collect():
-            with open(f"{out}/doc_{r.doc_id:05d}.gif", "wb") as f:
+            with open(f"{tmp}/doc_{r.doc_id:05d}.gif", "wb") as f:
                 f.write(bytes(r.data))
+        if os.path.isdir(out):  # stale partial from an earlier crash
+            shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost the race to a concurrent session: theirs
+            shutil.rmtree(tmp, ignore_errors=True)  # is complete, drop ours
     raw = spark.read.format("binaryFile").load(f"{out}/*.gif")
     payload = raw.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.gif$", 1)

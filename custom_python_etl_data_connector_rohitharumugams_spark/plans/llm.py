@@ -269,7 +269,7 @@ def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED BPE TOKENIZER TRAINING (operators/bpe.bpe_train;
     Sennrich et al. ACL 2016) — the op a training platform runs before
-    tokenizing the corpus: learn 8 merges from the documents table's
+    tokenizing the corpus: learn 6 merges from the documents table's
     word counts (6 merges). Oracle strategy, mixed exact + invariant like the ANN
     ladder: the FIRST learned merge is fully SQL-derivable (top
     weighted adjacent character pair over distinct words, tie-break
@@ -285,8 +285,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round work touches only the Zipf-bounded distinct-word table,
     never the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    n_words = B.word_counts(d).count()
-    merges, totals = B.trained_merges(d, n_merges=6)
+    merges, totals, n_words = B.trained_merges(d, n_merges=6)
     dec = all(b < a for a, b in zip(totals, totals[1:]))
     first = merges[0] if merges else ("", "", 0)
     return spark.createDataFrame(
@@ -340,7 +339,7 @@ def llm_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     that drops words, splits on the wrong boundary, or counts pad
     symbols breaks the hash."""
     d = load_table(spark, sf_dir, "documents")
-    merges, _totals = B.trained_merges(d, n_merges=6)
+    merges, _totals, _n_words = B.trained_merges(d, n_merges=6)
     per_doc = B.bpe_apply(d, merges)
     return (
         per_doc.join(d.select("doc_id", "source"), "doc_id")
@@ -1095,7 +1094,13 @@ def llm_frozen_index_drift_trigger(spark: SparkSession, sf_dir: str) -> DataFram
     _, _inertias, centers = S.kmeans_train(
         e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
     )
-    base = S.assign_to_centers(e, centers).select("vec_id", "cid")
+    # the baseline assignment feeds THREE legs (identity compare, min-cell
+    # pick, drift batch): persist so the corpus GEMM pass runs once for
+    # them — two integer columns, the _LEARNED_CELLS KB-residue contract.
+    # The identity batch stays a SEPARATE assignment evaluation on
+    # purpose: recompute-determinism under the frozen centers is the very
+    # claim identity_tv_ppm == 0 certifies
+    base = S.assign_to_centers(e, centers).select("vec_id", "cid").persist()
     identity = S.assign_to_centers(e, centers).select("cid")
     min_cell = (
         base.groupBy("cid")

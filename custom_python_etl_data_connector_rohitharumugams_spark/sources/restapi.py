@@ -461,11 +461,14 @@ class RestApiSimpleStreamReader(SimpleDataSourceStreamReader):
                 raise ValueError(
                     f"restapi stream: page payload is not a record list: {body[:200]!r}"
                 )
-            bad = next((r for r in recs if not isinstance(r, dict)), None)
-            if bad is not None:
-                # same fail-loud contract as the malformed-page shapes above:
-                # a non-dict ENTRY is the server corrupting a record, and
-                # silently dropping it would skew the committed offset log
+            # same fail-loud contract as the malformed-page shapes above: a
+            # non-dict ENTRY is the server corrupting a record, and silently
+            # dropping it would skew the committed offset log. NOTE: a JSON
+            # null record parses to None, so None cannot be the not-found
+            # sentinel here — it is one of the very shapes being rejected.
+            _ok = object()
+            bad = next((r for r in recs if not isinstance(r, dict)), _ok)
+            if bad is not _ok:
                 raise ValueError(
                     f"restapi stream: non-object record in page: {bad!r:.200}"
                 )

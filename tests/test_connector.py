@@ -861,12 +861,15 @@ def test_stream_reader_raises_on_non_dict_record_in_valid_page():
     and breaks the fail-loud contract the page shapes already honor."""
     import pytest
 
-    reader = _stream_reader_with_pages(
-        [('{"data": [{"id": 1, "name": "a"}, 42]}',
-          {"data": [{"id": 1, "name": "a"}, 42]})]
-    )
-    with pytest.raises(ValueError, match="non-object record"):
-        reader.read({"next_id": 0})
+    for bad in (42, None, "x", [1]):  # incl. JSON null — it parses to None,
+        # which the first cut used as its own not-found sentinel and
+        # therefore silently accepted (round-9 review finding)
+        reader = _stream_reader_with_pages(
+            [('{"data": [{"id": 1, "name": "a"}, ...]}',
+              {"data": [{"id": 1, "name": "a"}, bad]})]
+        )
+        with pytest.raises(ValueError, match="non-object record"):
+            reader.read({"next_id": 0})
 
 
 def test_stream_reader_accepts_bare_list_and_data_null_pages():

@@ -979,6 +979,20 @@ def test_gif_lzw_roundtrip_crosses_width_bumps_and_resets():
     assert _lzw_decode(_lzw_encode(mono, 8), 8, len(mono)) == mono
     kwk = bytes([5]) * 500  # pure KwKwK chain
     assert _lzw_decode(_lzw_encode(kwk, 8), 8, 500) == kwk
+    # full min_code_size sweep: the first cut desynced on the POST-LOOP
+    # flush (the decoder's final add can cross a width boundary before
+    # EOI), which only ever fires at boundary-landing add counts — found
+    # by this sweep at min_code_size < 8, invisible to the 8-bit cases
+    for mcs in range(2, 9):
+        alpha = 1 << mcs
+        for _ in range(12):
+            n = rng.randrange(1, 2500)
+            data = bytes(rng.randrange(alpha) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs, n) == data
+            assert (
+                _lzw_decode(_lzw_encode(data, mcs, clear_every=37), mcs, n)
+                == data
+            )
 
 
 def test_extract_mp4_contains_corrupt_and_sample_table_is_load_bearing(spark):
@@ -1016,6 +1030,22 @@ def test_extract_mp4_contains_corrupt_and_sample_table_is_load_bearing(spark):
     (c1,) = struct.unpack_from(">I", wrong_chunk, at + 12)
     struct.pack_into(">I", wrong_chunk, at + 16, c1)
 
+    # resource-exhaustion hostiles (found in the round-9 code review):
+    # 2000 nested container headers would blow the recursion limit of a
+    # recursive walk; a 31-bit stsz count would allocate a ~17 GB list
+    # before validation — both must DROP the row, not kill the task
+    deep = b""
+    for _ in range(2000):
+        deep = struct.pack(">I", 8 + len(deep)) + b"moov" + deep
+    deep = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4 + deep
+    stsz = (
+        struct.pack(">I", 20) + b"stsz" + struct.pack(">I", 0)
+        + struct.pack(">II", 1, 0x7FFFFFFF)
+    )
+    stbl = struct.pack(">I", 8 + len(stsz)) + b"stbl" + stsz
+    moov = struct.pack(">I", 8 + len(stbl)) + b"moov" + stbl
+    bomb = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4 + moov
+
     hostile = spark.createDataFrame(
         [
             (101, bytes(no_ftyp)),
@@ -1023,6 +1053,8 @@ def test_extract_mp4_contains_corrupt_and_sample_table_is_load_bearing(spark):
             (103, bytes(overrun)),
             (104, bytes(bad_stco)),
             (105, None),
+            (106, bytes(deep)),
+            (107, bytes(bomb)),
             (8, rows[8]),
             (7, rows[7]),
         ],
