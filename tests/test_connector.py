@@ -854,7 +854,9 @@ def test_stream_reader_raises_on_bad_200_pages():
             reader.read({"next_id": 0})
 
 
-def test_stream_reader_raises_on_non_dict_record_in_valid_page():
+def test_stream_reader_raises_on_non_dict_record_in_valid_page(spark):
+    # (spark fixture: StructType.fromDDL needs an active session even
+    # though the reader itself never touches the JVM in this test)
     """A non-dict ENTRY inside an otherwise valid list page is the server
     corrupting a record: it must raise like the malformed-page shapes, not
     be silently dropped — a dropped record is invisible in the offset log
