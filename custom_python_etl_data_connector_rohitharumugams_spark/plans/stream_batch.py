@@ -711,3 +711,94 @@ def stream_python_source_incremental(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum((F.col("leg") == "leg2").cast("long")).cast("bigint").alias("leg2_rows"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_python_sink_exactly_once",
+    tags=("S9", "S7b"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(2 AS BIGINT) AS n_batches,
+           TRUE AS only_manifested_files_read
+    FROM events
+    """,
+)
+def stream_python_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A PYTHON STREAMING SINK (PySpark 4 DataSourceStreamWriter —
+    sources/pysink.LandingDataSource), the write-side twin of
+    stream_python_source_incremental's Python streaming source: events
+    replay in 2 time-sliced micro-batches (maxFilesPerTrigger=1 +
+    availableNow) into ``writeStream.format("landing")``, whose
+    executor-write / driver-commit protocol lands uniquely-named parquet
+    files and publishes one ATOMIC MANIFEST per batch. The read side
+    resolves manifests first and reads only manifested files — task
+    retries and aborted batches are invisible, which is the exactly-once
+    contract object-store sinks implement (and the shardsink's manifest
+    verifier checks batch-side). The oracle is the events table itself:
+    total rows, distinct ids, and the integer-cents value sum must all
+    survive the stream->sink->manifest->read round trip exactly, and the
+    2-slice replay must land in exactly 2 committed batches. An orphan
+    parquet file (a "failed task attempt" no manifest names) is PLANTED
+    in the data directory before the read-back; only_manifested_files_read
+    records that precondition (orphan on disk, absent from every
+    manifest), and the count/cents columns are then the proof the reader
+    ignored it — a directory-globbing reader would inflate them and
+    redden the hash."""
+    import tempfile
+
+    from ..sources.pysink import (
+        LandingDataSource,
+        landed_manifests,
+        read_landed,
+    )
+    from ..streaming.replay import events_stream, split_events_for_replay
+
+    spark.dataSource.register(LandingDataSource)
+    replay_dir = split_events_for_replay(
+        spark,
+        sf_dir,
+        f"{tempfile.gettempdir()}/sg_pysink_{os.path.basename(sf_dir.rstrip('/'))}_replay",
+        n_slices=2,
+    )
+    land = tempfile.mkdtemp(prefix="sg_pysink_land_")
+    cp = tempfile.mkdtemp(prefix="sg_pysink_cp_")
+    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        sdf.writeStream.format("landing")
+        .option("path", land)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("python-sink replay did not finish in 300 s")
+    import shutil
+
+    shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
+    manifests = landed_manifests(land)
+    manifested = {f for m in manifests for f in m["files"]}
+    # plant an orphan data file (a "failed task attempt" the driver never
+    # committed): the manifest-first reader must not see it
+    orphan = os.path.join(land, "data", "part-orphan-attempt.parquet")
+    spark.createDataFrame(
+        [(999_999_999, 0, "orphan", 1.0)],
+        "event_id long, user_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(orphan)
+    back = read_landed(spark, land)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+        F.count_distinct("event_id").cast("bigint").alias("distinct_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.lit(len(manifests)).cast("bigint").alias("n_batches"),
+        F.lit(orphan not in manifested and os.path.isdir(orphan)).alias(
+            "only_manifested_files_read"
+        ),
+    )

@@ -399,3 +399,51 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
         ))
 
     assert canon(got) == canon(batch)
+
+
+def test_python_sink_commit_protocol_and_manifest_first_reads(spark, tmp_path):
+    """sources/pysink unit contract: (a) commit() publishes an atomic
+    manifest naming exactly the committed files; (b) re-committing the
+    same batchId overwrites its manifest (idempotent re-delivery), never
+    double-counts; (c) read_landed raises clearly when nothing has
+    committed; (d) abort() removes attempt files best-effort but the
+    reader's correctness never depended on it (an undeleted orphan stays
+    invisible)."""
+    import os
+
+    import pytest
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.sources.pysink import (
+        LandCommit,
+        LandingStreamWriter,
+        landed_manifests,
+        read_landed,
+    )
+
+    land = str(tmp_path / "land")
+    w = LandingStreamWriter({"path": land})
+    with pytest.raises(ValueError, match="no committed batches"):
+        read_landed(spark, land)
+
+    # simulate two task attempts for batch 0; only attempt A commits.
+    # Written via pyarrow as SINGLE FILES — exactly what write() produces
+    # (a directory here would make abort()'s os.remove a silent no-op)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(f"{land}/data", exist_ok=True)
+    fa, fb = f"{land}/data/a.parquet", f"{land}/data/b.parquet"
+    for f in (fa, fb):
+        pq.write_table(pa.table({"event_id": [1], "value": [10.0]}), f)
+    w.commit([LandCommit(file=fa, rows=1), LandCommit(file=None, rows=0)], 0)
+    assert [m["files"] for m in landed_manifests(land)] == [[fa]]
+    assert read_landed(spark, land).count() == 1  # fb on disk, invisible
+
+    # idempotent re-delivery of batch 0: manifest overwritten, not added
+    w.commit([LandCommit(file=fa, rows=1)], 0)
+    assert len(landed_manifests(land)) == 1
+
+    # abort cleans attempt files it is handed
+    w.abort([LandCommit(file=fb, rows=1)], 1)
+    assert not os.path.exists(fb)
+    assert read_landed(spark, land).count() == 1
