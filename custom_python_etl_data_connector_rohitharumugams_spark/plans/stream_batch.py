@@ -784,12 +784,25 @@ def stream_python_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
     manifests = landed_manifests(land)
     manifested = {f for m in manifests for f in m["files"]}
     # plant an orphan data file (a "failed task attempt" the driver never
-    # committed): the manifest-first reader must not see it
+    # committed): the manifest-first reader must not see it. Written with
+    # pyarrow — byte-for-byte the kind of file a real zombie write() task
+    # leaves behind (and ~5 s cheaper than a 1-row Spark write job, which
+    # on this host pays a full Python-RDD roundtrip + committer pass)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     orphan = os.path.join(land, "data", "part-orphan-attempt.parquet")
-    spark.createDataFrame(
-        [(999_999_999, 0, "orphan", 1.0)],
-        "event_id long, user_id long, event_type string, value double",
-    ).coalesce(1).write.mode("overwrite").parquet(orphan)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [999_999_999],
+                "user_id": [0],
+                "event_type": ["orphan"],
+                "value": [1.0],
+            }
+        ),
+        orphan,
+    )
     back = read_landed(spark, land)
     return back.agg(
         F.count(F.lit(1)).cast("bigint").alias("total_rows"),
@@ -798,7 +811,7 @@ def stream_python_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("total_cents"),
         F.lit(len(manifests)).cast("bigint").alias("n_batches"),
-        F.lit(orphan not in manifested and os.path.isdir(orphan)).alias(
+        F.lit(orphan not in manifested and os.path.isfile(orphan)).alias(
             "only_manifested_files_read"
         ),
     )

@@ -13,6 +13,7 @@ Two modes:
 from __future__ import annotations
 
 import glob as _glob
+import json as _json
 import os
 import shutil
 
@@ -154,7 +155,27 @@ def split_events_for_replay(
     spark: SparkSession, sf_dir: str, out_dir: str, n_slices: int = 3
 ) -> str:
     """Write events as ``n_slices`` time-ordered single parquet files named
-    ``slice-<i>.parquet`` under ``out_dir`` (must end with ``_replay``)."""
+    ``slice-<i>.parquet`` under ``out_dir`` (must end with ``_replay``).
+
+    Skip-if-built (the ``_built.json`` marker, same contract as
+    :func:`split_events_with_late`): repeated callers against a fixed
+    fixture dir — the per-round bench runs each streaming query 4+
+    times — pay the two slice-write jobs once, not per run. The marker
+    keys on (row count, slice count), so a changed ``n_slices`` or a
+    different-sized corpus rebuilds."""
     e = load_table(spark, sf_dir, "events")
+    marker = f"{out_dir}/_built.json"
+    want = {"n_events": e.count(), "n_slices": n_slices}
+    if os.path.exists(marker):
+        try:
+            if _json.load(open(marker)) == want and len(
+                _glob.glob(f"{out_dir}/slice-*.parquet")
+            ) == n_slices:
+                return out_dir
+        except (ValueError, OSError):
+            pass
+        os.remove(marker)
     _write_slices(_time_slices(e, n_slices), out_dir)
+    with open(marker, "w") as fh:
+        _json.dump(want, fh)
     return out_dir
