@@ -283,6 +283,45 @@ def llm_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_bloom_benchmark_overlap",
+    tags=("L9", "J4", "F8"),
+    oracle=f"""
+    WITH {CONTAMINATION_CTES}
+    SELECT doc_id, benchmark_id, shared_shingles FROM contaminated_pairs
+    """,
+)
+def llm_bloom_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_benchmark_overlap with a Bloom runtime filter in front of the
+    exact join — the 100 TB form of the decontamination scan. The
+    benchmark's distinct shingles are sketched into a 16 KiB Bloom filter
+    (operators/bloom.py: distributed bit_or build, pure-JVM-expression
+    probe); corpus postings that fail the probe never reach the shuffle.
+    Bloom filters have no false negatives, so survivors ⊇ true matches and
+    the exact join downstream restores set equality — the oracle is the
+    plain exact-join SQL, unchanged. At the fixture scale the probe already
+    discards the large majority of corpus postings map-side (pinned by
+    tests/test_bloom.py); at crawl scale that is the difference between
+    shuffling the corpus and shuffling ~the benchmark's footprint."""
+    from ..operators.bloom import bloom_prefilter
+    from ..operators.dedup import shingle_postings
+
+    d = load_table(spark, sf_dir, "documents")
+    posts = shingle_postings(d, shingle_n=3)
+    bench_shingles = (
+        posts.where(F.col("doc_id") % BENCH_MODULUS == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = posts.where(F.col("doc_id") % BENCH_MODULUS != 0)
+    survivors = bloom_prefilter(corpus, "shingle", bench_shingles, "shingle")
+    # exact verify: only the corpus side was pre-filtered, so the join
+    # output is identical to the unfiltered exact join
+    return contamination_pairs(
+        survivors.unionByName(posts.where(F.col("doc_id") % BENCH_MODULUS == 0))
+    )
+
+
+@query(
     "llm_stratified_split",
     tags=("L10", "F8"),
     oracle="""
