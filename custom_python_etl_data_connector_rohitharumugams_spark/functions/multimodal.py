@@ -288,6 +288,161 @@ def decode_wav(df: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema=WAV_DECODED_SCHEMA)
 
 
+#: two-tone synthesis parameters for the SPECTRAL tier: 64 samples (one
+#: FFT frame), a dominant tone at an exact integer bin 1..24 and a quieter
+#: secondary tone at bin 25..30 — integer bins mean zero spectral leakage,
+#: so argmax/2nd-argmax of the real FFT magnitudes are closed-form in
+#: doc_id and the SQL oracle can pin a genuine numpy.fft output
+TONE_N_SAMPLES = 64
+TONE_AMP_MAIN = 8000
+TONE_AMP_SECOND = 3000
+
+
+def _tone_bins(doc_id: int) -> tuple[int, int]:
+    """(dominant_bin, second_bin) — disjoint ranges, both under the
+    Nyquist bin 32, so the ranking is unambiguous a priori."""
+    return 1 + doc_id % 24, 25 + doc_id % 6
+
+
+def synth_wav_tones(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL RIFF/WAVE PCM16 payloads carrying a
+    two-tone test signal: round(A1·sin(2π·k1·i/64) + A2·sin(2π·k2·i/64)).
+    Same executor-side ``wave``-writer shape as synth_wav; int16 rounding
+    injects at most 0.5 LSB of broadband noise (~2 units per FFT bin),
+    four orders of magnitude under the tone magnitudes (A·N/2 = 256000),
+    so the synthesized spectrum's top-2 ranking is exact, not merely
+    probable."""
+    import io
+    import math
+    import struct
+    import wave
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k1, k2 = _tone_bins(int(doc_id))
+                s = [
+                    int(
+                        round(
+                            TONE_AMP_MAIN * math.sin(2 * math.pi * k1 * i / TONE_N_SAMPLES)
+                            + TONE_AMP_SECOND
+                            * math.sin(2 * math.pi * k2 * i / TONE_N_SAMPLES)
+                        )
+                    )
+                    for i in range(TONE_N_SAMPLES)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(struct.pack(f"<{len(s)}h", *s))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_bins", LongType()),
+        StructField("dominant_bin", LongType()),
+        StructField("dominant_hz", LongType()),
+        StructField("second_bin", LongType()),
+        StructField("second_hz", LongType()),
+    ]
+)
+
+
+def spectral_features(df: DataFrame) -> DataFrame:
+    """REAL frequency-domain feature extraction, Arrow-batched: stdlib
+    ``wave`` decodes each PCM16 payload, ``numpy.fft.rfft`` computes the
+    one-sided spectrum over the whole clip, and the top-2 magnitude bins
+    (DC excluded) plus their physical frequencies come out as the feature
+    row. This is the audio analog of the image feature tiers — the compute
+    a training pipeline runs to tag audio shards with pitch/bandwidth
+    metadata before mixing. Decode + FFT run where the bytes live; only
+    the 7-column feature row shuffles. Containment contract matches
+    decode_wav: NULL / corrupt / sub-2-sample payloads yield no row.
+
+    The whole batch FFTs as ONE vectorized numpy call when clip lengths
+    agree (the synthesized-fixture fast path); ragged batches fall back to
+    per-clip rfft."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    src = df.select("doc_id", "data")
+    hz_per_bin = WAV_SAMPLE_RATE  # scaled by 1/n per clip below
+
+    def top2(mag) -> tuple[int, int]:
+        # mag: one-sided magnitudes; ignore DC (bin 0)
+        order = np.argsort(mag[1:])[::-1]
+        return int(order[0]) + 1, int(order[1]) + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, waves = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["data"]):
+                if payload is None or pd.isna(doc_id):
+                    continue
+                try:
+                    with wave.open(io.BytesIO(payload)) as r:
+                        if r.getnchannels() != 1 or r.getsampwidth() != 2:
+                            continue  # the spectral tier is mono-PCM16 only
+                        n = r.getnframes()
+                        vals = struct.unpack(f"<{n}h", r.readframes(n))
+                except (wave.Error, struct.error, EOFError):
+                    continue
+                if len(vals) < 4:
+                    continue  # no meaningful spectrum below 2 non-DC bins
+                ids.append(int(doc_id))
+                waves.append(np.asarray(vals, dtype=np.float64))
+            if not ids:
+                yield pd.DataFrame(
+                    {f.name: pd.Series([], dtype="int64") for f in SPECTRAL_SCHEMA}
+                )
+                continue
+            lens = {len(w) for w in waves}
+            if len(lens) == 1:
+                mags = np.abs(np.fft.rfft(np.vstack(waves), axis=1))
+                pairs = [top2(m) for m in mags]
+            else:
+                pairs = [top2(np.abs(np.fft.rfft(w))) for w in waves]
+            n_frames = [len(w) for w in waves]
+            out = pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": n_frames,
+                    "n_bins": [n // 2 + 1 for n in n_frames],
+                    "dominant_bin": [p[0] for p in pairs],
+                    "dominant_hz": [
+                        p[0] * hz_per_bin // n for p, n in zip(pairs, n_frames)
+                    ],
+                    "second_bin": [p[1] for p in pairs],
+                    "second_hz": [
+                        p[1] * hz_per_bin // n for p, n in zip(pairs, n_frames)
+                    ],
+                }
+            )
+            yield out.astype("int64")
+
+    return src.mapInPandas(run, schema=SPECTRAL_SCHEMA)
+
+
 def _bmp_dims(doc_id: int) -> tuple[int, int]:
     """Closed-form image dimensions for ``doc_id`` (4-8 x 3-6 px)."""
     return 4 + doc_id % 5, 3 + doc_id % 4

@@ -1357,6 +1357,37 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_spectral",
+    tags=("L5", "U3"),
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS BIGINT)                       AS n_frames,
+           CAST(33 AS BIGINT)                       AS n_bins,
+           CAST(1 + doc_id % 24 AS BIGINT)          AS dominant_bin,
+           CAST((1 + doc_id % 24) * 125 AS BIGINT)  AS dominant_hz,
+           CAST(25 + doc_id % 6 AS BIGINT)          AS second_bin,
+           CAST((25 + doc_id % 6) * 125 AS BIGINT)  AS second_hz
+    FROM documents
+    """,
+)
+def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio features under the oracle: a genuine
+    two-tone PCM16 WAV is synthesized per document (stdlib ``wave``
+    writer on the executors), decoded back, and run through a true
+    ``numpy.fft.rfft`` — the top-2 magnitude bins and their physical
+    frequencies are the feature row. The tones sit at exact integer FFT
+    bins (multimodal.TONE docstring: zero leakage, rounding noise four
+    orders of magnitude under the tones), so argmax and second-argmax of
+    the real spectrum are closed-form in doc_id and the SQL oracle pins
+    a genuine FFT end to end. At 100 TB this is the audio-shard tagging
+    pass: decode+FFT run where the bytes live inside one Arrow batch
+    (vectorized — equal-length clips FFT as a single matrix call), and
+    only the 7-column feature row ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.spectral_features(M.synth_wav_tones(docs))
+
+
+@query(
     "multimodal_bmp_decode",
     tags=("L5", "U3"),
     oracle="""
