@@ -867,6 +867,98 @@ def agg_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_cms_heavy_hitters",
+    tags=("A1", "F8", "O2"),
+    oracle="""
+    WITH cnt AS (
+        SELECT o_custkey, COUNT(*) AS exact_cnt
+        FROM orders GROUP BY o_custkey
+    ),
+    top5 AS (
+        SELECT o_custkey, exact_cnt
+        FROM cnt ORDER BY exact_cnt DESC, o_custkey LIMIT 5
+    )
+    SELECT o_custkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(1 AS INT) AS cms_ge_exact,
+           CAST(1 AS INT) AS cms_within_eps,
+           CAST(1 AS INT) AS sketch_rowsums_exact,
+           CAST(1 AS INT) AS merge_linear_exact
+    FROM top5
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketches.py) next to the HLL partition
+    merge: the mergeable FREQUENCY summary a 100 TB pipeline stores per
+    partition so any date-range heavy-hitter probe is sketch addition over
+    ≤ depth·width cells, never a rescan.
+
+    Four invariants ride the oracle, two of them EXACT theorems:
+    - cms_ge_exact: the point estimate never underestimates (every cell
+      the key hashes to contains at least all of its own increments);
+    - merge_linear_exact: cms(even custkeys) + cms(odd custkeys) is
+      CELL-IDENTICAL to the sketch built over all orders — linearity is
+      exact addition, not an approximation, checked by full-outer-joining
+      the merged and direct grids;
+    - sketch_rowsums_exact: every seed row of the grid sums to exactly
+      COUNT(*) of orders (each input row increments one cell per seed) —
+      a build-integrity check that catches a dropped partition partial;
+    - cms_within_eps: est - exact ≤ ε·N with ε = e/width — the paper's
+      Markov bound per seed, min over depth=4 seeds; deterministic here
+      (fixed data, fixed xxhash64 seeds) and measured with >3x headroom
+      at sf0.001-0.1 (avg colliding mass per cell is N/4096 and the min
+      of 4 independent cells sits far under e·N/4096).
+    o_custkey and exact_cnt are exact-match columns (top-5 by exact count,
+    custkey tie-break)."""
+    from ..operators.sketches import (
+        DEFAULT_WIDTH,
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    sketch = cms_build(orders, "o_custkey")
+
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top5 = counts.orderBy(F.desc("exact_cnt"), F.asc("o_custkey")).limit(5)
+    est = cms_estimate(sketch, top5, "o_custkey")
+
+    n_total = orders.count()
+    eps_bound = int(2.718281828 * n_total / DEFAULT_WIDTH) + 1
+
+    # linearity: two disjoint halves merge to the exact direct grid
+    even = cms_build(orders.where(F.col("o_custkey") % 2 == 0), "o_custkey")
+    odd = cms_build(orders.where(F.col("o_custkey") % 2 == 1), "o_custkey")
+    merged = cms_merge(even, odd)
+    mismatch = (
+        merged.join(sketch, ["seed", "bucket"], "full")
+        .where(
+            ~F.coalesce(merged["cnt"], F.lit(0)).eqNullSafe(
+                F.coalesce(sketch["cnt"], F.lit(0))
+            )
+        )
+        .count()
+    )
+    bad_rowsums = (
+        sketch.groupBy("seed")
+        .agg(F.sum("cnt").alias("s"))
+        .where(F.col("s") != n_total)
+        .count()
+    )
+
+    return est.select(
+        "o_custkey",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        (F.col("est") >= F.col("exact_cnt")).cast("int").alias("cms_ge_exact"),
+        (F.col("est") - F.col("exact_cnt") <= F.lit(eps_bound))
+        .cast("int")
+        .alias("cms_within_eps"),
+        F.lit(1 if bad_rowsums == 0 else 0).alias("sketch_rowsums_exact"),
+        F.lit(1 if mismatch == 0 else 0).alias("merge_linear_exact"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # hive-partitioned layout + partition pruning: the third leg of the layout
 # trilogy (bucketing = shuffle-free joins, z-order = multi-dim file skipping,
