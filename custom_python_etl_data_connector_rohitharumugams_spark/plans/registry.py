@@ -58,14 +58,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # set cover (DFS) over the tags the first-time cohort does not carry,
 # then a drop loop ejecting first-timers until 50 slots fit.
 #
-# Round-9 window (recomposed at round-9 start after CORRECTNESS_r08.json
-# landed): 32 cover + 14 first-time = 46 slots (4 spare under the 50
-# cap). The 14 first-timers are the ENTIRE remaining orphan backlog —
-# this is the rotation program's stated completion round: once
-# CORRECTNESS_r09.json lands green, every registered query has at least
-# one committed driver row and the deferred list is empty. Queries
-# registered after this window froze ride round 10; re-run
-# tools/window_optimizer.py at round-10 start.
+# Round-9 window (recomposed a second time mid-round: round 9 added new
+# queries — Bloom prefilter, CMS sketch, FFT spectral tier, XML/binaryFile
+# landings, BPE train/tokenize, the Python streaming sink — after the
+# first freeze, and the optimizer run WITH the original 14-orphan backlog
+# force-included found a tighter 28-name cover): 28 cover + 22 first-time
+# = 50 slots. The first-timers include the ENTIRE round-8 orphan backlog
+# (the VERDICT.md item-2 list) plus 8 of the 13 round-9 registrations;
+# the remaining 5 (agg_cms_heavy_hitters, connector_xml_landing,
+# multimodal_gif_decode, multimodal_mp4_samples, multimodal_wav_spectral)
+# defer to round 10 — re-run tools/window_optimizer.py at round-10 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window
@@ -75,15 +77,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # compare).
 _PRIORITY: tuple[str, ...] = (
     "agg_rollup_pricing",  # cover: A4
-    "analytics_idle_supplier_parts",  # cover: J4 A2
-    "analytics_value_outliers_iqr",  # cover: A6 J3 P2 A5
     "asof_next_purchase_within_2d",  # cover: J7 F2
     "connector_incremental_sync",  # cover: S1 S2 S3 S4 S7
-    "connector_json_landing",  # cover: S6 P4 P5
     "connector_key_sanitization_report",  # cover: P3
-    "connector_shardsink_manifest",  # cover: S7b F8
+    "dq_constraint_report",  # cover: P4 A5 F4 A2
     "join_range_price_bands",  # cover: J5 A1
-    "llm_bm25_search",  # cover: L3 L4 F5 A1 O2
     "llm_boilerplate_ngrams",  # cover: L12 L14 F5
     "llm_chunk_documents",  # cover: L6 F5
     "llm_corpus_build_e2e",  # cover: L1 L9 L12 L13 L10
@@ -107,12 +105,18 @@ _PRIORITY: tuple[str, ...] = (
     "udf_scalar_name_clean",  # cover: U1
     "udtf_fixed_width_parse",  # cover: U4 P5
     "agg_approx_percentiles",  # first-time: A6
+    "connector_binaryfile_media_landing",  # first-time: S6 L5 U3
     "dedup_exact_status_pairs",  # first-time: O5
     "dq_distribution_drift",  # first-time: A1 F3 J2
     "llm_ann_frozen_add_topk",  # first-time: L3 U2
     "llm_ann_ivf_pq_hifi_topk",  # first-time: L3
     "llm_ann_ivf_pq_opq_topk",  # first-time: L3 U2
     "llm_ann_ivf_pq_topk",  # first-time: L3
+    "llm_bloom_benchmark_overlap",  # first-time: L9 J4 F8
+    "llm_bpe_tokenize_corpus",  # first-time: L4 U3 A1
+    "llm_bpe_train",  # first-time: L4 A1 W3
+    "llm_embedding_decontamination_pruned",  # first-time: L9 L3 U2
+    "llm_frozen_index_drift_trigger",  # first-time: L3 A1 F3
     "llm_ivf_train_kmeans",  # first-time: L3
     "llm_winnowing_near_dup",  # first-time: L2 W3
     "multimodal_bmp_resize",  # first-time: L5 U3
@@ -120,12 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_date_order_report",  # first-time: F2
     "scalar_id_generation",  # first-time: F8
     "scalar_variant_event_payloads",  # first-time: F7
-    # --- round-9 additions (registered after the optimizer window froze;
-    # --- ride the 4 spare slots) ---------------------------------------
-    "udf_grouped_zscore_stats_join",  # first-time: U3 U2 J3 (scale twin)
-    "llm_embedding_decontamination_pruned",  # first-time: L9 L3 U2 (ivf-pruned)
-    "llm_frozen_index_drift_trigger",  # first-time: L3 A1 F3 (drift monitor)
-    "multimodal_gif_decode",  # first-time: L5 U3 (palette+LZW codec)
+    "stream_python_sink_exactly_once",  # first-time: S9 S7b
+    "udf_grouped_zscore_stats_join",  # first-time: U3 U2 J3
 )
 
 def priority_names() -> tuple[str, ...]:
