@@ -815,3 +815,120 @@ def stream_python_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFra
             "only_manifested_files_read"
         ),
     )
+
+
+@query(
+    "stream_cms_maintenance",
+    # real readStream source (S8) + foreachBatch durable sink (S9); the
+    # sketch build/merge itself is the A1/F8 surface
+    tags=("S8", "S9", "A1", "F8"),
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    top5 AS (
+        SELECT user_id, exact_cnt FROM cnt
+        ORDER BY exact_cnt DESC, user_id LIMIT 5
+    )
+    SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(1 AS INT) AS cms_ge_exact,
+           CAST(1 AS INT) AS cms_within_eps,
+           CAST(1 AS INT) AS streamed_equals_batch,
+           CAST(1 AS INT) AS multi_batch
+    FROM top5
+    """,
+)
+def stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the Count-Min sketch
+    (operators/sketches.py): events replay through a REAL ``readStream``
+    file source in time-sliced micro-batches, each batch's 16k-cell grid
+    appends to a parquet log via foreachBatch, and the STREAMED sketch —
+    the cell-wise sum of the per-batch grids — must be CELL-IDENTICAL to
+    the sketch built over the batch table (CMS linearity is exact
+    addition, so incremental maintenance has zero approximation cost on
+    top of the sketch itself). This is the always-on form of
+    agg_cms_heavy_hitters: at 100 TB/day the batch rebuild is a rescan,
+    while this path pays one ≤depth·width-row write per micro-batch and
+    answers heavy-hitter probes from sketch state alone.
+
+    Exactly-once without an idempotent store: foreachBatch is
+    AT-LEAST-ONCE, but a re-executed batch rebuilds the IDENTICAL grid
+    (same slice file, deterministic hashes), so ``dropDuplicates`` over
+    (batch_id, seed, bucket, cnt) at read time collapses replays — the
+    same replay-idempotence argument the update-log query makes, applied
+    to sketch cells.
+
+    Invariant columns (same gating as agg_cms_heavy_hitters, plus the
+    maintenance-specific ones): cms_ge_exact and cms_within_eps gate the
+    estimates of the top-5 users; streamed_equals_batch pins linearity
+    across micro-batch boundaries via a full-outer cell join;
+    multi_batch asserts the replay genuinely ran >= 2 micro-batches
+    (maxFilesPerTrigger=1 over 3 slices), so the equality is a
+    cross-batch statement, not a one-batch tautology."""
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import DEFAULT_WIDTH, cms_build, cms_estimate
+    from ..streaming.replay import events_stream, split_events_for_replay
+
+    replay_dir = split_events_for_replay(
+        spark,
+        sf_dir,
+        f"{tempfile.gettempdir()}/sg_cms_{os.path.basename(sf_dir.rstrip('/'))}_replay",
+    )
+    log_dir = tempfile.mkdtemp(prefix="sg_cms_log_")
+    cp = tempfile.mkdtemp(prefix="sg_cms_cp_")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_build(batch_df.select("user_id"), "user_id")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    with _stream_state_conf(spark):
+        q = (
+            sdf.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("CMS replay query did not finish in 300 s")
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
+
+    log = spark.read.parquet(log_dir).dropDuplicates(
+        ["batch_id", "seed", "bucket", "cnt"]
+    )
+    n_batches = log.select("batch_id").distinct().count()
+    streamed = log.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    direct = cms_build(events, "user_id")
+    mismatch = (
+        streamed.join(direct, ["seed", "bucket"], "full")
+        .where(~streamed["cnt"].eqNullSafe(direct["cnt"]))
+        .count()
+    )
+
+    n_total = events.count()
+    eps_bound = int(2.718281828 * n_total / DEFAULT_WIDTH) + 1
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top5 = counts.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(5)
+    est = cms_estimate(streamed, top5, "user_id")
+
+    return est.select(
+        "user_id",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        (F.col("est") >= F.col("exact_cnt")).cast("int").alias("cms_ge_exact"),
+        (F.col("est") - F.col("exact_cnt") <= F.lit(eps_bound))
+        .cast("int")
+        .alias("cms_within_eps"),
+        F.lit(1 if mismatch == 0 else 0).alias("streamed_equals_batch"),
+        F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+    )

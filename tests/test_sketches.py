@@ -73,3 +73,20 @@ def test_eps_bound_headroom_on_orders(spark, sf_dir):
     bound = int(2.718281828 * n / DEFAULT_WIDTH) + 1
     worst = max(r["est"] - r["exact"] for r in out)
     assert worst * 2 <= bound, f"worst excess {worst} vs bound {bound}"
+
+
+def test_stream_cms_maintenance_invariants_at_smoke_sf(spark):
+    """All four gate booleans must be 1 at the smoke scale factor too
+    (the driver checks sf0.01; this pins sf0.001 where slices are tiny
+    and an off-by-one in batch accounting would surface first)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries
+
+    rows = all_queries()["stream_cms_maintenance"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["cms_ge_exact"] == 1
+        assert r["cms_within_eps"] == 1
+        assert r["streamed_equals_batch"] == 1
+        assert r["multi_batch"] == 1
