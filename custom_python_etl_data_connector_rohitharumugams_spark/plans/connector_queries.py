@@ -578,3 +578,80 @@ def connector_binaryfile_media_landing(spark: SparkSession, sf_dir: str) -> Data
         F.col("content").alias("data"),
     )
     return M.decode_gif(payload)
+
+
+@query(
+    "connector_npy_embedding_landing",
+    tags=("S6", "L5", "U3"),
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS nr, 8 AS nc
+        FROM documents WHERE doc_id < 60
+    ), rr AS (
+        SELECT doc_id, nr, nc, unnest(range(0, nr)) AS r FROM d
+    ), rc AS (
+        SELECT doc_id, nr, nc, r, unnest(range(0, nc)) AS c FROM rr
+    )
+    SELECT doc_id,
+           CAST(MIN(nr) AS BIGINT) AS n_rows,
+           CAST(MIN(nc) AS BIGINT) AS n_cols,
+           CAST(SUM((doc_id * 13 + r * 7 + c * 3) % 101) AS BIGINT)
+               AS value_sum,
+           CAST(SUM((r + 1) * (c + 1) * ((doc_id * 13 + r * 7 + c * 3) % 101))
+                AS BIGINT) AS weighted_sum
+    FROM rc
+    GROUP BY doc_id
+    """,
+)
+def connector_npy_embedding_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding shards as REAL ``.npy`` files on disk -> binaryFile scan
+    -> a hand-rolled NPY parser over ``mapInArrow`` (functions/npy.py:
+    magic, version-dependent header length, literal-dict header, C vs
+    FORTRAN element order — every third fixture file is saved F-ordered,
+    so both layout branches run under this oracle; the (r+1)(c+1)
+    weighted checksum is what catches a transposed parse). This is the
+    second production entry path for embedding corpora next to parquet —
+    and the engine's mapInArrow tier: payload bytes go RecordBatch ->
+    np.frombuffer (zero-copy) -> RecordBatch with no pandas on the path.
+    Same small-file posture as the GIF landing: one file per shard is
+    the parallelism unit; compaction, not splitting, is the 100 TB
+    lever."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..functions import npy as N
+
+    resolved = str(Path(sf_dir.rstrip("/")).resolve())
+    tag = (
+        Path(resolved).name.replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
+    out = f"{tempfile.gettempdir()}/sg_npyland_{tag}"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 60
+    )
+    n_expected = docs.count()
+    if not os.path.isdir(out) or len(os.listdir(out)) != n_expected:
+        import shutil
+
+        tmp = f"{out}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for r in N.synth_npy(docs).collect():
+            with open(f"{tmp}/doc_{r.doc_id:05d}.npy", "wb") as f:
+                f.write(bytes(r.data))
+        if os.path.isdir(out):  # stale partial from an earlier crash
+            shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost the race to a concurrent session
+            shutil.rmtree(tmp, ignore_errors=True)
+    raw = spark.read.format("binaryFile").load(f"{out}/*.npy")
+    payload = raw.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.npy$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("data"),
+    )
+    return N.decode_npy(payload)

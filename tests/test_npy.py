@@ -1,0 +1,76 @@
+"""NPY parser contract (functions/npy.py): real-format roundtrip for both
+element orders, version-2 headers, and hostile-content containment."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+from custom_python_etl_data_connector_rohitharumugams_spark.functions import npy as N
+
+
+def test_roundtrip_c_and_fortran(spark):
+    # doc 6 saves F-ordered (6 % 3 == 0), doc 7 C-ordered
+    df = N.synth_npy(spark.createDataFrame([(6,), (7,)], "doc_id long"))
+    out = {r.doc_id: r for r in N.decode_npy(df).collect()}
+    assert set(out) == {6, 7}
+    for i in (6, 7):
+        nr, nc = N._npy_dims(i)
+        want_sum = sum(N._npy_val(i, r, c) for r in range(nr) for c in range(nc))
+        want_w = sum(
+            (r + 1) * (c + 1) * N._npy_val(i, r, c)
+            for r in range(nr)
+            for c in range(nc)
+        )
+        assert (out[i].n_rows, out[i].n_cols) == (nr, nc)
+        assert out[i].value_sum == want_sum
+        assert out[i].weighted_sum == want_w
+
+
+def test_fortran_flag_actually_changes_bytes_not_values():
+    """The two layouts must serialize differently yet parse identically —
+    otherwise the F-order branch is untested dead code."""
+    m = np.arange(12, dtype=np.float32).reshape(3, 4)
+    c_buf, f_buf = io.BytesIO(), io.BytesIO()
+    np.save(c_buf, m)
+    np.save(f_buf, np.asfortranarray(m))
+    assert c_buf.getvalue() != f_buf.getvalue()
+    mc, mf = N._parse_npy(c_buf.getvalue()), N._parse_npy(f_buf.getvalue())
+    assert (mc == mf).all() and (mc == m.astype(np.int64)).all()
+
+
+def test_version2_header_parses():
+    m = np.ones((2, 3), dtype=np.float32)
+    header = "{'descr': '<f4', 'fortran_order': False, 'shape': (2, 3), }"
+    pad = (64 - (12 + len(header) + 1) % 64) % 64
+    h = (header + " " * pad + "\n").encode("ascii")
+    raw = N.NPY_MAGIC + bytes([2, 0]) + struct.pack("<I", len(h)) + h + m.tobytes()
+    parsed = N._parse_npy(raw)
+    assert parsed is not None and parsed.shape == (2, 3) and parsed.sum() == 6
+
+
+def test_hostile_payloads_contained(spark):
+    m = np.ones((2, 2), dtype=np.float32)
+    buf = io.BytesIO()
+    np.save(buf, m)
+    good = buf.getvalue()
+    f8 = io.BytesIO()
+    np.save(f8, np.ones((2, 2), dtype=np.float64))
+    d1 = io.BytesIO()
+    np.save(d1, np.ones(4, dtype=np.float32))  # 1-D: out of contract
+    hostile = [
+        (1, good),
+        (100, good[:8]),          # truncated header
+        (101, b"not npy at all"),  # wrong magic
+        (102, good[:-4]),         # truncated data
+        (103, f8.getvalue()),     # float64 dtype
+        (104, d1.getvalue()),     # 1-D shape
+        (105, N.NPY_MAGIC + bytes([9, 0]) + good[8:]),  # unknown version
+        (106, None),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = N.decode_npy(df).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].value_sum == 4
