@@ -520,6 +520,76 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_histogram_quantiles",
+    tags=("A6", "A1", "W3"),
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT flag, v, COUNT(*) AS c FROM cents GROUP BY flag, v
+    ),
+    cum AS (
+        SELECT flag, v,
+               SUM(c) OVER (PARTITION BY flag ORDER BY v) AS cm,
+               SUM(c) OVER (PARTITION BY flag) AS n
+        FROM hist
+    )
+    SELECT flag AS l_returnflag,
+           CAST(MIN(n) AS BIGINT) AS n_rows,
+           MIN(CASE WHEN cm * 2 >= n THEN v END)        AS median_cents,
+           MIN(CASE WHEN cm * 10 >= 9 * n THEN v END)   AS p90_cents,
+           MIN(CASE WHEN cm * 100 >= 99 * n THEN v END) AS p99_cents
+    FROM cum
+    GROUP BY flag
+    """,
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable quantiles for bounded integer domains — the third
+    mergeable summary next to HLL (cardinality) and Count-Min (frequency):
+    a value-histogram is perfectly mergeable state (cell addition, the
+    same linearity as CMS), and for integer-cent prices the histogram's
+    CDF walk returns the EXACT discrete percentile, not an approximation.
+    The plan is the scale shape: one partial-aggregating groupBy builds
+    per-(group, value) counts — shuffle volume tracks DISTINCT VALUES,
+    never rows — and the cumulative window then runs over the histogram
+    (|distinct| rows), not the fact table. At 100 TB this is how exact
+    p50/p90/p99 SLO reporting works when the domain is bounded (latencies
+    in ms, prices in cents); t-digest (`agg_approx_percentiles`) remains
+    the path for unbounded/continuous domains. All rank arithmetic is
+    integer (cm·k >= q·k·n), so the discrete-quantile definition — the
+    smallest value whose CDF reaches q — crosses the oracle boundary with
+    no float rank ambiguity."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    hist = l.groupBy("flag", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("flag").orderBy("v")
+    w_all = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "v",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.min(F.when(F.col("cm") * 2 >= F.col("n"), F.col("v"))).alias(
+            "median_cents"
+        ),
+        F.min(F.when(F.col("cm") * 10 >= 9 * F.col("n"), F.col("v"))).alias(
+            "p90_cents"
+        ),
+        F.min(F.when(F.col("cm") * 100 >= 99 * F.col("n"), F.col("v"))).alias(
+            "p99_cents"
+        ),
+    )
+
+
+@query(
     "agg_approx_distinct_parts",
     tags=("A3",),
     oracle="""

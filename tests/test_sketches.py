@@ -90,3 +90,32 @@ def test_stream_cms_maintenance_invariants_at_smoke_sf(spark):
         assert r["cms_within_eps"] == 1
         assert r["streamed_equals_batch"] == 1
         assert r["multi_batch"] == 1
+
+
+def test_histogram_quantiles_match_sorted_reference(spark):
+    """The CDF-walk quantile equals the rank-based reference ("smallest
+    value whose cumulative count reaches ceil(q*n)") on a small list with
+    heavy ties — the definition both engines implement in the registered
+    query's integer-arithmetic form."""
+    import math
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import all_queries  # noqa: F401 — registry import path sanity
+
+    vals = [100, 100, 100, 200, 300, 300, 400, 500, 500, 500, 500, 900]
+    df = spark.createDataFrame([("A", v) for v in vals], "flag string, v long")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hist = df.groupBy("flag", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "flag", "v",
+        F.sum("c").over(Window.partitionBy("flag").orderBy("v")).alias("cm"),
+        F.sum("c").over(Window.partitionBy("flag")).alias("n"),
+    )
+    got = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cm") * 2 >= F.col("n"), F.col("v"))).alias("p50"),
+        F.min(F.when(F.col("cm") * 10 >= 9 * F.col("n"), F.col("v"))).alias("p90"),
+    ).collect()[0]
+    s = sorted(vals)
+    ref = lambda q: s[math.ceil(q * len(s)) - 1]  # noqa: E731
+    assert (got["p50"], got["p90"]) == (ref(0.5), ref(0.9))
