@@ -81,16 +81,16 @@ def synth_npy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(run, schema="doc_id long, data binary")
 
 
-def _parse_npy(raw: bytes):
-    """(matrix as np.ndarray[int64]) or None for out-of-contract bytes.
+def _parse_npy(raw: bytes, descr: str = "<f4", ndim: int = 2):
+    """(array as np.ndarray[int64]) or None for out-of-contract bytes.
 
     Real format walk per the NEP-1 spec: 6-byte magic, (major, minor)
     version, v1 uint16 / v2+ uint32 little-endian header length, ASCII
     Python-literal header dict with exactly descr/fortran_order/shape,
-    then the raw element stream. Only ``<f4`` 2-D payloads are in this
-    tier's contract; anything else — wrong magic, truncated header or
-    data, exotic dtype, 1-D/3-D shapes — is contained (no row), the same
-    hostile-content posture as every multimodal codec."""
+    then the raw element stream. Only the caller-declared (descr, ndim)
+    payloads are in contract; anything else — wrong magic, truncated
+    header or data, exotic dtype, unexpected rank — is contained (no
+    row), the same hostile-content posture as every multimodal codec."""
     import numpy as np
 
     try:
@@ -106,14 +106,17 @@ def _parse_npy(raw: bytes):
         else:
             return None
         header = ast.literal_eval(raw[off : off + hlen].decode("ascii"))
-        if header.get("descr") != "<f4" or len(header.get("shape", ())) != 2:
+        if header.get("descr") != descr or len(header.get("shape", ())) != ndim:
             return None
-        nr, nc = header["shape"]
-        data = np.frombuffer(raw, dtype="<f4", count=nr * nc, offset=off + hlen)
-        if data.size != nr * nc:
+        shape = header["shape"]
+        count = 1
+        for d in shape:
+            count *= d
+        data = np.frombuffer(raw, dtype=descr, count=count, offset=off + hlen)
+        if data.size != count:
             return None
         order = "F" if header.get("fortran_order") else "C"
-        return data.reshape((nr, nc), order=order).astype(np.int64)
+        return data.reshape(shape, order=order).astype(np.int64)
     except (ValueError, SyntaxError, IndexError, struct.error, KeyError):
         return None
 
@@ -163,3 +166,108 @@ def decode_npy(df: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_pydict(out, schema=out_schema)
 
     return src.mapInArrow(run, schema=NPY_DECODED_DDL)
+
+
+#: npz shard parameters: shard k holds 3 + k%4 vectors of NPY_COLS dims;
+#: vector j's id is k*100+j and entry (j, c) is the closed-form value below
+def _npz_rows(k: int) -> int:
+    return 3 + k % 4
+
+
+def _npz_val(k: int, j: int, c: int) -> int:
+    return (k * 11 + j * 5 + c * 2) % 97
+
+
+def synth_npz(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(shard_id, data) with REAL ``.npz`` payloads — ``numpy.savez``
+    writes a genuine ZIP container holding two named members, ``ids.npy``
+    (int64 vector) and ``vecs.npy`` (float32 matrix): the id-aligned
+    embedding-shard shape training pipelines actually exchange."""
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("shard_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for sid in pdf["shard_id"]:
+                k = int(sid)
+                n = _npz_rows(k)
+                ids = np.array([k * 100 + j for j in range(n)], dtype=np.int64)
+                vecs = np.array(
+                    [[_npz_val(k, j, c) for c in range(NPY_COLS)] for j in range(n)],
+                    dtype=np.float32,
+                )
+                buf = io.BytesIO()
+                np.savez(buf, ids=ids, vecs=vecs)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"shard_id": pdf["shard_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="shard_id long, data binary")
+
+
+NPZ_DECODED_DDL = "shard_id long, vec_id long, value_sum long, weighted_sum long"
+
+
+def decode_npz(df: DataFrame) -> DataFrame:
+    """REAL ``.npz`` container walk over ``mapInArrow``: stdlib
+    ``zipfile`` opens the archive, both members run through the same
+    NPY header parser as the single-array tier (`_parse_npy` — ids as
+    ``<i8``/1-D, vectors as ``<f4``/2-D), and each id-aligned vector
+    emits one exact-integer feature row. Containment: a payload that is
+    not a zip, lacks either member, fails either member's parse, or
+    whose members disagree on row count yields no rows."""
+    import io
+    import zipfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    src = df.select("shard_id", "data")
+    out_schema = pa.schema(
+        [
+            ("shard_id", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("value_sum", pa.int64()),
+            ("weighted_sum", pa.int64()),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            sids = rb.column("shard_id")
+            payloads = rb.column("data")
+            out = {k: [] for k in ("shard_id", "vec_id", "value_sum", "weighted_sum")}
+            for i in range(rb.num_rows):
+                if not sids[i].is_valid or not payloads[i].is_valid:
+                    continue
+                try:
+                    with zipfile.ZipFile(io.BytesIO(payloads[i].as_py())) as z:
+                        names = set(z.namelist())
+                        if not {"ids.npy", "vecs.npy"} <= names:
+                            continue
+                        ids = _parse_npy(z.read("ids.npy"), descr="<i8", ndim=1)
+                        vecs = _parse_npy(z.read("vecs.npy"), descr="<f4", ndim=2)
+                except (zipfile.BadZipFile, OSError):
+                    continue
+                if ids is None or vecs is None or len(ids) != vecs.shape[0]:
+                    continue
+                cw = np.arange(1, vecs.shape[1] + 1, dtype=np.int64)[None, :]
+                sums = vecs.sum(axis=1)
+                wsums = (vecs * cw).sum(axis=1)
+                sid = sids[i].as_py()
+                for j in range(len(ids)):
+                    out["shard_id"].append(sid)
+                    out["vec_id"].append(int(ids[j]))
+                    out["value_sum"].append(int(sums[j]))
+                    out["weighted_sum"].append(int(wsums[j]))
+            yield pa.RecordBatch.from_pydict(out, schema=out_schema)
+
+    return src.mapInArrow(run, schema=NPZ_DECODED_DDL)

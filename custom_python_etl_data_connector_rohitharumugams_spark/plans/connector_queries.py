@@ -655,3 +655,42 @@ def connector_npy_embedding_landing(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("content").alias("data"),
     )
     return N.decode_npy(payload)
+
+
+@query(
+    "multimodal_npz_shards",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH s AS (
+        SELECT doc_id AS k FROM documents WHERE doc_id < 24
+    ), sj AS (
+        SELECT k, unnest(range(0, 3 + k % 4)) AS j FROM s
+    ), sjc AS (
+        SELECT k, j, unnest(range(0, 8)) AS c FROM sj
+    )
+    SELECT k AS shard_id,
+           CAST(k * 100 + j AS BIGINT) AS vec_id,
+           CAST(SUM((k * 11 + j * 5 + c * 2) % 97) AS BIGINT) AS value_sum,
+           CAST(SUM((c + 1) * ((k * 11 + j * 5 + c * 2) % 97)) AS BIGINT)
+               AS weighted_sum
+    FROM sjc
+    GROUP BY k, j
+    """,
+)
+def multimodal_npz_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``.npz`` container decode: ``numpy.savez`` writes a genuine
+    ZIP per shard holding id-aligned members (``ids.npy`` int64 vector,
+    ``vecs.npy`` float32 matrix) — the shape embedding dumps actually
+    travel in — and the decoder (functions/npy.decode_npz) walks the zip
+    with stdlib ``zipfile`` and runs BOTH members through the same NPY
+    header parser as the landing tier (``<i8``/1-D ids, ``<f4``/2-D
+    vectors), emitting one exact-integer feature row per vector. The 1->N
+    batch expansion mirrors the AVI/MP4 container tiers; everything is
+    a-priori checkable because ids and entries are closed-form in the
+    shard index."""
+    from ..functions import npy as N
+
+    shards = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 24
+    )
+    return N.decode_npz(N.synth_npz(shards))

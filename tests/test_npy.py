@@ -74,3 +74,43 @@ def test_hostile_payloads_contained(spark):
     out = N.decode_npy(df).collect()
     assert [r.doc_id for r in out] == [1]
     assert out[0].value_sum == 4
+
+
+def test_npz_roundtrip_and_containment(spark):
+    import zipfile
+
+    df = N.synth_npz(spark.createDataFrame([(5,), (6,)], "doc_id long"))
+    rows = {r.shard_id: bytes(r.data) for r in df.collect()}
+    # every payload is a genuine zip with exactly the two members
+    for payload in rows.values():
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            assert set(z.namelist()) == {"ids.npy", "vecs.npy"}
+    # hostile: not-a-zip, missing member, ids/vecs length mismatch
+    with zipfile.ZipFile(io.BytesIO(rows[5])) as z:
+        ids_only = io.BytesIO()
+        with zipfile.ZipFile(ids_only, "w") as zo:
+            zo.writestr("ids.npy", z.read("ids.npy"))
+        mismatch = io.BytesIO()
+        with zipfile.ZipFile(mismatch, "w") as zo:
+            short = io.BytesIO()
+            np.save(short, np.array([1], dtype=np.int64))
+            zo.writestr("ids.npy", short.getvalue())
+            zo.writestr("vecs.npy", z.read("vecs.npy"))
+    hostile = [
+        (5, rows[5]),
+        (100, b"PK garbage not zip"),
+        (101, ids_only.getvalue()),
+        (102, mismatch.getvalue()),
+        (103, None),
+    ]
+    out = N.decode_npz(
+        spark.createDataFrame(hostile, "shard_id long, data binary")
+    ).collect()
+    got = {(r.shard_id, r.vec_id): (r.value_sum, r.weighted_sum) for r in out}
+    assert {s for s, _ in got} == {5}
+    n = N._npz_rows(5)
+    assert len(got) == n
+    for j in range(n):
+        want = sum(N._npz_val(5, j, c) for c in range(N.NPY_COLS))
+        want_w = sum((c + 1) * N._npz_val(5, j, c) for c in range(N.NPY_COLS))
+        assert got[(5, 500 + j)] == (want, want_w)
