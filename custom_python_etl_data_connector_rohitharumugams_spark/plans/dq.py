@@ -282,3 +282,129 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term) > 200000).alias("drift"),
         )
     )
+
+
+def _key_profile(df: DataFrame, rel: str, key: str) -> DataFrame:
+    """One skew-profile row for ``df[key]``: multiplicity histogram ->
+    exact integer stats. Shuffle volume is |distinct keys| (the groupBy),
+    then the p99 rank walk runs over the MULTIPLICITY histogram — at most
+    |distinct multiplicities| rows, the same distinct-domain trick as
+    agg_histogram_quantiles."""
+    mult = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("m"))
+    hist = mult.groupBy("m").agg(F.count(F.lit(1)).alias("keys_at_m"))
+    w_cum = Window.orderBy("m")
+    cum = hist.select(
+        "m",
+        F.sum("keys_at_m").over(w_cum).alias("cm"),
+        F.sum("keys_at_m").over(Window.partitionBy()).alias("n_keys"),
+        (F.col("m") * F.col("keys_at_m")).alias("rows_at_m"),
+    )
+    return cum.agg(
+        F.lit(rel).alias("relation"),
+        F.lit(key).alias("key_col"),
+        F.sum("rows_at_m").cast("bigint").alias("n_rows"),
+        F.min("n_keys").cast("bigint").alias("n_keys"),
+        F.max("m").cast("bigint").alias("max_mult"),
+        F.min(F.when(F.col("cm") * 100 >= 99 * F.col("n_keys"), F.col("m")))
+        .cast("bigint")
+        .alias("p99_mult"),
+    ).select(
+        "relation",
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_mult",
+        "p99_mult",
+        F.floor(F.col("max_mult") * 1_000_000 / F.col("n_rows"))
+        .cast("bigint")
+        .alias("top1_share_ppm"),
+        F.floor(F.col("max_mult") * F.col("n_keys") * 100 / F.col("n_rows"))
+        .cast("bigint")
+        .alias("skew_x100"),
+        F.when(F.col("n_keys") <= 1000, F.lit("broadcast_dim"))
+        .when(F.col("max_mult") * F.col("n_keys") > 10 * F.col("n_rows"), F.lit("salt"))
+        .otherwise(F.lit("hash_ok"))
+        .alias("recommendation"),
+    )
+
+
+@query(
+    "dq_join_skew_profile",
+    tags=("A1", "A6", "O3"),
+    oracle="""
+    WITH profile AS (
+        SELECT 'lineitem' AS relation, 'l_orderkey' AS key_col, l_orderkey AS k
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', 'o_custkey', o_custkey FROM orders
+        UNION ALL
+        SELECT 'events', 'user_id', user_id FROM events
+    ),
+    mult AS (
+        SELECT relation, key_col, k, COUNT(*) AS m
+        FROM profile GROUP BY relation, key_col, k
+    ),
+    hist AS (
+        SELECT relation, key_col, m, COUNT(*) AS keys_at_m
+        FROM mult GROUP BY relation, key_col, m
+    ),
+    cum AS (
+        SELECT relation, key_col, m, m * keys_at_m AS rows_at_m,
+               SUM(keys_at_m) OVER (PARTITION BY relation, key_col ORDER BY m) AS cm,
+               SUM(keys_at_m) OVER (PARTITION BY relation, key_col) AS n_keys
+        FROM hist
+    ),
+    stats AS (
+        SELECT relation, key_col,
+               CAST(SUM(rows_at_m) AS BIGINT) AS n_rows,
+               CAST(MIN(n_keys) AS BIGINT) AS n_keys,
+               CAST(MAX(m) AS BIGINT) AS max_mult,
+               CAST(MIN(CASE WHEN cm * 100 >= 99 * n_keys THEN m END) AS BIGINT)
+                   AS p99_mult
+        FROM cum GROUP BY relation, key_col
+    )
+    SELECT relation, key_col, n_rows, n_keys, max_mult, p99_mult,
+           CAST(FLOOR(max_mult * 1000000 / n_rows) AS BIGINT) AS top1_share_ppm,
+           CAST(FLOOR(max_mult * n_keys * 100 / n_rows) AS BIGINT) AS skew_x100,
+           CASE WHEN n_keys <= 1000 THEN 'broadcast_dim'
+                WHEN max_mult * n_keys > 10 * n_rows THEN 'salt'
+                ELSE 'hash_ok' END AS recommendation
+    FROM stats
+    """,
+)
+def dq_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETECT side of the skew playbook (the MITIGATE side is
+    skew_salted_join_enrichment / skew_salted_aggregation): exact
+    multiplicity statistics for the three join keys the workload shuffles
+    on, plus a deterministic routing recommendation. Everything is
+    integer arithmetic over two nested histograms — per-key counts
+    (shuffle = |distinct keys|), then counts-of-counts (|distinct
+    multiplicities| rows) — so profiling a 100 TB fact costs one
+    partial-aggregated pass, and the p99 multiplicity comes from the same
+    integer CDF walk as agg_histogram_quantiles, never a per-key sort.
+    The recommendation thresholds are plan policy, stated in the output:
+    a <=1000-key dimension broadcasts; max/avg multiplicity >10x flags
+    salting; otherwise plain hash partitioning is fine. skew_x100 IS
+    max/avg x100 (max_mult * n_keys / n_rows), the number AQE's skew-join
+    heuristic approximates from runtime map statistics."""
+    parts = [
+        _key_profile(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey"),
+            "lineitem",
+            "l_orderkey",
+        ),
+        _key_profile(
+            load_table(spark, sf_dir, "orders").select("o_custkey"),
+            "orders",
+            "o_custkey",
+        ),
+        _key_profile(
+            load_table(spark, sf_dir, "events").select("user_id"),
+            "events",
+            "user_id",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
