@@ -213,6 +213,12 @@ def test_no_python_in_unexpected_query_plans(spark):
         "connector_binaryfile_media_landing",               # binaryFile ->
                                                             # real GIF decode
         "multimodal_mp4_samples",                           # BMFF box walk
+        "multimodal_wav_spectral",               # decode + numpy rfft in the
+                                                 # Arrow batch IS the operator
+        "connector_npy_embedding_landing",       # binaryFile -> NPY header
+                                                 # parse over mapInArrow
+        "multimodal_npz_shards",                 # zip walk + NPY parse over
+                                                 # mapInArrow
         "llm_bpe_train",                         # per-word merge rewrite is
                                                  # sequential by definition
         "llm_bpe_tokenize_corpus",               # + the corpus apply pass
