@@ -106,3 +106,18 @@ def test_prefilter_discards_most_corpus_postings(spark):
     total = corpus.count()
     kept = bloom_prefilter(corpus, "shingle", bench, "shingle").count()
     assert kept < 0.2 * total, f"probe kept {kept}/{total} corpus postings"
+
+
+def test_saturated_filter_degrades_to_passthrough_never_drops(spark):
+    """Undersizing the sketch (n >> m/8) saturates the bit array; the
+    correct degradation is pass-through (everything survives, the exact
+    join still fixes it) — NEVER a dropped true match. This pins the
+    failure mode a mis-sized benchmark sketch would hit at crawl scale."""
+    small = spark.range(5_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    big = spark.range(6_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    surv = {
+        r["k"]
+        for r in bloom_prefilter(big, "k", small, "k", num_bits=4096).collect()
+    }
+    true = {f"k{i}" for i in range(5_000)}
+    assert true <= surv, "saturation must never produce false negatives"
