@@ -408,3 +408,60 @@ def dq_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "dq_observed_pipeline_metrics",
+    tags=("P2", "A1", "F3"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-01-01'
+                          AND l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_out,
+           CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-01-01'
+                          AND l_quantity < 25
+                         THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS revenue_cents_out,
+           CAST(FLOOR(SUM(CASE WHEN l_shipdate >= DATE '1995-01-01'
+                                AND l_quantity < 25 THEN 1 ELSE 0 END)
+                      * 1000000 / COUNT(*)) AS BIGINT) AS selectivity_ppm
+    FROM lineitem
+    """,
+)
+def dq_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability through Spark's Observation API
+    (``df.observe``): named metrics ride INSIDE the executing plan as
+    aggregate expressions — rows-in before the filter, rows-out and
+    integer-cents revenue after it — so the pipeline gets its SLO counters
+    for free, with ZERO extra scans, exactly the mechanism a 100 TB
+    ingest uses to alert on selectivity drift without paying a second
+    pass (the alternative — re-aggregating the input — doubles the scan).
+    One noop-sink action materializes the stream once; the observed
+    values ARE the result row, so the DuckDB oracle recomputing them from
+    the raw table pins the Observation machinery end to end. The
+    selectivity ratio is integer ppm arithmetic on the observed counts,
+    matching the exact SQL form."""
+    from pyspark.sql import Observation
+
+    l = load_table(spark, sf_dir, "lineitem")
+    obs_in = Observation()
+    obs_out = Observation()
+    staged = l.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+    out = staged.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_quantity") < 25)
+    ).observe(
+        obs_out,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias(
+            "revenue_cents_out"
+        ),
+    )
+    out.write.mode("overwrite").format("noop").save()  # ONE pass, metrics ride it
+    rows_in = int(obs_in.get["rows_in"])
+    rows_out = int(obs_out.get["rows_out"])
+    cents = int(obs_out.get["revenue_cents_out"])
+    return spark.createDataFrame(
+        [(rows_in, rows_out, cents, rows_out * 1_000_000 // rows_in)],
+        "rows_in long, rows_out long, revenue_cents_out long, selectivity_ppm long",
+    )
