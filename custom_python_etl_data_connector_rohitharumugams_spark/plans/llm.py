@@ -2381,3 +2381,86 @@ def llm_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_col="label",
         broadcast_queries=True,
     )
+
+
+@query(
+    "llm_compression_ratio_filter",
+    tags=("L12", "L14", "U3"),
+    oracle="""
+    WITH c AS (
+        SELECT 'natural' AS doc_class,
+               COUNT(*) AS n_docs, 0 AS n_flagged
+        FROM documents
+        UNION ALL
+        SELECT 'planted_repetitive', COUNT(*), COUNT(*)
+        FROM documents WHERE doc_id % 41 = 0
+    )
+    SELECT doc_class,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_flagged AS BIGINT) AS n_flagged
+    FROM c
+    """,
+)
+def llm_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-compression-ratio quality gate — the Dolma/RedPajama-style
+    boilerplate screen that catches pathological repetition the n-gram
+    repetition filter (llm_repetition_filter) measures lexically: a REAL
+    ``zlib.compress`` (level 6, Arrow-batched mapInPandas — the stdlib
+    codec IS the operator, like the multimodal tiers) runs over every
+    document plus a PLANTED repetitive twin per doc_id % 41 == 0 (its
+    first token repeated max(n_tokens, 64) times, id shifted by
+    PLANT_OFFSET — the same id-space contract the MinHash/SimHash plants
+    use, so scaled fixtures stay collision-free).
+
+    Invariant-gated oracle with MEASURED margins (the HLL-sweep
+    discipline): flagged = ratio < 0.25, and the fixture-wide gap is a
+    priori wide — natural docs bottom out at ratio 0.382 (min across
+    sf0.001/0.01/0.1; short docs go UP toward 1.0 because the zlib
+    header dominates) while repeated-token plants top out at 0.102
+    (>= 64 repeats forces the match-window regime), so the threshold
+    sits >= 1.5x from both populations and every planted doc flags while
+    no natural doc does — which is exactly what the oracle's closed-form
+    counts state. At 100 TB the compute is one Arrow batch pass where
+    the text lives; only (class, flag) pairs reach the 2-row aggregate."""
+    import zlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    planted = d.where(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_repeat(
+                F.element_at(toks, 1), F.greatest(F.size(toks), F.lit(64))
+            ),
+        ).alias("text"),
+        F.lit("planted_repetitive").alias("doc_class"),
+    )
+    staged = d.select(
+        "doc_id", "text", F.lit("natural").alias("doc_class")
+    ).unionByName(planted)
+
+    def ratios(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ppm = []
+            for t in pdf["text"]:
+                raw = (t or "").encode("utf-8")
+                if not raw:
+                    ppm.append(1_000_000)  # empty: incompressible by fiat
+                    continue
+                ppm.append(len(zlib.compress(raw, 6)) * 1_000_000 // len(raw))
+            yield pd.DataFrame(
+                {"doc_class": pdf["doc_class"], "ratio_ppm": ppm}
+            )
+
+    scored = staged.mapInPandas(ratios, schema="doc_class string, ratio_ppm long")
+    return scored.groupBy("doc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("ratio_ppm") < 250_000).cast("bigint"))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )

@@ -887,3 +887,25 @@ def test_bpe_apply_counts_match_trained_state_lookup(spark, sf_dir):
         got = per_doc[row.doc_id]
         assert got.n_subwords == expect, row.doc_id
         assert got.n_words <= got.n_subwords <= got.n_chars
+
+
+def test_compression_ratio_margins(spark, sf_dir):
+    """The 0.25 gate must keep >=1.4x margin to BOTH populations at the
+    test scale factor (the measured-margin discipline: a threshold that
+    merely passes today is one fixture refresh from flapping)."""
+    import zlib
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    nat_min, planted_max = 9.0, 0.0
+    for r in rows:
+        raw = (r.text or "").encode()
+        if not raw:
+            continue
+        nat_min = min(nat_min, len(zlib.compress(raw, 6)) / len(raw))
+        toks = r.text.split(" ")
+        rep = " ".join([toks[0]] * max(len(toks), 64)).encode()
+        planted_max = max(planted_max, len(zlib.compress(rep, 6)) / len(rep))
+    assert nat_min >= 0.25 * 1.4, f"natural min {nat_min:.3f} too close to gate"
+    assert planted_max <= 0.25 / 1.4, f"planted max {planted_max:.3f} too close"

@@ -219,6 +219,8 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                  # parse over mapInArrow
         "multimodal_npz_shards",                 # zip walk + NPY parse over
                                                  # mapInArrow
+        "llm_compression_ratio_filter",          # stdlib zlib codec in the
+                                                 # Arrow batch IS the operator
         "llm_bpe_train",                         # per-word merge rewrite is
                                                  # sequential by definition
         "llm_bpe_tokenize_corpus",               # + the corpus apply pass
