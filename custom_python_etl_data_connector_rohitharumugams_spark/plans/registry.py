@@ -65,9 +65,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # force-included found a tighter 28-name cover): 28 cover + 22 first-time
 # = 50 slots. The first-timers include the ENTIRE round-8 orphan backlog
 # (the VERDICT.md item-2 list) plus 8 of the 13 round-9 registrations;
-# the remaining 5 (agg_cms_heavy_hitters, connector_xml_landing,
-# multimodal_gif_decode, multimodal_mp4_samples, multimodal_wav_spectral)
-# defer to round 10 — re-run tools/window_optimizer.py at round-10 start.
+# the rest of the round-9 registrations (agg_cms_heavy_hitters,
+# connector_xml_landing, multimodal_gif_decode, multimodal_mp4_samples,
+# multimodal_wav_spectral, and everything registered after this second
+# freeze — npy/npz, histogram quantiles, skew profile, observed metrics,
+# compression gate, streamed CMS) defer to round 10 — re-run
+# tools/window_optimizer.py at round-10 start.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window
