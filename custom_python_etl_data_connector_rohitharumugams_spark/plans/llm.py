@@ -2464,3 +2464,36 @@ def llm_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_flagged"),
     )
+
+
+@query(
+    "multimodal_dhash_near_dup",
+    tags=("L5", "L2", "U3"),
+    oracle=f"""
+    SELECT doc_id AS a,
+           CAST(doc_id + 10000000 AS BIGINT) AS b
+    FROM documents
+    WHERE doc_id < 200 AND doc_id % 17 = 0
+    """,
+)
+def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE dedup (functions/imagehash.py): every corpus image
+    is canonicalized to a 9x8 exact-block-sum luminance grid whose 64
+    horizontal gradient-sign bits form the dHash key; duplicates at
+    DIFFERENT RESOLUTIONS collide on the key, so image dedup is one hash
+    equi-join — the shuffle shape of exact text dedup, robust to the
+    resize/re-encode a byte hash cannot see. Payloads are genuine 24-bit
+    BMPs through the shared containment parser; every doc_id % 17 == 0
+    gets a PLANTED 2x nearest-neighbor upscale twin, and the oracle's
+    closed-form pair list is a THEOREM: pixel-replication multiplies
+    every block sum by exactly 4, preserving all comparisons including
+    ties (imagehash module docstring), while the xorshift-mixed pixel
+    formula keeps the 200 natural images collision-free (0 measured;
+    pinned with the planted-recall gate in tests/test_imagehash.py)."""
+    from ..functions import imagehash as IH
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    hashed = IH.dhash_bmp(IH.synth_dhash_corpus(docs))
+    return IH.dhash_duplicate_pairs(hashed)

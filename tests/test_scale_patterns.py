@@ -221,6 +221,8 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                  # mapInArrow
         "llm_compression_ratio_filter",          # stdlib zlib codec in the
                                                  # Arrow batch IS the operator
+        "multimodal_dhash_near_dup",             # BMP parse + block-sum dHash
+                                                 # in the Arrow batch
         "llm_bpe_train",                         # per-word merge rewrite is
                                                  # sequential by definition
         "llm_bpe_tokenize_corpus",               # + the corpus apply pass
