@@ -117,7 +117,15 @@ def _parse_npy(raw: bytes, descr: str = "<f4", ndim: int = 2):
             return None
         order = "F" if header.get("fortran_order") else "C"
         return data.reshape(shape, order=order).astype(np.int64)
-    except (ValueError, SyntaxError, IndexError, struct.error, KeyError):
+    except (
+        ValueError,
+        SyntaxError,
+        IndexError,
+        struct.error,
+        KeyError,
+        TypeError,  # header literal is a non-dict, or shape holds non-ints
+        AttributeError,  # header literal parsed but is not a mapping
+    ):
         return None
 
 
@@ -226,6 +234,7 @@ def decode_npz(df: DataFrame) -> DataFrame:
     whose members disagree on row count yields no rows."""
     import io
     import zipfile
+    import zlib
 
     import numpy as np
     import pyarrow as pa
@@ -255,7 +264,10 @@ def decode_npz(df: DataFrame) -> DataFrame:
                             continue
                         ids = _parse_npy(z.read("ids.npy"), descr="<i8", ndim=1)
                         vecs = _parse_npy(z.read("vecs.npy"), descr="<f4", ndim=2)
-                except (zipfile.BadZipFile, OSError):
+                except (zipfile.BadZipFile, OSError, zlib.error):
+                    # zlib.error: central directory intact but a member's
+                    # deflate stream is corrupt — z.read() is the first
+                    # point that actually inflates the bytes
                     continue
                 if ids is None or vecs is None or len(ids) != vecs.shape[0]:
                     continue

@@ -32,6 +32,34 @@ def _bucket(key: Column, seed: int, width: int) -> Column:
     return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(width))
 
 
+def _cells(key: Column, depth: int, width: int) -> Column:
+    """The exploded (seed, bucket) cell address array for ``key`` — ONE
+    definition shared by build and probe, so the two sides can never
+    drift on cell addressing (a divergent copy would silently corrupt
+    every estimate while still passing the zero-floor check)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seed"),
+                    _bucket(key, i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
+def cms_eps_bound(n_total: int, width: int = DEFAULT_WIDTH) -> int:
+    """The paper's point-estimate bound: est - exact <= ceil(e·N/width)
+    per probe (w.p. 1 - e^-depth per seed set; deterministic here for
+    fixed data + seeds). ONE definition — the registered queries and the
+    headroom test must gate against the same number."""
+    import math
+
+    return int(math.e * n_total / width) + 1
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
@@ -41,20 +69,7 @@ def cms_build(
     """(seed, bucket, cnt) sparse cell grid over ``df[key_col]``. One
     explode to depth rows per input row, one groupBy — the map-side
     combine IS the partition merge."""
-    key = F.col(key_col)
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        _bucket(key, i, width).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
+    cells = df.select(_cells(F.col(key_col), depth, width).alias("c"))
     return (
         cells.groupBy(F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -82,20 +97,8 @@ def cms_estimate(
     a probe key that was never inserted can hit an empty (absent) cell —
     coalesce to 0 keeps the no-underestimate theorem for inserted keys
     and the correct 0-floor for absent ones."""
-    key = F.col(key_col)
     probed = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        _bucket(key, i, width).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("c"),
+        "*", _cells(F.col(key_col), depth, width).alias("c")
     ).select("*", F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))
     joined = probed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
     group_cols = [c for c in probes.columns]

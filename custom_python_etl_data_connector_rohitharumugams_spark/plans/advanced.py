@@ -911,8 +911,8 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_custkey and exact_cnt are exact-match columns (top-5 by exact count,
     custkey tie-break)."""
     from ..operators.sketches import (
-        DEFAULT_WIDTH,
         cms_build,
+        cms_eps_bound,
         cms_estimate,
         cms_merge,
     )
@@ -925,7 +925,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimate(sketch, top5, "o_custkey")
 
     n_total = orders.count()
-    eps_bound = int(2.718281828 * n_total / DEFAULT_WIDTH) + 1
+    eps_bound = cms_eps_bound(n_total)
 
     # linearity: two disjoint halves merge to the exact direct grid
     even = cms_build(orders.where(F.col("o_custkey") % 2 == 0), "o_custkey")

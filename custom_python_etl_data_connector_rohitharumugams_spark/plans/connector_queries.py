@@ -496,6 +496,44 @@ def connector_xml_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_rows):
+    """Skip-if-built landing fixture under a resolved-path-keyed temp dir
+    — ONE copy of the subtle bits (count-checked staleness, tmp dir with
+    pid suffix, atomic rename, lose-the-race cleanup) shared by every
+    binaryFile landing tier. ``synth_rows()`` is called only on a build
+    and must yield (doc_id, payload_bytes) pairs. Returns the dir path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    resolved = str(Path(sf_dir.rstrip("/")).resolve())
+    tag = (
+        Path(resolved).name.replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
+    out = f"{tempfile.gettempdir()}/{prefix}_{tag}"
+    if os.path.isdir(out) and len(os.listdir(out)) == n_expected:
+        return out
+    # fixture setup (not the measured scan). Written into a temp dir and
+    # atomically renamed: checking only "dir non-empty" would let a
+    # partial write (crash / concurrent session mid-loop) permanently
+    # serve a short fixture
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for doc_id, payload in synth_rows():
+        with open(f"{tmp}/doc_{doc_id:05d}.{ext}", "wb") as f:
+            f.write(payload)
+    if os.path.isdir(out):  # stale partial from an earlier crash
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost the race to a concurrent session: theirs
+        shutil.rmtree(tmp, ignore_errors=True)  # is complete, drop ours
+    return out
+
+
 @query(
     "connector_binaryfile_media_landing",
     tags=("S6", "L5", "U3"),
@@ -534,42 +572,18 @@ def connector_binaryfile_media_landing(spark: SparkSession, sf_dir: str) -> Data
     file's bytes as ONE row — at 100 TB the per-file granularity is the
     parallelism unit (small-file compaction, not splitting, is the
     lever there)."""
-    import hashlib
-    import os
-    import tempfile
-
     from ..functions import multimodal as M
 
-    resolved = str(Path(sf_dir.rstrip("/")).resolve())
-    tag = (
-        Path(resolved).name.replace(".", "_")
-        + "_"
-        + hashlib.md5(resolved.encode()).hexdigest()[:8]
-    )
-    out = f"{tempfile.gettempdir()}/sg_gifland_{tag}"
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 40
     )
-    n_expected = docs.count()
-    if not os.path.isdir(out) or len(os.listdir(out)) != n_expected:
-        # fixture setup (not the measured scan): tiny files via one
-        # collect of the synth frame — the landing SCAN below is the op.
-        # Written into a temp dir and atomically renamed: checking only
-        # "dir non-empty" would let a partial write (crash / concurrent
-        # session mid-loop) permanently serve a short fixture
-        import shutil
-
-        tmp = f"{out}.tmp.{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
-        for r in M.synth_gif(docs).collect():
-            with open(f"{tmp}/doc_{r.doc_id:05d}.gif", "wb") as f:
-                f.write(bytes(r.data))
-        if os.path.isdir(out):  # stale partial from an earlier crash
-            shutil.rmtree(out, ignore_errors=True)
-        try:
-            os.rename(tmp, out)
-        except OSError:  # lost the race to a concurrent session: theirs
-            shutil.rmtree(tmp, ignore_errors=True)  # is complete, drop ours
+    out = _materialize_landing_dir(
+        sf_dir,
+        "sg_gifland",
+        "gif",
+        docs.count(),
+        lambda: ((r.doc_id, bytes(r.data)) for r in M.synth_gif(docs).collect()),
+    )
     raw = spark.read.format("binaryFile").load(f"{out}/*.gif")
     payload = raw.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.gif$", 1)
@@ -616,37 +630,18 @@ def connector_npy_embedding_landing(spark: SparkSession, sf_dir: str) -> DataFra
     Same small-file posture as the GIF landing: one file per shard is
     the parallelism unit; compaction, not splitting, is the 100 TB
     lever."""
-    import hashlib
-    import os
-    import tempfile
-
     from ..functions import npy as N
 
-    resolved = str(Path(sf_dir.rstrip("/")).resolve())
-    tag = (
-        Path(resolved).name.replace(".", "_")
-        + "_"
-        + hashlib.md5(resolved.encode()).hexdigest()[:8]
-    )
-    out = f"{tempfile.gettempdir()}/sg_npyland_{tag}"
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 60
     )
-    n_expected = docs.count()
-    if not os.path.isdir(out) or len(os.listdir(out)) != n_expected:
-        import shutil
-
-        tmp = f"{out}.tmp.{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
-        for r in N.synth_npy(docs).collect():
-            with open(f"{tmp}/doc_{r.doc_id:05d}.npy", "wb") as f:
-                f.write(bytes(r.data))
-        if os.path.isdir(out):  # stale partial from an earlier crash
-            shutil.rmtree(out, ignore_errors=True)
-        try:
-            os.rename(tmp, out)
-        except OSError:  # lost the race to a concurrent session
-            shutil.rmtree(tmp, ignore_errors=True)
+    out = _materialize_landing_dir(
+        sf_dir,
+        "sg_npyland",
+        "npy",
+        docs.count(),
+        lambda: ((r.doc_id, bytes(r.data)) for r in N.synth_npy(docs).collect()),
+    )
     raw = spark.read.format("binaryFile").load(f"{out}/*.npy")
     payload = raw.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.npy$", 1)

@@ -2428,13 +2428,17 @@ def llm_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
+    # the repeated token falls back to 'x' for NULL/empty text, so a
+    # degenerate fixture row still yields a genuinely repetitive plant and
+    # the oracle's n_flagged == n_docs claim cannot silently break
+    rep_tok = F.when(
+        F.length(F.coalesce(F.element_at(toks, 1), F.lit(""))) == 0, F.lit("x")
+    ).otherwise(F.element_at(toks, 1))
     planted = d.where(F.col("doc_id") % 41 == 0).select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         F.concat_ws(
             " ",
-            F.array_repeat(
-                F.element_at(toks, 1), F.greatest(F.size(toks), F.lit(64))
-            ),
+            F.array_repeat(rep_tok, F.greatest(F.size(toks), F.lit(64))),
         ).alias("text"),
         F.lit("planted_repetitive").alias("doc_class"),
     )
@@ -2466,14 +2470,18 @@ def llm_compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions.imagehash import IH_PLANT_OFFSET as _IH_PLANT_OFFSET
+from ..functions.imagehash import IH_TWIN_MOD as _IH_TWIN_MOD
+
+
 @query(
     "multimodal_dhash_near_dup",
     tags=("L5", "L2", "U3"),
     oracle=f"""
     SELECT doc_id AS a,
-           CAST(doc_id + 10000000 AS BIGINT) AS b
+           CAST(doc_id + {_IH_PLANT_OFFSET} AS BIGINT) AS b
     FROM documents
-    WHERE doc_id < 200 AND doc_id % 17 = 0
+    WHERE doc_id < 200 AND doc_id % {_IH_TWIN_MOD} = 0
     """,
 )
 def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -868,7 +868,7 @@ def stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.sketches import DEFAULT_WIDTH, cms_build, cms_estimate
+    from ..operators.sketches import cms_build, cms_eps_bound, cms_estimate
     from ..streaming.replay import events_stream, split_events_for_replay
 
     replay_dir = split_events_for_replay(
@@ -876,7 +876,15 @@ def stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"{tempfile.gettempdir()}/sg_cms_{os.path.basename(sf_dir.rstrip('/'))}_replay",
     )
-    log_dir = tempfile.mkdtemp(prefix="sg_cms_log_")
+    # deterministic per-sf log dir, cleared at invocation start: the log
+    # must outlive this function (the returned plan reads it lazily), so
+    # a fresh mkdtemp per run would leak one grid dir per bench/driver
+    # execution — bounding it to one dir per scale factor instead
+    log_dir = (
+        f"{tempfile.gettempdir()}/sg_cms_log_"
+        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    shutil.rmtree(log_dir, ignore_errors=True)
     cp = tempfile.mkdtemp(prefix="sg_cms_cp_")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -917,7 +925,7 @@ def stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_total = events.count()
-    eps_bound = int(2.718281828 * n_total / DEFAULT_WIDTH) + 1
+    eps_bound = cms_eps_bound(n_total)
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top5 = counts.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(5)
     est = cms_estimate(streamed, top5, "user_id")

@@ -114,3 +114,65 @@ def test_npz_roundtrip_and_containment(spark):
         want = sum(N._npz_val(5, j, c) for c in range(N.NPY_COLS))
         want_w = sum((c + 1) * N._npz_val(5, j, c) for c in range(N.NPY_COLS))
         assert got[(5, 500 + j)] == (want, want_w)
+
+
+def test_hostile_header_shapes_contained():
+    """Review regression: magic-valid payloads whose header literal is a
+    list, whose shape is a scalar, or whose shape holds non-ints must
+    parse to None (they used to raise AttributeError/TypeError out of
+    the containment net and kill the Arrow task)."""
+
+    def v1(header: str) -> bytes:
+        h = header.encode("ascii")
+        pad = (64 - (10 + len(h) + 1) % 64) % 64
+        h = h + b" " * pad + b"\n"
+        return N.NPY_MAGIC + bytes([1, 0]) + struct.pack("<H", len(h)) + h
+
+    assert N._parse_npy(v1("[1, 2]")) is None
+    assert N._parse_npy(v1("{'descr': '<f4', 'fortran_order': False, 'shape': 5}")) is None
+    assert (
+        N._parse_npy(v1("{'descr': '<f4', 'fortran_order': False, 'shape': ('a', 2)}"))
+        is None
+    )
+
+
+def test_corrupt_deflate_member_contained(spark):
+    """Review regression: a zip whose central directory is intact but
+    whose member's DEFLATE stream is corrupt raises zlib.error at
+    z.read() — decode_npz must contain it (no row), not die. numpy's
+    savez writes STORED members, so the deflated archive (the shape
+    real shard stores produce with compression on) is built explicitly."""
+    import zipfile
+
+    good = bytes(
+        N.synth_npz(spark.createDataFrame([(4,)], "doc_id long")).collect()[0].data
+    )
+    deflated = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(good)) as src, zipfile.ZipFile(
+        deflated, "w", compression=zipfile.ZIP_DEFLATED
+    ) as dst:
+        for name in ("ids.npy", "vecs.npy"):
+            dst.writestr(name, src.read(name))
+    buf = bytearray(deflated.getvalue())
+    with zipfile.ZipFile(io.BytesIO(bytes(buf))) as z:
+        info = z.getinfo("vecs.npy")
+        assert info.compress_type == zipfile.ZIP_DEFLATED
+    # walk the LOCAL header to the compressed data start (name len at
+    # offset 26, extra len at 28), then scramble the deflate stream
+    name_len, extra_len = struct.unpack_from("<HH", buf, info.header_offset + 26)
+    start = info.header_offset + 30 + name_len + extra_len
+    for i in range(start, start + min(12, info.compress_size)):
+        buf[i] ^= 0xFF
+    # sanity: the corruption really does raise zlib.error outside Spark
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    with zipfile.ZipFile(io.BytesIO(bytes(buf))) as z:
+        with _pytest.raises((_zlib.error, zipfile.BadZipFile)):
+            z.read("vecs.npy")
+    rows = [(4, bytes(buf)), (5, bytes(deflated.getvalue()))]
+    out = N.decode_npz(
+        spark.createDataFrame(rows, "shard_id long, data binary")
+    ).collect()
+    assert {r.shard_id for r in out} == {5}

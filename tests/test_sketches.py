@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_rohitharumugams_spark.operators.sketches import (
     cms_build,
+    cms_eps_bound,
     cms_estimate,
     cms_merge,
 )
@@ -60,17 +61,13 @@ def test_eps_bound_headroom_on_orders(spark, sf_dir):
     """The registered query's cms_within_eps bound must hold with real
     headroom (>=2x) at the driver's scale factor, not just barely."""
     from custom_python_etl_data_connector_rohitharumugams_spark.catalog import load_table
-    from custom_python_etl_data_connector_rohitharumugams_spark.operators.sketches import (
-        DEFAULT_WIDTH,
-    )
-
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     n = orders.count()
     sketch = cms_build(orders, "o_custkey")
     counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact"))
     top = counts.orderBy(F.desc("exact"), F.asc("o_custkey")).limit(20)
     out = cms_estimate(sketch, top, "o_custkey").collect()
-    bound = int(2.718281828 * n / DEFAULT_WIDTH) + 1
+    bound = cms_eps_bound(n)
     worst = max(r["est"] - r["exact"] for r in out)
     assert worst * 2 <= bound, f"worst excess {worst} vs bound {bound}"
 
