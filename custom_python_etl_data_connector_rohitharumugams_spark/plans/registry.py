@@ -58,19 +58,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # set cover (DFS) over the tags the first-time cohort does not carry,
 # then a drop loop ejecting first-timers until 50 slots fit.
 #
-# Round-9 window (recomposed a second time mid-round: round 9 added new
-# queries — Bloom prefilter, CMS sketch, FFT spectral tier, XML/binaryFile
-# landings, BPE train/tokenize, the Python streaming sink — after the
-# first freeze, and the optimizer run WITH the original 14-orphan backlog
-# force-included found a tighter 28-name cover): 28 cover + 22 first-time
-# = 50 slots. The first-timers include the ENTIRE round-8 orphan backlog
-# (the VERDICT.md item-2 list) plus 8 of the 13 round-9 registrations;
-# the rest of the round-9 registrations (agg_cms_heavy_hitters,
-# connector_xml_landing, multimodal_gif_decode, multimodal_mp4_samples,
-# multimodal_wav_spectral, and everything registered after this second
-# freeze — npy/npz, histogram quantiles, skew profile, observed metrics,
-# compression gate, streamed CMS) defer to round 10 — re-run
-# tools/window_optimizer.py at round-10 start.
+# Round-10 window (recomposed at round-10 start against the nine
+# committed CORRECTNESS files): 32 cover + 13 first-time = 45 slots,
+# where the first-timers are the COMPLETE round-9 post-freeze orphan
+# backlog (the VERDICT round-9 item-2 list) — the first window with zero
+# deferred queries. The 5 free slots absorb round-10 registrations; the
+# optimizer is re-run before round end so new queries enter the window
+# rather than orphaning.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window
@@ -79,23 +73,27 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (tests/test_oracle_parity.py runs all of them under the driver's
 # compare).
 _PRIORITY: tuple[str, ...] = (
+    "agg_hll_partition_merge",  # cover: A3 A1 F2
     "agg_rollup_pricing",  # cover: A4
+    "analytics_daily_order_gapfill",  # cover: F5 F2 J2 F4
     "asof_next_purchase_within_2d",  # cover: J7 F2
     "connector_incremental_sync",  # cover: S1 S2 S3 S4 S7
     "connector_key_sanitization_report",  # cover: P3
+    "connector_shardsink_manifest",  # cover: S7b F8
     "dq_constraint_report",  # cover: P4 A5 F4 A2
     "join_range_price_bands",  # cover: J5 A1
-    "llm_boilerplate_ngrams",  # cover: L12 L14 F5
+    "llm_bm25_search",  # cover: L3 L4 F5 A1 O2
     "llm_chunk_documents",  # cover: L6 F5
     "llm_corpus_build_e2e",  # cover: L1 L9 L12 L13 L10
     "llm_cosine_topk",  # cover: L3 J8 W4 F5
+    "llm_embedding_decontamination",  # cover: L9 L3 J3 A5
     "llm_neardup_degree_histogram",  # cover: L2 L11 A1 F5
     "llm_pii_scrub",  # cover: L8 F1
     "llm_sequence_packing",  # cover: L7 W3
     "pricing_summary",  # cover: S5 P1 P2 A1 O1
+    "scalar_map_event_totals",  # cover: F6 F7
     "setop_except_lapsed_customers",  # cover: O4
-    "sql_approx_topk_brands",  # cover: A3 O2
-    "sql_unpivot_customer_metrics",  # cover: F6 O3
+    "sql_waiting_suppliers",  # cover: J4 J1 A1 F2 O2
     "sql_window_distribution",  # cover: W1
     "stream_checkpoint_recovery",  # cover: T4 T1 S8 S9
     "stream_dedup_user_event_types",  # cover: T5 O5
@@ -103,32 +101,23 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_windows",  # cover: T3 W2
     "stream_sliding_event_volume",  # cover: T2
     "stream_static_join_enrichment",  # cover: T7 J1
-    "stream_stream_interval_join",  # cover: T8 J6
+    "stream_stream_left_outer_interval_join",  # cover: T8 J6 F4
     "udaf_weighted_avg_price",  # cover: A7 U2
     "udf_scalar_name_clean",  # cover: U1
     "udtf_fixed_width_parse",  # cover: U4 P5
-    "agg_approx_percentiles",  # first-time: A6
-    "connector_binaryfile_media_landing",  # first-time: S6 L5 U3
-    "dedup_exact_status_pairs",  # first-time: O5
-    "dq_distribution_drift",  # first-time: A1 F3 J2
-    "llm_ann_frozen_add_topk",  # first-time: L3 U2
-    "llm_ann_ivf_pq_hifi_topk",  # first-time: L3
-    "llm_ann_ivf_pq_opq_topk",  # first-time: L3 U2
-    "llm_ann_ivf_pq_topk",  # first-time: L3
-    "llm_bloom_benchmark_overlap",  # first-time: L9 J4 F8
-    "llm_bpe_tokenize_corpus",  # first-time: L4 U3 A1
-    "llm_bpe_train",  # first-time: L4 A1 W3
-    "llm_embedding_decontamination_pruned",  # first-time: L9 L3 U2
-    "llm_frozen_index_drift_trigger",  # first-time: L3 A1 F3
-    "llm_ivf_train_kmeans",  # first-time: L3
-    "llm_winnowing_near_dup",  # first-time: L2 W3
-    "multimodal_bmp_resize",  # first-time: L5 U3
-    "scalar_conditional_customer_report",  # first-time: F4
-    "scalar_date_order_report",  # first-time: F2
-    "scalar_id_generation",  # first-time: F8
-    "scalar_variant_event_payloads",  # first-time: F7
-    "stream_python_sink_exactly_once",  # first-time: S9 S7b
-    "udf_grouped_zscore_stats_join",  # first-time: U3 U2 J3
+    "agg_cms_heavy_hitters",  # first-time: A1 F8 O2
+    "agg_histogram_quantiles",  # first-time: A6 A1 W3
+    "connector_npy_embedding_landing",  # first-time: S6 L5 U3
+    "connector_xml_landing",  # first-time: S6 P5
+    "dq_join_skew_profile",  # first-time: A1 A6 O3
+    "dq_observed_pipeline_metrics",  # first-time: P2 A1 F3
+    "llm_compression_ratio_filter",  # first-time: L12 L14 U3
+    "multimodal_dhash_near_dup",  # first-time: L5 L2 U3
+    "multimodal_gif_decode",  # first-time: L5 U3
+    "multimodal_mp4_samples",  # first-time: L5 U3
+    "multimodal_npz_shards",  # first-time: L5 U3
+    "multimodal_wav_spectral",  # first-time: L5 U3
+    "stream_cms_maintenance",  # first-time: S8 S9 A1 F8
 )
 
 def priority_names() -> tuple[str, ...]:

