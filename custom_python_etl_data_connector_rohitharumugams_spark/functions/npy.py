@@ -223,6 +223,12 @@ def synth_npz(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 NPZ_DECODED_DDL = "shard_id long, vec_id long, value_sum long, weighted_sum long"
 
+# Ceiling on a single NPZ member's DECLARED (uncompressed) size, checked
+# against ZipInfo.file_size before any inflate call. Fixture members are
+# a few KB; real embedding shards are partition-sized, so 64 MiB bounds
+# the per-row decode well under an Arrow batch's memory envelope.
+_MAX_NPZ_MEMBER_BYTES = 64 << 20
+
 
 def decode_npz(df: DataFrame) -> DataFrame:
     """REAL ``.npz`` container walk over ``mapInArrow``: stdlib
@@ -259,8 +265,18 @@ def decode_npz(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     with zipfile.ZipFile(io.BytesIO(payloads[i].as_py())) as z:
-                        names = set(z.namelist())
-                        if not {"ids.npy", "vecs.npy"} <= names:
+                        infos = {zi.filename: zi for zi in z.infolist()}
+                        if not {"ids.npy", "vecs.npy"} <= set(infos):
+                            continue
+                        # declared-size bound BEFORE inflating: a hostile
+                        # central directory advertising a huge member (a
+                        # zip bomb) must take the contained no-row path,
+                        # not an executor OOM — same discipline as
+                        # _parse_bmp_header's len(raw) bound.
+                        if any(
+                            infos[n].file_size > _MAX_NPZ_MEMBER_BYTES
+                            for n in ("ids.npy", "vecs.npy")
+                        ):
                             continue
                         ids = _parse_npy(z.read("ids.npy"), descr="<i8", ndim=1)
                         vecs = _parse_npy(z.read("vecs.npy"), descr="<f4", ndim=2)

@@ -96,7 +96,16 @@ def cms_estimate(
     probe key. The sketch side is ≤ depth·width rows, so it broadcasts;
     a probe key that was never inserted can hit an empty (absent) cell —
     coalesce to 0 keeps the no-underestimate theorem for inserted keys
-    and the correct 0-floor for absent ones."""
+    and the correct 0-floor for absent ones.
+
+    Probe-frame contract (the min is re-grouped on ALL probe columns):
+    - probe rows must be DISTINCT — duplicate rows collapse to one
+      output row (the groupBy cannot tell them apart);
+    - ``seed``/``bucket``/``cnt``/``est`` are reserved names — a probe
+      frame already carrying one would collide with the join columns.
+    Current callers (heavy-hitter top-k, streaming maintenance) pass
+    distinct key frames; widen by pre-renaming probe columns if a raw
+    event frame must ever be probed directly."""
     probed = probes.select(
         "*", _cells(F.col(key_col), depth, width).alias("c")
     ).select("*", F.col("c.seed").alias("seed"), F.col("c.bucket").alias("bucket"))

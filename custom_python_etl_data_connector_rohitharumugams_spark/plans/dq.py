@@ -422,9 +422,9 @@ def dq_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND l_quantity < 25
                          THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS revenue_cents_out,
-           CAST(FLOOR(SUM(CASE WHEN l_shipdate >= DATE '1995-01-01'
-                                AND l_quantity < 25 THEN 1 ELSE 0 END)
-                      * 1000000 / COUNT(*)) AS BIGINT) AS selectivity_ppm
+           CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-01-01'
+                          AND l_quantity < 25 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS selectivity_ppm
     FROM lineitem
     """,
 )
@@ -458,10 +458,14 @@ def dq_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out.write.mode("overwrite").format("noop").save()  # ONE pass, metrics ride it
-    rows_in = int(obs_in.get["rows_in"])
-    rows_out = int(obs_out.get["rows_out"])
-    cents = int(obs_out.get["revenue_cents_out"])
+    # SUM over zero matched rows observes as None, and an empty input
+    # would zero the ppm denominator — both must degrade to a contained
+    # 0-row report, not a driver-side TypeError/ZeroDivisionError.
+    rows_in = int(obs_in.get["rows_in"] or 0)
+    rows_out = int(obs_out.get["rows_out"] or 0)
+    cents = int(obs_out.get["revenue_cents_out"] or 0)
+    ppm = rows_out * 1_000_000 // rows_in if rows_in else 0
     return spark.createDataFrame(
-        [(rows_in, rows_out, cents, rows_out * 1_000_000 // rows_in)],
+        [(rows_in, rows_out, cents, ppm)],
         "rows_in long, rows_out long, revenue_cents_out long, selectivity_ppm long",
     )

@@ -176,3 +176,29 @@ def test_corrupt_deflate_member_contained(spark):
         spark.createDataFrame(rows, "shard_id long, data binary")
     ).collect()
     assert {r.shard_id for r in out} == {5}
+
+
+def test_zip_bomb_member_contained(spark):
+    """Advice regression: a zip member whose DECLARED uncompressed size
+    exceeds _MAX_NPZ_MEMBER_BYTES must take the contained no-row path
+    BEFORE any inflate call — a deflated run of zeros advertises 64 MiB+
+    from a few-KB payload, the classic bomb shape that used to fail only
+    via executor OOM."""
+    import zipfile
+
+    good = bytes(
+        N.synth_npz(spark.createDataFrame([(7,)], "doc_id long")).collect()[0].data
+    )
+    bomb = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(good)) as src, zipfile.ZipFile(
+        bomb, "w", compression=zipfile.ZIP_DEFLATED
+    ) as dst:
+        dst.writestr("ids.npy", src.read("ids.npy"))
+        dst.writestr("vecs.npy", b"\x00" * (N._MAX_NPZ_MEMBER_BYTES + 1))
+    payload = bomb.getvalue()
+    assert len(payload) < 1 << 20  # the bomb itself is tiny on the wire
+    rows = [(7, good), (8, payload)]
+    out = N.decode_npz(
+        spark.createDataFrame(rows, "shard_id long, data binary")
+    ).collect()
+    assert {r.shard_id for r in out} == {7}
