@@ -9,11 +9,17 @@ learn the merge table FROM the corpus. Scale shape, stated precisely:
   that touches only DISTINCT WORDS — Zipf puts the vocabulary orders of
   magnitude below corpus size, which is exactly why the word-count
   formulation (not a per-token stream) is the distributed one.
-- Per round: adjacent-pair counting is the module house-rule ROW FORM
-  (posexplode + lead + one pair-keyed groupBy, whole-stage codegen'd);
-  the argmax pair is a 1-row driver artifact — the merge TABLE is the
-  model, driver-resident by the same contract as kmeans centers
+- The merge LOOP finishes driver-side by default (strategy="auto" in
+  :func:`bpe_train`): the vocabulary-sized table collects once and the
+  rounds run on an incremental pair index — a CONSTANT number of Spark
+  actions regardless of merge count, vs one action per merge for the
+  distributed per-round escape hatch (``_bpe_train_rounds``, kept for a
+  vocabulary that exceeds driver memory). The merge TABLE is the model,
+  driver-resident by the same contract as kmeans centers
   (operators/similarity.kmeans_train).
+- Rounds path, per round: adjacent-pair counting is the module house-rule
+  ROW FORM (posexplode + lead + one pair-keyed groupBy, whole-stage
+  codegen'd); the argmax pair is a 1-row driver artifact.
 - The merge application is one narrow Arrow pass over the word table
   (mapInPandas): the non-overlapping left-to-right pair rewrite is
   sequential PER WORD by definition, so the Python node IS the operator —
@@ -100,8 +106,96 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     return words.mapInPandas(run, schema="word string, cnt long, syms array<string>")
 
 
+def _train_local(
+    wc: list[tuple[str, int]], n_merges: int, min_pair_freq: int
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, int, list[str]]], list[int]]:
+    """Exact sequential BPE on a collected word-count table — the
+    driver-side finish of training. Identical semantics to the
+    distributed rounds (same tie-break freq DESC / left ASC / right ASC,
+    same frequency floor, same per-merge pair totals), but the per-round
+    cost is INCREMENTAL: a pair -> containing-words inverted index
+    touches only the words the applied merge rewrites (SentencePiece /
+    HF-tokenizers shape), and the argmax is a lazy max-heap — every
+    count change pushes a corrected entry, stale entries discard on pop.
+    Total work across all rounds is O(sum of rewritten-word lengths +
+    heap churn log |pairs|), independent of corpus size and, unlike the
+    per-round-action form, free of any per-round scheduling latency —
+    a 32k-merge production vocabulary is 32k heap pops, not 32k Spark
+    jobs."""
+    import heapq
+    from collections import defaultdict
+
+    words: list[tuple[list[str], int]] = [(list(w), c) for w, c in wc]
+    pc: dict[tuple[str, str], int] = defaultdict(int)
+    pw: dict[tuple[str, str], set[int]] = defaultdict(set)
+    total = 0
+    for idx, (syms, c) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += c
+            pw[(a, b)].add(idx)
+        total += (len(syms) - 1) * c
+    heap = [(-f, p[0], p[1]) for p, f in pc.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    pair_totals: list[int] = []
+    while len(merges) < n_merges and pc:
+        # lazy argmax: discard entries whose stored freq is stale (an
+        # exact entry for the current count was pushed at update time)
+        left = right = None
+        while heap:
+            nf, a, b = heapq.heappop(heap)
+            if pc.get((a, b), 0) == -nf:
+                left, right, freq = a, b, -nf
+                break
+        if left is None:
+            break
+        if freq < min_pair_freq:
+            break
+        pair_totals.append(total)
+        merges.append((left, right, freq))
+        merged_sym = left + right
+        for idx in sorted(pw[(left, right)]):
+            syms, c = words[idx]
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] -= c
+                pw[(x, y)].discard(idx)
+                if pc[(x, y)] <= 0:
+                    del pc[(x, y)]
+                else:
+                    heapq.heappush(heap, (-pc[(x, y)], x, y))
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged_sym)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[idx] = (res, c)
+            for x, y in zip(res, res[1:]):
+                pc[(x, y)] += c
+                pw[(x, y)].add(idx)
+                heapq.heappush(heap, (-pc[(x, y)], x, y))
+            total += (len(res) - len(syms)) * c
+    pair_totals.append(total if pc else 0)
+    return merges, [(w, c, s) for (s, c), (w, _c) in zip(words, wc)], pair_totals
+
+
+#: vocab-size ceiling for the driver-side finish under strategy="auto":
+#: 5M distinct words x ~100 B/row ~= 500 MB driver heap, the same order
+#: as a broadcast-join ceiling. Above it, training falls back to the
+#: distributed per-round form.
+MAX_DRIVER_WORDS = 5_000_000
+
+
 def bpe_train(
-    words: DataFrame, n_merges: int, min_pair_freq: int = MIN_PAIR_FREQ
+    words: DataFrame,
+    n_merges: int,
+    min_pair_freq: int = MIN_PAIR_FREQ,
+    strategy: str = "auto",
+    max_driver_words: int = MAX_DRIVER_WORDS,
 ) -> tuple[list[tuple[str, str, int]], DataFrame, list[int]]:
     """Learn up to ``n_merges`` BPE merges from a ``(word, cnt)`` table.
 
@@ -121,11 +215,48 @@ def bpe_train(
     at least one occurrence). Stops early when no pair reaches
     ``min_pair_freq``.
 
-    One action per round: the argmax pair (min of struct(-freq, sym,
-    nxt) — same tie-break as the sort form, no per-round sort job) and
-    the pair total ride ONE aggregate, which also materializes the
-    round's persisted state (the previous round unpersists only after
-    its successor is cached)."""
+    Cost model (``strategy``): the merge loop's state is the DISTINCT
+    WORD table — Zipf-bounded, orders of magnitude below corpus size —
+    so by default (``"auto"``) training counts it and, when it fits
+    (``max_driver_words``), COLLECTS it and finishes driver-side
+    (:func:`_train_local`): a CONSTANT number of Spark actions (one
+    count + one collect) regardless of ``n_merges``, with incremental
+    pair-index rounds — vs one action PER merge for the distributed
+    form, whose scheduling latency dominates at production vocabularies
+    (32k merges = 32k sequential driver round-trips). The collected
+    table is a bounded driver-side model input by the same contract as
+    kmeans centers (operators/similarity.kmeans_train). ``"driver"``
+    skips the count; ``"rounds"`` forces the distributed per-round form
+    (:func:`_bpe_train_rounds`), the escape hatch for a vocabulary that
+    genuinely exceeds driver memory. Both paths produce the identical
+    merge table, final state, and pair totals (pytest-pinned; note the
+    driver path splits words by Python code point while the rounds path
+    splits by Spark's UTF-16 — identical on BMP text, which the
+    whitespace word fixtures are)."""
+    if strategy == "rounds":
+        return _bpe_train_rounds(words, n_merges, min_pair_freq)
+    if strategy == "auto" and words.count() > max_driver_words:
+        return _bpe_train_rounds(words, n_merges, min_pair_freq)
+    wc = [(r["word"], int(r["cnt"])) for r in words.select("word", "cnt").collect()]
+    wc.sort()  # deterministic state order across partitionings
+    merges, final_rows, totals = _train_local(wc, n_merges, min_pair_freq)
+    state = words.sparkSession.createDataFrame(
+        final_rows, "word string, cnt long, syms array<string>"
+    )
+    return merges, state, totals
+
+
+def _bpe_train_rounds(
+    words: DataFrame, n_merges: int, min_pair_freq: int = MIN_PAIR_FREQ
+) -> tuple[list[tuple[str, str, int]], DataFrame, list[int]]:
+    """Distributed per-round BPE training — one Spark action per merge:
+    the argmax pair (min of struct(-freq, sym, nxt) — same tie-break as
+    the sort form, no per-round sort job) and the pair total ride ONE
+    aggregate, which also materializes the round's persisted state (the
+    previous round unpersists only after its successor is cached). Used
+    when the distinct-word table exceeds the driver-side ceiling — the
+    per-round action cost is the price of never holding the vocabulary
+    in one process."""
     # the state table is vocabulary-sized (Zipf: ~10-100k rows even at
     # corpus scale measured in TB), so a handful of partitions beats the
     # corpus-sized default: per-partition task overhead x rounds is the

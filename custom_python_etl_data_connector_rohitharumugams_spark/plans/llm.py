@@ -473,16 +473,23 @@ def ngram_jaccard_pairs_df(spark: SparkSession, d: DataFrame) -> DataFrame:
     union formula, or pair condition — the consumers and their oracles
     (NGRAM_JACCARD_SQL, embedded verbatim downstream) stay in lockstep.
 
-    Deliberately NOT materialized: the self-join's two sides re-derive the
-    postings pipeline (alias-renamed copies defeat ReuseExchange — 11
-    exchanges audited), but a localCheckpoint of the EXPLODED postings
+    Deliberately NOT materialized, because AQE already folds the
+    self-join at runtime: the two sides' postings subtrees canonicalize
+    identically, so adaptive execution materializes the (source, shingle)
+    shuffle ONCE and the second SortMergeJoin side reads it as a
+    ReusedExchange — verified on the executed final plan at sf0.1 (one
+    live postings pipeline + ReusedExchange; PLAN_AUDIT audits executed
+    plans for exactly this reason — the pre-adaptive plan prints both
+    sides and overcounts). A localCheckpoint of the EXPLODED postings
     (~100 shingle rows per doc, larger than the corpus itself) measured
-    2.9 s vs 1.6 s recomputed at sf0.1 — writing+rereading the explosion
-    costs more than the second pipelined scan, and the same holds at
-    100 TB unless the postings are a persisted index. The persisted-index
-    form lives in llm_incremental_dedup_admission, where one side is the
-    index by definition and materializing measured FASTER (13 -> 5
-    exchanges)."""
+    2.9 s vs 1.6 s for the reused form at sf0.1 — writing+rereading the
+    explosion costs more than reading the materialized shuffle twice,
+    and the same holds at 100 TB unless the postings are a persisted
+    index. The persisted-index form lives in
+    llm_incremental_dedup_admission, where one side is the index by
+    definition (and a FILTER of the other side, so the subtrees are not
+    canonically equal and runtime reuse cannot fire — materializing
+    measured FASTER there, 13 -> 5 exchanges)."""
     sized = sized_cold_postings(spark, d)
     return jaccard_intersections(
         sized, sized, F.col("a.doc_id") < F.col("b.doc_id")
@@ -2276,9 +2283,11 @@ def llm_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle guard).
 
     Scale shape: rides the shared DF-capped postings front end
-    (sized_cold_postings — identical plan to llm_ngram_jaccard_pairs);
-    endpoint expansion is one explode of the 2-element pair array (the
-    pair subtree is evaluated ONCE — a union of two projections would
+    (sized_cold_postings — identical plan to llm_ngram_jaccard_pairs,
+    whose self-join AQE folds to one materialized postings shuffle +
+    ReusedExchange at runtime; see ngram_jaccard_pairs_df); endpoint
+    expansion is one explode of the 2-element pair array (the pair
+    subtree is evaluated ONCE — a union of two projections would
     duplicate it), and both aggregates reduce monotonically (pairs ->
     |docs| -> |distinct degrees|)."""
     d = load_table(spark, sf_dir, "documents")

@@ -909,3 +909,53 @@ def test_compression_ratio_margins(spark, sf_dir):
         planted_max = max(planted_max, len(zlib.compress(rep, 6)) / len(rep))
     assert nat_min >= 0.25 * 1.4, f"natural min {nat_min:.3f} too close to gate"
     assert planted_max <= 0.25 / 1.4, f"planted max {planted_max:.3f} too close"
+
+
+def test_bpe_driver_and_rounds_paths_agree(spark, sf_dir):
+    """The driver-side finish (default) and the distributed per-round
+    escape hatch must learn the IDENTICAL model: same merge table in
+    rank order, same per-merge pair totals, same final vocabulary
+    rewrite — the two-strategy contract bpe_train's docstring states."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bpe as B
+
+    d = load_table(spark, sf_dir, "documents")
+    words = B.word_counts(d)
+    m_drv, st_drv, t_drv = B.bpe_train(words, n_merges=6, strategy="driver")
+    m_rnd, st_rnd, t_rnd = B.bpe_train(words, n_merges=6, strategy="rounds")
+    assert m_drv == m_rnd
+    assert t_drv == t_rnd
+    got_drv = {r.word: list(r.syms) for r in st_drv.collect()}
+    got_rnd = {r.word: list(r.syms) for r in st_rnd.collect()}
+    st_rnd.unpersist()
+    assert got_drv == got_rnd
+
+
+def test_bpe_driver_training_action_count_constant(spark, sf_dir):
+    """The batched-training cost model, pinned: driver-side training runs
+    a CONSTANT number of Spark jobs (vocab count + vocab collect, +1 for
+    the local-relation n_words count) regardless of n_merges — vs one
+    job PER merge for the per-round form. Doubling the merge budget must
+    not add a single job."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bpe as B
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+
+    def jobs_for(n_merges: int, group: str) -> int:
+        sc.setJobGroup(group, "bpe-train-pin")
+        try:
+            merges, state, _ = B.bpe_train(B.word_counts(d), n_merges=n_merges)
+            state.count()
+            assert len(merges) == n_merges
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j3 = jobs_for(3, "bpe-pin-3")
+    j6 = jobs_for(6, "bpe-pin-6")
+    # AQE splits each of the 3 actions into a few jobs (shuffle-stage
+    # materialization), so pin the INVARIANT (job count independent of
+    # merge budget) plus a generous absolute ceiling well under the
+    # old one-action-per-merge floor (6 merges used to cost >= 7 jobs
+    # from the rounds alone).
+    assert j6 == j3 <= 8, (j3, j6)

@@ -145,6 +145,15 @@ def main() -> None:
     rows = []
     for name in sorted(qdefs):
         df = qdefs[name].fn(spark, SF_DIR)
+        # EXECUTE before auditing: the pre-adaptive plan string prints
+        # BOTH sides of a self-join whose exchanges AQE's stage cache
+        # dedupes at runtime (ReusedExchange), and shows sort-merge
+        # joins that adaptive planning converts to broadcast — the
+        # audited shape must be what actually ran, not the static worst
+        # case (measured: llm_ngram_jaccard_pairs prints 11 exchanges
+        # statically but executes 7 with the whole postings pipeline
+        # materialized once).
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         a = audit_plan(plan)
         rows.append((name, qdefs[name].tags, a))
@@ -153,11 +162,12 @@ def main() -> None:
         "# PLAN AUDIT — physical-plan summary of every registered query",
         "",
         f"Generated by tools/gen_plan_audit.py at {SF_DIR} "
-        "(plan shapes, not timings; sf only affects AQE thresholds).",
+        "(EXECUTED adaptive final plans — runtime exchange reuse and "
+        "AQE join conversions included; plan shapes, not timings).",
         "Columns: joins used / live shuffle (Exchange) count — excludes",
         "once-per-session cached (InMemoryRelation) subtrees, shown as +N",
-        "when present / Python eval nodes / parquet filter pushdown seen /",
-        "pruned scan.",
+        "when present, and runtime-reused (ReusedExchange) stages /",
+        "Python eval nodes / parquet filter pushdown seen / pruned scan.",
         "",
         "| query | tags | joins | xchg | python | pushdown | pruned |",
         "|---|---|---|---|---|---|---|",
