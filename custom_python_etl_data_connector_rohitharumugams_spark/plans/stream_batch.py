@@ -940,3 +940,190 @@ def stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if mismatch == 0 else 0).alias("streamed_equals_batch"),
         F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
     )
+
+
+@query(
+    "stream_observed_pipeline_metrics",
+    # real readStream + observe() metrics (S8), foreachBatch durable sink
+    # (S9), the filter under observation is the P2 surface, totals are A1
+    tags=("S8", "S9", "P2", "A1"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(SUM(CASE WHEN event_type = 'click' AND value >= 5.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_out,
+           CAST(SUM(CASE WHEN event_type = 'click' AND value >= 5.0
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS value_cents_out,
+           CAST(SUM(CASE WHEN event_type = 'click' AND value >= 5.0
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS selectivity_ppm,
+           CAST(1 AS INT) AS obs_equals_sink,
+           CAST(1 AS INT) AS listener_equals_inplan,
+           CAST(1 AS INT) AS multi_batch
+    FROM events
+    """,
+)
+def stream_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of dq_observed_pipeline_metrics (plans/dq.py): the
+    same SLO counters — rows-in before the filter, rows-out and integer
+    cents after it — ride INSIDE an executing ``writeStream`` as
+    ``observe()`` aggregate expressions, reported per micro-batch through
+    BOTH surfaces a production monitor consumes: the synchronous
+    ``recentProgress`` ledger and an asynchronous
+    ``StreamingQueryListener`` (the always-on alerting hook). This is the
+    100 TB ingest story: the pipeline's health metrics cost ZERO extra
+    scans or actions — they are column aggregates fused into each
+    micro-batch's plan — and drift alerts fire from the listener without
+    touching the data path.
+
+    Three gates ride the row: ``obs_equals_sink`` pins the observed
+    rows-out/cents totals against an independent recount of what
+    foreachBatch DURABLY WROTE (in-plan observation vs on-disk truth —
+    at-least-once replays collapsed by (batch_id, event_id) exactly like
+    the CMS log); ``listener_equals_inplan`` pins the async
+    listener-accumulated totals against the in-plan progress ledger
+    (batchId-keyed, so a re-fired progress event cannot double-count);
+    ``multi_batch`` asserts the replay genuinely crossed >= 2 micro-batch
+    boundaries (maxFilesPerTrigger=1), making both equalities cross-batch
+    statements. The DuckDB oracle then recomputes all four counters from
+    the raw events table — so a broken observation (missed batch, dropped
+    metric, double count) breaks the value hash, not just a boolean."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from ..streaming.replay import events_stream, split_events_for_replay
+
+    replay_dir = split_events_for_replay(
+        spark,
+        sf_dir,
+        f"{tempfile.gettempdir()}/sg_obs_{os.path.basename(sf_dir.rstrip('/'))}_replay",
+    )
+    log_dir = (
+        f"{tempfile.gettempdir()}/sg_obs_log_"
+        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    shutil.rmtree(log_dir, ignore_errors=True)
+    cp = tempfile.mkdtemp(prefix="sg_obs_cp_")
+
+    class _ObsListener(StreamingQueryListener):
+        """batchId-keyed observed-metrics accumulator (async delivery:
+        events arrive on a listener-bus thread, possibly after the query
+        terminates — the poll below waits for it to catch up)."""
+
+        def __init__(self) -> None:
+            self.batches: dict[int, dict] = {}
+            self.query_id: str | None = None
+
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            p = event.progress
+            if self.query_id is not None and str(p.id) != self.query_id:
+                return
+            om = p.observedMetrics
+            if om:
+                self.batches[p.batchId] = dict(om)
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    staged = events_stream(spark, replay_dir, max_files_per_trigger=1).observe(
+        "obs_in", F.count(F.lit(1)).alias("rows_in")
+    )
+    out = staged.where(
+        (F.col("event_type") == "click") & (F.col("value") >= 5.0)
+    ).observe(
+        "obs_out",
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(cents).alias("value_cents_out"),
+    )
+
+    listener = _ObsListener()
+    spark.streams.addListener(listener)
+    try:
+        with _stream_state_conf(spark):
+            q = (
+                out.select("event_id", "event_type", "value")
+                .writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            listener.query_id = str(q.id)
+            try:
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise RuntimeError("observe replay did not finish in 300 s")
+            finally:
+                shutil.rmtree(cp, ignore_errors=True)  # one-shot replay
+
+        # the synchronous in-plan ledger: batchId -> observed metrics
+        inplan: dict[int, dict] = {}
+        for p in q.recentProgress:
+            om = p.observedMetrics
+            if om:
+                inplan[p.batchId] = dict(om)
+
+        def _totals(batches: dict[int, dict]) -> tuple[int, int, int]:
+            ri = ro = vc = 0
+            for om in batches.values():
+                if "obs_in" in om:
+                    ri += int(om["obs_in"]["rows_in"])
+                if "obs_out" in om:
+                    ro += int(om["obs_out"]["rows_out"] or 0)
+                    vc += int(om["obs_out"]["value_cents_out"] or 0)
+            return ri, ro, vc
+
+        rows_in, rows_out, cents_out = _totals(inplan)
+        # async listener: wait (bounded) until it has every in-plan batch
+        deadline = time.monotonic() + 30
+        while (
+            set(inplan) - set(listener.batches) and time.monotonic() < deadline
+        ):
+            time.sleep(0.1)
+        listener_ok = _totals(listener.batches) == (rows_in, rows_out, cents_out)
+    finally:
+        spark.streams.removeListener(listener)
+
+    log = spark.read.parquet(log_dir).dropDuplicates(["batch_id", "event_id"])
+    sink_row = log.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("vc")
+    ).collect()[0]
+    sink_ok = (int(sink_row["n"]), int(sink_row["vc"] or 0)) == (
+        rows_out,
+        cents_out,
+    )
+    n_batches = len(inplan)
+
+    ppm = rows_out * 1_000_000 // rows_in if rows_in else 0
+    return spark.createDataFrame(
+        [
+            (
+                rows_in,
+                rows_out,
+                cents_out,
+                ppm,
+                1 if sink_ok else 0,
+                1 if listener_ok else 0,
+                1 if n_batches >= 2 else 0,
+            )
+        ],
+        "rows_in bigint, rows_out bigint, value_cents_out bigint, "
+        "selectivity_ppm bigint, obs_equals_sink int, "
+        "listener_equals_inplan int, multi_batch int",
+    )

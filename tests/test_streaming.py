@@ -447,3 +447,40 @@ def test_python_sink_commit_protocol_and_manifest_first_reads(spark, tmp_path):
     w.abort([LandCommit(file=fb, rows=1)], 1)
     assert not os.path.exists(fb)
     assert read_landed(spark, land).count() == 1
+
+
+def test_stream_observed_metrics_listener_matches_inplan(spark, sf_dir):
+    """The streaming Observation/SLO twin's three gates, pinned at test
+    scale: the async StreamingQueryListener accumulates the SAME per-batch
+    observed metrics as the in-plan recentProgress ledger, the observed
+    rows-out/cents equal an independent recount of what foreachBatch
+    durably wrote, and the replay genuinely crossed micro-batch
+    boundaries. Totals are also recomputed from the batch table so the
+    observation is pinned to ground truth, not just to itself."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.stream_batch import (
+        stream_observed_pipeline_metrics,
+    )
+
+    row = stream_observed_pipeline_metrics(spark, sf_dir).collect()[0]
+    assert row.listener_equals_inplan == 1
+    assert row.obs_equals_sink == 1
+    assert row.multi_batch == 1
+
+    e = load_table(spark, sf_dir, "events")
+    want = e.agg(
+        F.count(F.lit(1)).alias("ri"),
+        F.sum(
+            ((F.col("event_type") == "click") & (F.col("value") >= 5.0)).cast("long")
+        ).alias("ro"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("value") >= 5.0),
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("vc"),
+    ).collect()[0]
+    assert (row.rows_in, row.rows_out, row.value_cents_out) == (
+        want.ri,
+        want.ro,
+        want.vc,
+    )
