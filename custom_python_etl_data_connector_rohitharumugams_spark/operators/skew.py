@@ -43,6 +43,89 @@ def salted_join(
     return l.join(r, [on, SALT_COL], how).drop(SALT_COL)
 
 
+#: routing thresholds — IDENTICAL to dq_join_skew_profile's
+#: recommendation column (plans/dq.py), so the profiler's advice and the
+#: runtime decision can never drift apart
+BROADCAST_KEY_CEILING = 1000
+SALT_SKEW_FACTOR = 10
+SALT_CAP = 64
+
+
+def choose_route(
+    n_rows: int, n_keys: int, max_mult: int, parallelism: int = 32
+) -> tuple[str, int]:
+    """The profile -> plan-decision function, shared by the profiler
+    query's ``recommendation`` column and :func:`route_join`: a
+    <=1000-key dimension broadcasts; a key whose max multiplicity is
+    >10x the mean salts; otherwise plain hash partitioning. The salt
+    factor is the smallest integer spreading the hot key's rows down to
+    the average reduce-partition size — ceil(max_mult * parallelism /
+    n_rows), integer arithmetic so any engine recomputes it exactly —
+    clamped to [2, SALT_CAP] (beyond the cap the dim replication cost
+    dominates what the extra spread buys)."""
+    if n_keys <= BROADCAST_KEY_CEILING:
+        return "broadcast_dim", 0
+    if max_mult * n_keys > SALT_SKEW_FACTOR * n_rows:
+        salt = (max_mult * parallelism + n_rows - 1) // n_rows
+        return "salt", min(SALT_CAP, max(2, salt))
+    return "hash_ok", 0
+
+
+def route_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    parallelism: int = 32,
+    how: str = "inner",
+) -> tuple[DataFrame, dict]:
+    """Profile-ROUTED equi-join: measure the left side's key distribution
+    (one partial-aggregated pass — per-key counts reduce to three
+    scalars, a bounded driver-side decision input by the same contract
+    as kmeans centers), feed it through :func:`choose_route`, and build
+    the plan the profile asks for — ``broadcast(right)``, a
+    :func:`salted_join` with the computed factor, or the plain join.
+    Returns ``(joined, decision)`` where ``decision`` carries
+    route/salt/n_rows/n_keys/max_mult so callers can emit the routing as
+    data (the registered query's oracle recomputes the identical CASE).
+
+    This is the DETECT -> MITIGATE wiring the skew playbook describes:
+    dq_join_skew_profile computes exactly these statistics as a report;
+    here they drive the physical plan, and the result is provably
+    identical to the unsalted join (pytest-pinned; BENCH_SKEW.md's
+    "routed" row measures the win on the planted power-law key). At
+    100 TB the profile pass amortizes trivially: it reads one column and
+    its shuffle is |distinct keys|, while the straggler it prevents is
+    the join stage's entire wall-clock."""
+    stats = (
+        left.groupBy(F.col(on))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.sum("m").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("m").cast("long").alias("max_mult"),
+        )
+        .collect()[0]
+    )
+    n_rows, n_keys, max_mult = (
+        int(stats["n_rows"] or 0),
+        int(stats["n_keys"] or 0),
+        int(stats["max_mult"] or 0),
+    )
+    route, salt = choose_route(n_rows, n_keys, max_mult, parallelism)
+    decision = {
+        "route": route,
+        "salt": salt,
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "max_mult": max_mult,
+    }
+    if route == "broadcast_dim":
+        return left.join(F.broadcast(right), on, how), decision
+    if route == "salt":
+        return salted_join(left, right, on=on, salt=salt, how=how), decision
+    return left.join(right, on, how), decision
+
+
 def salted_agg_sum(
     df: DataFrame, key: str, value: str, salt: int = 16, out: str = "total"
 ) -> DataFrame:

@@ -9,7 +9,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, ts_lit
-from ..operators.skew import salted_join
+from ..operators.skew import (
+    BROADCAST_KEY_CEILING,
+    SALT_CAP,
+    SALT_SKEW_FACTOR,
+    salted_join,
+)
 from .registry import query
 
 _TS = ts_lit  # shared engine-standard timestamp literal (catalog.ts_lit)
@@ -329,6 +334,81 @@ def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return salted_agg_sum(l, key="l_returnflag", value="l_quantity", salt=16, out="__sum").select(
         "l_returnflag", F.round("__sum", 2).alias("total")
+    )
+
+
+@query(
+    "skew_profile_routed_join",
+    tags=("J1", "J3", "A1"),
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS m FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(m) AS BIGINT) AS max_mult
+        FROM per_key
+    ),
+    dec AS (
+        SELECT CASE WHEN n_keys <= {BKC} THEN 'broadcast_dim'
+                    WHEN max_mult * n_keys > {SSF} * n_rows THEN 'salt'
+                    ELSE 'hash_ok' END AS route,
+               CAST(CASE WHEN n_keys <= {BKC}
+                           OR max_mult * n_keys <= {SSF} * n_rows THEN 0
+                         ELSE LEAST({CAP}, GREATEST(2,
+                             (max_mult * 32 + n_rows - 1) // n_rows))
+                    END AS BIGINT) AS salt
+        FROM stats
+    )
+    SELECT dec.route, dec.salt, j.c_mktsegment, j.cnt, j.total_price
+    FROM dec CROSS JOIN (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    ) j
+    """.format(
+        BKC=BROADCAST_KEY_CEILING, SSF=SALT_SKEW_FACTOR, CAP=SALT_CAP
+    ),
+)
+def skew_profile_routed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew playbook's DETECT -> MITIGATE wiring, end to end
+    (operators/skew.route_join): profile the fact side's join-key
+    distribution (per-key counts reduced to three scalars — the same
+    statistics dq_join_skew_profile reports), feed them through the
+    SHARED choose_route decision (imported constants, so profiler advice
+    and runtime routing cannot drift), and execute the plan the profile
+    asks for — broadcast for a small dim, a salted join with the
+    COMPUTED factor for a pathological key, plain hash otherwise. The
+    decision itself is emitted as data, and the oracle recomputes both
+    the decision CASE and the join aggregates from scratch — so a wrong
+    route, a mis-computed salt factor, OR any result deviation of the
+    routed plan from the plain join breaks the hash. Which branch fires
+    is scale-dependent by design (o_custkey is <=1000 keys at small sf
+    -> broadcast; wider and uniform at larger sf -> hash_ok); the salt
+    branch's win is measured on the planted power-law key in
+    BENCH_SKEW.md's "routed" row and its byte-identity is pytest-pinned."""
+    from ..operators.skew import route_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined, dec = route_join(o, c, on="o_custkey", parallelism=32)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.lit(dec["route"]).alias("route"),
+            F.lit(dec["salt"]).cast("bigint").alias("salt"),
+            "c_mktsegment",
+            "cnt",
+            "total_price",
+        )
     )
 
 

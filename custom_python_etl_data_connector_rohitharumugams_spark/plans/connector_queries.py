@@ -689,3 +689,65 @@ def multimodal_npz_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 24
     )
     return N.decode_npz(N.synth_npz(shards))
+
+
+@query(
+    "connector_tar_shard_landing",
+    tags=("S6", "L5", "U3"),
+    oracle="""
+    WITH s AS (
+        SELECT doc_id AS k FROM documents WHERE doc_id < 20
+    ), sj AS (
+        SELECT k, unnest(range(0, 2 + k % 3)) AS j FROM s
+    ), bin AS (
+        SELECT k, j, SUM((k * 3 + j * 5 + i) % 251) AS bsum
+        FROM (
+            SELECT k, j, unnest(range(0, 16 + (j % 4) * 8)) AS i FROM sj
+        ) t
+        GROUP BY k, j
+    )
+    SELECT sj.k AS shard_id,
+           CAST(sj.k * 100 + sj.j AS BIGINT) AS sample_id,
+           CAST(10 + (sj.k + sj.j) % 7 AS BIGINT) AS text_chars,
+           CAST((sj.k * 7 + sj.j) % 13 AS BIGINT) AS label,
+           CAST(16 + (sj.j % 4) * 8 AS BIGINT) AS bin_len,
+           CAST(bin.bsum AS BIGINT) AS bin_sum
+    FROM sj JOIN bin ON sj.k = bin.k AND sj.j = bin.j
+    """,
+)
+def connector_tar_shard_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style TAR shard ingest (functions/tarshard.py): real
+    ``.tar`` archives on disk — one per shard, samples as same-key
+    ``.txt``/``.json``/``.bin`` member triples in sorted order, the
+    public WebDataset layout corpus drops actually use — land through a
+    ``binaryFile`` scan and a stdlib ``tarfile`` walk inside one
+    Arrow-batched stage, emitting an exact-integer feature row per
+    sample. Every value is closed-form in (shard, sample) so the DuckDB
+    oracle pins text length, JSON label, and media byte sum a priori;
+    hostile-content containment (not-a-tar, missing member, bomb-declared
+    size, truncated payload, bad UTF-8/JSON) is pytest-pinned in
+    tests/test_tarshard.py. Same small-file posture as the GIF/NPY
+    landings: one archive per task row; compaction is the 100 TB lever."""
+    from ..functions import tarshard as T
+
+    shards = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 20
+    )
+    out = _materialize_landing_dir(
+        sf_dir,
+        "sg_tarland",
+        "tar",
+        shards.count(),
+        lambda: (
+            (r.shard_id, bytes(r.data))
+            for r in T.synth_tar_shards(shards).collect()
+        ),
+    )
+    raw = spark.read.format("binaryFile").load(f"{out}/*.tar")
+    payload = raw.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.tar$", 1)
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("data"),
+    )
+    return T.decode_tar_shards(payload)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.skew import BROADCAST_KEY_CEILING, SALT_SKEW_FACTOR
 from .registry import query
 
 
@@ -321,8 +322,12 @@ def _key_profile(df: DataFrame, rel: str, key: str) -> DataFrame:
         F.floor(F.col("max_mult") * F.col("n_keys") * 100 / F.col("n_rows"))
         .cast("bigint")
         .alias("skew_x100"),
-        F.when(F.col("n_keys") <= 1000, F.lit("broadcast_dim"))
-        .when(F.col("max_mult") * F.col("n_keys") > 10 * F.col("n_rows"), F.lit("salt"))
+        F.when(F.col("n_keys") <= BROADCAST_KEY_CEILING, F.lit("broadcast_dim"))
+        .when(
+            F.col("max_mult") * F.col("n_keys")
+            > SALT_SKEW_FACTOR * F.col("n_rows"),
+            F.lit("salt"),
+        )
         .otherwise(F.lit("hash_ok"))
         .alias("recommendation"),
     )
@@ -366,11 +371,14 @@ def _key_profile(df: DataFrame, rel: str, key: str) -> DataFrame:
     SELECT relation, key_col, n_rows, n_keys, max_mult, p99_mult,
            CAST(FLOOR(max_mult * 1000000 / n_rows) AS BIGINT) AS top1_share_ppm,
            CAST(FLOOR(max_mult * n_keys * 100 / n_rows) AS BIGINT) AS skew_x100,
-           CASE WHEN n_keys <= 1000 THEN 'broadcast_dim'
-                WHEN max_mult * n_keys > 10 * n_rows THEN 'salt'
+           CASE WHEN n_keys <= {BROADCAST_KEY_CEILING} THEN 'broadcast_dim'
+                WHEN max_mult * n_keys > {SALT_SKEW_FACTOR} * n_rows THEN 'salt'
                 ELSE 'hash_ok' END AS recommendation
     FROM stats
-    """,
+    """.format(
+        BROADCAST_KEY_CEILING=BROADCAST_KEY_CEILING,
+        SALT_SKEW_FACTOR=SALT_SKEW_FACTOR,
+    ),
 )
 def dq_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DETECT side of the skew playbook (the MITIGATE side is

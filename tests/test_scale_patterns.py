@@ -219,6 +219,9 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                  # parse over mapInArrow
         "multimodal_npz_shards",                 # zip walk + NPY parse over
                                                  # mapInArrow
+        "connector_tar_shard_landing",           # binaryFile -> stdlib tar
+                                                 # walk: the WebDataset
+                                                 # member decode IS the op
         "llm_compression_ratio_filter",          # stdlib zlib codec in the
                                                  # Arrow batch IS the operator
         "multimodal_dhash_near_dup",             # BMP parse + block-sum dHash
@@ -879,3 +882,82 @@ def test_distribution_drift_reference_self_check_and_rederivation(spark):
         assert out[yr].n_rows == N and out[yr].tv_ppm == tv, yr
         assert out[yr].drift == (tv > 200_000), yr
     assert out[1995].tv_ppm == 0 and not out[1995].drift
+
+
+def test_route_join_salts_planted_power_law_and_matches_naive(spark):
+    """DETECT -> MITIGATE wiring (operators/skew.route_join): on a
+    planted power-law key (50% of fact rows on one key, well past the
+    profiler's salt threshold) the router must (a) choose the salt
+    branch with the documented ceil(max_mult * P / n_rows) factor,
+    (b) reproduce the naive join byte-identically, and (c) actually
+    spread the straggler (heaviest reduce-partition share drops >= 4x)."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import (
+        SALT_CAP,
+        choose_route,
+        route_join,
+    )
+
+    n, keys = 200_000, 5000  # n_keys > broadcast ceiling, hot key 50%
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(keys))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(keys)))
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 101).cast("long").alias("v"),
+    )
+    dim = spark.range(keys + 1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("long").alias("w"),
+    )
+    routed, dec = route_join(fact, dim, on="k", parallelism=32)
+    assert dec["route"] == "salt"
+    # hot key ~ n/2 rows => ceil(max_mult * 32 / n) ~= 16
+    want_salt = min(
+        SALT_CAP, max(2, (dec["max_mult"] * 32 + dec["n_rows"] - 1) // dec["n_rows"])
+    )
+    assert dec["salt"] == want_salt and 8 <= dec["salt"] <= 32
+    agg = lambda df: tuple(  # noqa: E731 — exact integer aggregate
+        df.agg(F.count(F.lit(1)), F.sum(F.col("v") * F.col("w"))).collect()[0]
+    )
+    assert agg(routed) == agg(fact.join(dim, "k"))
+
+    n_part = 32
+
+    def max_share(cols):
+        top = (
+            fact.withColumn(
+                "__salt", F.pmod(F.xxhash64("k", "v"), F.lit(dec["salt"]))
+            )
+            .groupBy(F.pmod(F.hash(*cols), F.lit(n_part)).alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return top / n
+
+    assert max_share(["k", "__salt"]) * 4 <= max_share(["k"])
+
+    # decision function unit checks: the other two branches
+    assert choose_route(10_000, 900, 20)[0] == "broadcast_dim"
+    assert choose_route(10_000, 5000, 15)[0] == "hash_ok"
+
+
+def test_route_join_broadcasts_small_dim(spark):
+    """A <=1000-key fact side routes to the broadcast branch and the
+    executed plan actually carries a BroadcastHashJoin."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import (
+        route_join,
+    )
+
+    fact = spark.range(10_000).select(
+        F.pmod(F.col("id"), F.lit(100)).alias("k"),
+        (F.col("id") % 11).alias("v"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("w")
+    )
+    routed, dec = route_join(fact, dim, on="k")
+    assert (dec["route"], dec["salt"]) == ("broadcast_dim", 0)
+    routed.collect()
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

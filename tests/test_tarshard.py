@@ -1,0 +1,126 @@
+"""WebDataset-style TAR shard tier (functions/tarshard.py): round-trip
+against the closed-form index, plus the hostile-content containment
+ladder — archive-level garbage yields no rows, sample-level damage drops
+only the damaged sample, and a bomb-declared member size is rejected
+BEFORE any read."""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import tarfile
+
+from custom_python_etl_data_connector_rohitharumugams_spark.functions import tarshard as T
+
+
+def _payload(spark, k: int) -> bytes:
+    df = spark.createDataFrame([(k,)], "doc_id long")
+    return bytes(T.synth_tar_shards(df).collect()[0].data)
+
+
+def test_tar_roundtrip_matches_closed_form(spark):
+    df = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    out = T.decode_tar_shards(T.synth_tar_shards(df)).collect()
+    got = {(r.shard_id, r.sample_id): r for r in out}
+    want_keys = {
+        (k, k * 100 + j) for k in (3, 4) for j in range(T._tar_samples(k))
+    }
+    assert set(got) == want_keys
+    for (k, sid), r in got.items():
+        j = sid - k * 100
+        assert r.text_chars == T._tar_text_chars(k, j)
+        assert r.label == T._tar_label(k, j)
+        assert r.bin_len == T._tar_bin_len(j)
+        assert r.bin_sum == sum(
+            T._tar_bin_byte(k, j, i) for i in range(T._tar_bin_len(j))
+        )
+
+
+def test_tar_hostile_archives_contained(spark):
+    """Archive-level damage: not a tar, or an index truncated mid-header,
+    must yield zero rows for that shard while healthy shards land."""
+    good = _payload(spark, 5)
+    hostile = [
+        (5, good),
+        (100, b"definitely not a tar archive"),
+        (101, good[:100]),  # truncated inside the first header block
+        (102, None),
+    ]
+    out = T.decode_tar_shards(
+        spark.createDataFrame(hostile, "shard_id long, data binary")
+    ).collect()
+    assert {r.shard_id for r in out} == {5}
+    assert len(out) == T._tar_samples(5)
+
+
+def test_tar_sample_level_damage_drops_only_that_sample(spark):
+    """Rebuild shard 7's archive with sample 0 missing its .json, sample
+    1 carrying non-UTF-8 text, and (k has 3 samples) sample 2 intact —
+    only the intact sample lands."""
+    assert T._tar_samples(7) == 3
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+
+        def add(name: str, body: bytes) -> None:
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(body)
+            tf.addfile(ti, io.BytesIO(body))
+
+        # sample 0: no .json
+        add("00000700.txt", b"ttt")
+        add("00000700.bin", b"\x01\x02")
+        # sample 1: text is not UTF-8
+        add("00000701.txt", b"\xff\xfe\xfd")
+        add("00000701.json", json.dumps({"label": 1}).encode())
+        add("00000701.bin", b"\x03")
+        # sample 2: intact
+        add("00000702.txt", b"tttt")
+        add("00000702.json", json.dumps({"label": 9}).encode())
+        add("00000702.bin", bytes([5, 6, 7]))
+        # stray member with a non-sample extension: ignored
+        add("00000702.cls", b"x")
+    out = T.decode_tar_shards(
+        spark.createDataFrame([(7, buf.getvalue())], "shard_id long, data binary")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.sample_id, r.text_chars, r.label, r.bin_len, r.bin_sum) == (
+        702,
+        4,
+        9,
+        3,
+        18,
+    )
+
+
+def test_tar_bomb_declared_member_contained(spark):
+    """A member whose HEADER declares a size over the cap must poison
+    exactly its own sample without being read: patch a real archive's
+    size field (octal at offset 124, checksum re-summed at 148) so the
+    declared size is 1 GiB while the archive stays structurally valid."""
+    good = _payload(spark, 8)  # 2 samples: 00000800, 00000801
+    buf = bytearray(good)
+    # find the header block for 00000800.bin and patch its size field
+    name = b"00000800.bin"
+    off = buf.index(name + b"\x00")  # header starts at the name field
+    assert buf[off + 257 : off + 262] == b"ustar"
+    huge = 1 << 30
+    buf[off + 124 : off + 136] = b"%011o\x00" % huge
+    # recompute the header checksum (spaces during summation, per spec)
+    buf[off + 148 : off + 156] = b" " * 8
+    chk = sum(buf[off : off + 512])
+    buf[off + 148 : off + 156] = b"%06o\x00 " % chk
+    out = T.decode_tar_shards(
+        spark.createDataFrame(
+            [(8, bytes(buf))], "shard_id long, data binary"
+        )
+    ).collect()
+    # sample 800 poisoned by the bomb header; 801 unaffected... unless
+    # the bogus size desyncs the walk — either way 800 must NOT land
+    assert all(r.sample_id != 800 for r in out)
+    assert {r.sample_id for r in out} <= {801}
+
+
+def test_tar_member_size_cap_constant_sane():
+    assert 1 << 20 <= T._MAX_TAR_MEMBER_BYTES <= 1 << 30

@@ -156,7 +156,17 @@ def main() -> None:
             {"spark.sql.adaptive.skewJoin.enabled": "false"},
             lambda: K.salted_join(fact, dim, on="k", salt=args.salt),
         ),
+        # the DETECT -> MITIGATE wiring: route_join profiles the fact
+        # side, chooses the salt branch (hot key >> threshold) with its
+        # COMPUTED factor, and must beat the naive straggler end to end
+        run(
+            "routed (profile->salt)",
+            {"spark.sql.adaptive.skewJoin.enabled": "false"},
+            lambda: K.route_join(fact, dim, on="k", parallelism=32)[0],
+        ),
     ]
+    routed_dec = K.route_join(fact, dim, on="k", parallelism=32)[1]
+    assert routed_dec["route"] == "salt", routed_dec
 
     results = {s["result"] for s in scenarios}
     assert len(results) == 1, f"scenario results diverge: {scenarios}"
@@ -226,16 +236,21 @@ def main() -> None:
     )
     aggs += daggs
 
-    naive, aqe, salted = scenarios
+    naive, aqe, salted, routed = scenarios
     lines = [
         "# BENCH_SKEW — planted power-law key: salted vs AQE-split vs naive",
         "",
         f"Generated by tools/bench_skew.py: {args.rows:,} fact rows, ONE hot "
         f"key carrying {HOT_FRACTION_PCT}% of them ({args.rows * 4 // 10:,} "
         f"rows), {args.keys:,} cold keys, dim side non-broadcastable "
-        "(auto-broadcast disabled). Identical logical join executed three "
-        "ways on local[32]; all three produced byte-identical integer "
-        "aggregates (asserted, or this file would not exist).",
+        "(auto-broadcast disabled). Identical logical join executed four "
+        "ways on local[32]; all four produced byte-identical integer "
+        "aggregates (asserted, or this file would not exist). The `routed` "
+        "row is operators/skew.route_join consuming the profile end to "
+        f"end: it chose the salt branch with computed factor "
+        f"{routed_dec['salt']} (ceil(max_mult*32/n_rows)) from measured "
+        f"stats n_rows={routed_dec['n_rows']:,} n_keys={routed_dec['n_keys']:,} "
+        f"max_mult={routed_dec['max_mult']:,}.",
         "",
         "| scenario | secs | skew-split in plan | result identical |",
         "|---|---|---|---|",
@@ -248,7 +263,8 @@ def main() -> None:
     lines += [
         "",
         f"Speedup vs naive straggler: AQE split {naive['secs'] / aqe['secs']:.2f}x, "
-        f"salted_join {naive['secs'] / salted['secs']:.2f}x "
+        f"salted_join {naive['secs'] / salted['secs']:.2f}x, "
+        f"routed {naive['secs'] / routed['secs']:.2f}x "
         f"(salt={args.salt}, min of {args.reps} runs per scenario — this "
         "host's documented multi-second stalls make single samples "
         "unusable).",
