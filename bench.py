@@ -190,6 +190,29 @@ def main() -> None:
     }
     detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True))
 
+    # Per-round keymap sidecar, committed alongside the driver's
+    # BENCH_r{N}.json so round-over-round per-query diffs are
+    # self-contained (tools/bench_compare.py OLD NEW) instead of
+    # requiring git archaeology for each round's name mapping. The round
+    # number is inferred as max(existing BENCH_r*) + 1 — the round the
+    # NEXT driver bench run will be recorded under; re-running bench
+    # within a round just refreshes the same sidecar. Subset runs
+    # (SPARK_GRAFT_QUERIES) skip it: their keymap covers only the
+    # subset and would corrupt the round's full mapping.
+    if only is None:
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for f in _glob.glob(str(_REPO / "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        nxt = max(rounds, default=0) + 1
+        (_REPO / f"BENCH_KEYMAP_r{nxt:02d}.json").write_text(
+            json.dumps({"round": nxt, "keymap": keymap}, indent=1, sort_keys=True)
+        )
+
     # stdout carries 1-decimal per-query values: at 142 queries the
     # 3-decimal form exceeded the driver's ~1.9 KB stdout tail and the
     # fallback dropped the map entirely; full precision is in

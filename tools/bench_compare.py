@@ -1,8 +1,16 @@
-"""Compare the latest BENCH_DETAIL.json against BASELINE.md's per-query
-table: shared-subset ratio, regressions beyond the 2x acceptance bound, and
-the biggest movers. Run after `python bench.py`.
+"""Compare per-query bench timings.
 
-Usage: python tools/bench_compare.py [--top N]
+Two modes:
+- default: the latest BENCH_DETAIL.json against BASELINE.md's per-query
+  table — shared-subset ratio, regressions beyond the 2x acceptance
+  bound, the biggest movers. Run after `python bench.py`.
+- two driver artifacts: ``python tools/bench_compare.py BENCH_r08.json
+  BENCH_r09.json`` — self-contained round-over-round diff. Each
+  artifact's 2-hex query keys resolve through its committed
+  ``BENCH_KEYMAP_r{N}.json`` sidecar (written by bench.py each round;
+  rounds 2-9 backfilled from history), so no git archaeology is needed.
+
+Usage: python tools/bench_compare.py [--top N] [OLD.json NEW.json]
 """
 
 from __future__ import annotations
@@ -15,17 +23,55 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+def load_driver_artifact(path: Path) -> dict[str, float]:
+    """name -> seconds from a driver BENCH_r{N}.json: parse the JSON line
+    out of the recorded stdout tail, then resolve its 2-hex keys through
+    the round's committed keymap sidecar."""
+    art = json.loads(path.read_text())
+    tail = art.get("tail", "")
+    i = tail.rfind('{"metric"')
+    if i < 0:
+        raise SystemExit(f"{path}: no bench JSON line in tail")
+    qmap = json.loads(tail[i:].strip())["queries"]
+    m = re.search(r"BENCH_r(\d+)\.json$", str(path))
+    if not m:
+        raise SystemExit(f"{path}: not a BENCH_r{{N}}.json driver artifact")
+    side = path.parent / f"BENCH_KEYMAP_r{int(m.group(1)):02d}.json"
+    if not side.exists():
+        raise SystemExit(f"{path}: missing keymap sidecar {side.name}")
+    keymap = json.loads(side.read_text())["keymap"]
+    missing = set(qmap) - set(keymap)
+    if missing:
+        raise SystemExit(
+            f"{path}: {len(missing)} artifact keys absent from {side.name} "
+            "(keymap drifted — regenerate the sidecar from that round's "
+            "BENCH_DETAIL.json)"
+        )
+    return {keymap[k]: float(v) for k, v in qmap.items()}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=10, help="movers to show")
+    ap.add_argument(
+        "artifacts",
+        nargs="*",
+        help="optional OLD NEW driver BENCH_r{N}.json pair",
+    )
     args = ap.parse_args()
 
-    cur = json.loads((REPO / "BENCH_DETAIL.json").read_text())["queries"]
-    base: dict[str, float] = {}
-    for line in (REPO / "BASELINE.md").read_text().splitlines():
-        m = re.match(r"\| (\w+) \| ([\d.]+) \|", line)
-        if m:
-            base[m.group(1)] = float(m.group(2))
+    if args.artifacts:
+        if len(args.artifacts) != 2:
+            raise SystemExit("artifact mode needs exactly OLD and NEW paths")
+        base = load_driver_artifact(Path(args.artifacts[0]))
+        cur = load_driver_artifact(Path(args.artifacts[1]))
+    else:
+        cur = json.loads((REPO / "BENCH_DETAIL.json").read_text())["queries"]
+        base = {}
+        for line in (REPO / "BASELINE.md").read_text().splitlines():
+            m = re.match(r"\| (\w+) \| ([\d.]+) \|", line)
+            if m:
+                base[m.group(1)] = float(m.group(2))
 
     shared = sorted(set(base) & set(cur))
     cur_s = sum(cur[k] for k in shared)
