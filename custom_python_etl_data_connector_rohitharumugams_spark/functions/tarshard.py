@@ -112,6 +112,83 @@ TAR_DECODED_DDL = (
 )
 
 
+TAR_MANIFEST_DDL = "shard_id long, path string, n_samples long, n_bytes long"
+
+
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard_id",
+    sample_col: str = "sample_id",
+    text_col: str = "text",
+    meta_col: str = "meta",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """The WRITE side of the WebDataset tier: group samples by shard and
+    emit one conforming ``.tar`` per shard — members in sorted key order,
+    ``{key}.txt`` utf-8 text, ``{key}.json`` metadata (already a JSON
+    string), ``{key}.bin`` opaque payload — plus a manifest row per shard
+    (path, sample count, byte size). This is how a training pipeline
+    SHIPS a built corpus: the shard is the unit downstream loaders
+    stream, and the manifest is the commit record (same role as
+    sources/shardsink's manifest).
+
+    Plan shape: one shuffle on the shard key (``applyInPandas`` group =
+    shard), each task writes its archive atomically (tmp + rename, the
+    landing-dir discipline) to ``out_dir`` — executor-local in tests,
+    a shared filesystem in production — and returns only the
+    kilobyte-scale manifest row; sample bytes never revisit the driver.
+    Shard sizing is the caller's partitioning decision, exactly like
+    every other sink."""
+    import json
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+
+        sid = int(pdf[shard_col].iloc[0])
+        buf = io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for _, row in pdf.sort_values(sample_col).iterrows():
+                key = f"{int(row[sample_col]):012d}"
+                text = row[text_col] if row[text_col] is not None else ""
+                members = {
+                    f"{key}.txt": str(text).encode("utf-8"),
+                    f"{key}.json": str(row[meta_col]).encode("utf-8"),
+                    f"{key}.bin": bytes(row[payload_col] or b""),
+                }
+                for name, body in members.items():
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(body)
+                    tf.addfile(ti, io.BytesIO(body))
+                n += 1
+        data = buf.getvalue()
+        path = os.path.join(out_dir, f"doc_{sid:05d}.tar")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic: a reader never sees a partial tar
+        return pd.DataFrame(
+            {
+                "shard_id": pd.Series([sid], dtype="int64"),
+                "path": [path],
+                "n_samples": pd.Series([n], dtype="int64"),
+                "n_bytes": pd.Series([len(data)], dtype="int64"),
+            }
+        )
+
+    cols = [shard_col, sample_col, text_col, meta_col, payload_col]
+    return (
+        df.select(*cols).groupBy(shard_col).applyInPandas(build, TAR_MANIFEST_DDL)
+    )
+
+
 def decode_tar_shards(df: DataFrame) -> DataFrame:
     """Walk each (shard_id, data) tar payload and emit one exact-integer
     feature row per complete sample: text length, the JSON ``label``,

@@ -751,3 +751,100 @@ def connector_tar_shard_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("data"),
     )
     return T.decode_tar_shards(payload)
+
+
+@query(
+    "connector_tar_shard_roundtrip",
+    tags=("S7b", "L5", "U3"),
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 8 AS shard_id,
+               COALESCE(text, '') AS t,
+               doc_id % 13 AS label,
+               8 + doc_id % 5 AS blen
+        FROM documents WHERE doc_id < 64
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(length(t)) AS BIGINT) AS text_chars_total,
+           CAST(SUM(label) AS BIGINT) AS label_total,
+           CAST(SUM(120 * blen) AS BIGINT) AS bin_sum_total,
+           CAST(1 AS INT) AS manifest_matches
+    FROM d GROUP BY shard_id
+    """,
+)
+def connector_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE -> READ round trip of the WebDataset tier: build samples
+    from the documents table (real text, JSON metadata, a closed-form
+    payload), SHIP them as conforming tar shards through
+    functions/tarshard.write_tar_shards (one atomic archive per shard
+    via applyInPandas, manifest rows back), then land the written
+    archives through the same binaryFile -> decode_tar_shards path a
+    downstream loader uses. The per-shard aggregates of the DECODED
+    samples must equal the DuckDB oracle's recomputation from the raw
+    table — so a lost sample, a mangled member, a wrong key order, or a
+    manifest/decode disagreement (gated by manifest_matches, which
+    compares the collected manifest counts against the decoded counts
+    per shard) breaks the hash. This is the S7b story for multimodal
+    corpora: shardsink ships parquet + manifest, this ships tar +
+    manifest, both exactly-once via atomic rename."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions import tarshard as T
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    samples = d.select(
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.col("doc_id").alias("sample_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.to_json(F.struct((F.col("doc_id") % 13).alias("label"))).alias("meta"),
+        F.repeat(F.lit("x"), (8 + F.col("doc_id") % 5).cast("int"))
+        .cast("binary")
+        .alias("payload"),
+    )
+    out_dir = (
+        f"{tempfile.gettempdir()}/sg_tarsink_"
+        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # the manifest is the commit record: per-shard rows, bounded driver
+    # artifact by the shardsink contract
+    manifest = {
+        r.shard_id: r.n_samples
+        for r in T.write_tar_shards(samples, out_dir).collect()
+    }
+
+    raw = spark.read.format("binaryFile").load(f"{out_dir}/*.tar")
+    payload = raw.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.tar$", 1)
+        .cast("long")
+        .alias("shard_id"),
+        F.col("content").alias("data"),
+    )
+    decoded = T.decode_tar_shards(payload)
+    mrows = spark.createDataFrame(
+        [(k, v) for k, v in sorted(manifest.items())],
+        "shard_id long, manifest_n long",
+    )
+    return (
+        decoded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum("text_chars").cast("bigint").alias("text_chars_total"),
+            F.sum("label").cast("bigint").alias("label_total"),
+            F.sum("bin_sum").cast("bigint").alias("bin_sum_total"),
+        )
+        .join(mrows, "shard_id")
+        .select(
+            "shard_id",
+            "n_samples",
+            "text_chars_total",
+            "label_total",
+            "bin_sum_total",
+            (F.col("n_samples") == F.col("manifest_n")).cast("int").alias(
+                "manifest_matches"
+            ),
+        )
+    )

@@ -222,6 +222,9 @@ def test_no_python_in_unexpected_query_plans(spark):
         "connector_tar_shard_landing",           # binaryFile -> stdlib tar
                                                  # walk: the WebDataset
                                                  # member decode IS the op
+        "connector_tar_shard_roundtrip",         # + the applyInPandas tar
+                                                 # WRITE side (one archive
+                                                 # per shard group)
         "llm_compression_ratio_filter",          # stdlib zlib codec in the
                                                  # Arrow batch IS the operator
         "multimodal_dhash_near_dup",             # BMP parse + block-sum dHash
