@@ -872,3 +872,51 @@ def dedup_exact_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via dropDuplicates (aggregate-based, map-side partials)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+@query(
+    "join_null_safe_event_buckets",
+    tags=("J1", "F4", "A1"),
+    oracle="""
+    SELECT lab,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM (SELECT NULLIF(user_id % 5, 0) AS k, value FROM events) e
+    JOIN (
+        VALUES (CAST(NULL AS BIGINT), 'zeroish'),
+               (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')
+    ) AS dim(k, lab)
+      ON e.k IS NOT DISTINCT FROM dim.k
+    GROUP BY lab
+    """,
+)
+def join_null_safe_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM): the join
+    variant every dimension-conforming pipeline eventually needs — an
+    unknown/NULL bucket key must match the dimension's NULL row instead
+    of silently dropping a fifth of the fact table (what a plain inner
+    join does with NULL keys). Spark's ``eqNullSafe`` plans this as a
+    regular hash join on a null-safe key (knownfloatingpointnormalized
+    coalesce under the hood) — NOT a nested loop — so it broadcasts and
+    scales exactly like J1; the oracle's IS NOT DISTINCT FROM is the
+    ANSI spelling of the same predicate. The NULLIF derivation plants
+    NULLs on both sides (the fixture has none), making the NULL-matches
+    -NULL row a fifth of the output mass — dropping it breaks rows AND
+    hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.nullif(F.col("user_id") % 5, F.lit(0)).alias("k"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dim = spark.createDataFrame(
+        [(None, "zeroish"), (1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "k bigint, lab string",
+    )
+    return (
+        e.join(F.broadcast(dim), e["k"].eqNullSafe(dim["k"]))
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        )
+    )

@@ -1127,3 +1127,135 @@ def stream_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFr
         "selectivity_ppm bigint, obs_equals_sink int, "
         "listener_equals_inplan int, multi_batch int",
     )
+
+
+@query(
+    "stream_histogram_quantile_maintenance",
+    # real readStream source (S8) + foreachBatch durable sink (S9); the
+    # histogram build/merge is the A6/A1 surface
+    tags=("S8", "S9", "A6", "A1"),
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (SELECT v, COUNT(*) AS c FROM cents GROUP BY v),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cm, SUM(c) OVER () AS n
+        FROM hist
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+           MIN(CASE WHEN cm * 2 >= n THEN v END)        AS median_cents,
+           MIN(CASE WHEN cm * 10 >= 9 * n THEN v END)   AS p90_cents,
+           MIN(CASE WHEN cm * 100 >= 99 * n THEN v END) AS p99_cents,
+           CAST(1 AS INT) AS streamed_equals_batch,
+           CAST(1 AS INT) AS multi_batch
+    FROM cum
+    """,
+)
+def stream_histogram_quantile_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance of the EXACT integer-cents histogram — the
+    third mergeable summary maintained incrementally, completing the
+    family (HLL cardinality partials: agg_hll_partition_merge; CMS
+    frequency grids: stream_cms_maintenance; value histograms: this).
+    Events replay through a REAL ``readStream`` in time-sliced
+    micro-batches; each batch's (v, c) histogram appends to a parquet
+    log via foreachBatch, and the STREAMED histogram — cell-wise sum of
+    the per-batch grids — must be CELL-IDENTICAL to the batch-built one
+    (histogram linearity is exact addition), so the CDF-walk quantiles
+    over it are EXACT p50/p90/p99, not approximations. At 100 TB/day
+    this is the always-on SLO-latency story: per-batch histogram rows
+    track the batch's DISTINCT cents, the merged state is
+    |domain|-bounded forever, and quantile queries never rescan events.
+
+    Exactly-once: a re-executed batch rebuilds the IDENTICAL histogram
+    (same slice file, deterministic floor), so dropDuplicates over
+    (batch_id, v, c) collapses at-least-once replays — the CMS log
+    argument applied to histogram cells. multi_batch pins >= 2 real
+    micro-batch boundaries (maxFilesPerTrigger=1), making the equality a
+    cross-batch statement."""
+    import shutil
+    import tempfile
+
+    from ..streaming.replay import events_stream, split_events_for_replay
+
+    replay_dir = split_events_for_replay(
+        spark,
+        sf_dir,
+        f"{tempfile.gettempdir()}/sg_hq_{os.path.basename(sf_dir.rstrip('/'))}_replay",
+    )
+    log_dir = (
+        f"{tempfile.gettempdir()}/sg_hq_log_"
+        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    shutil.rmtree(log_dir, ignore_errors=True)
+    cp = tempfile.mkdtemp(prefix="sg_hq_cp_")
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.where(F.col("value").isNotNull())
+            .select(cents.alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    with _stream_state_conf(spark):
+        q = (
+            sdf.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("histogram replay did not finish in 300 s")
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)  # one-shot replay
+
+    log = spark.read.parquet(log_dir).dropDuplicates(["batch_id", "v", "c"])
+    n_batches = log.select("batch_id").distinct().count()
+    streamed = log.groupBy("v").agg(F.sum("c").alias("c"))
+
+    batch_hist = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(cents.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mismatch = (
+        streamed.join(batch_hist, ["v"], "full")
+        .where(~streamed["c"].eqNullSafe(batch_hist["c"]))
+        .count()
+    )
+
+    w_cum = Window.orderBy("v")
+    w_all = Window.partitionBy()
+    cum = streamed.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.min("n").cast("bigint").alias("n_rows"),
+        F.min(F.when(F.col("cm") * 2 >= F.col("n"), F.col("v"))).alias(
+            "median_cents"
+        ),
+        F.min(F.when(F.col("cm") * 10 >= 9 * F.col("n"), F.col("v"))).alias(
+            "p90_cents"
+        ),
+        F.min(F.when(F.col("cm") * 100 >= 99 * F.col("n"), F.col("v"))).alias(
+            "p99_cents"
+        ),
+        F.lit(1 if mismatch == 0 else 0).alias("streamed_equals_batch"),
+        F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+    )
