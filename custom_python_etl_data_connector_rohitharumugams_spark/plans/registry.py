@@ -58,13 +58,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # set cover (DFS) over the tags the first-time cohort does not carry,
 # then a drop loop ejecting first-timers until 50 slots fit.
 #
-# Round-10 window (recomposed at round-10 start against the nine
-# committed CORRECTNESS files): 32 cover + 13 first-time = 45 slots,
-# where the first-timers are the COMPLETE round-9 post-freeze orphan
-# backlog (the VERDICT round-9 item-2 list) — the first window with zero
-# deferred queries. The 5 free slots absorb round-10 registrations; the
-# optimizer is re-run before round end so new queries enter the window
-# rather than orphaning.
+# Round-10 window (recomposed twice this round: at round start against
+# the nine committed CORRECTNESS files, then re-run at round end after
+# the six round-10 registrations landed): 30 cover + 19 first-time = 49
+# slots, zero deferred — the first-timers are the COMPLETE round-9
+# post-freeze orphan backlog (the VERDICT round-9 item-2 list) PLUS
+# every query registered this round (tar landing/roundtrip, streaming
+# observe + histogram maintenance, routed join, null-safe join). With
+# this window, round 10 is the first round where every registered query
+# can hold a committed driver CORRECTNESS row.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window
@@ -79,14 +81,12 @@ _PRIORITY: tuple[str, ...] = (
     "asof_next_purchase_within_2d",  # cover: J7 F2
     "connector_incremental_sync",  # cover: S1 S2 S3 S4 S7
     "connector_key_sanitization_report",  # cover: P3
-    "connector_shardsink_manifest",  # cover: S7b F8
     "dq_constraint_report",  # cover: P4 A5 F4 A2
     "join_range_price_bands",  # cover: J5 A1
-    "llm_bm25_search",  # cover: L3 L4 F5 A1 O2
     "llm_chunk_documents",  # cover: L6 F5
     "llm_corpus_build_e2e",  # cover: L1 L9 L12 L13 L10
     "llm_cosine_topk",  # cover: L3 J8 W4 F5
-    "llm_embedding_decontamination",  # cover: L9 L3 J3 A5
+    "llm_langid_ngram",  # cover: L4 F1 A1 W4
     "llm_neardup_degree_histogram",  # cover: L2 L11 A1 F5
     "llm_pii_scrub",  # cover: L8 F1
     "llm_sequence_packing",  # cover: L7 W3
@@ -101,23 +101,29 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_windows",  # cover: T3 W2
     "stream_sliding_event_volume",  # cover: T2
     "stream_static_join_enrichment",  # cover: T7 J1
-    "stream_stream_left_outer_interval_join",  # cover: T8 J6 F4
+    "stream_stream_interval_join",  # cover: T8 J6
     "udaf_weighted_avg_price",  # cover: A7 U2
     "udf_scalar_name_clean",  # cover: U1
     "udtf_fixed_width_parse",  # cover: U4 P5
     "agg_cms_heavy_hitters",  # first-time: A1 F8 O2
     "agg_histogram_quantiles",  # first-time: A6 A1 W3
     "connector_npy_embedding_landing",  # first-time: S6 L5 U3
+    "connector_tar_shard_landing",  # first-time: S6 L5 U3
+    "connector_tar_shard_roundtrip",  # first-time: S7b L5 U3
     "connector_xml_landing",  # first-time: S6 P5
     "dq_join_skew_profile",  # first-time: A1 A6 O3
     "dq_observed_pipeline_metrics",  # first-time: P2 A1 F3
+    "join_null_safe_event_buckets",  # first-time: J1 F4 A1
     "llm_compression_ratio_filter",  # first-time: L12 L14 U3
     "multimodal_dhash_near_dup",  # first-time: L5 L2 U3
     "multimodal_gif_decode",  # first-time: L5 U3
     "multimodal_mp4_samples",  # first-time: L5 U3
     "multimodal_npz_shards",  # first-time: L5 U3
     "multimodal_wav_spectral",  # first-time: L5 U3
+    "skew_profile_routed_join",  # first-time: J1 J3 A1
     "stream_cms_maintenance",  # first-time: S8 S9 A1 F8
+    "stream_histogram_quantile_maintenance",  # first-time: S8 S9 A6 A1
+    "stream_observed_pipeline_metrics",  # first-time: S8 S9 P2 A1
 )
 
 def priority_names() -> tuple[str, ...]:
