@@ -213,20 +213,38 @@ def main() -> None:
             json.dumps({"round": nxt, "keymap": keymap}, indent=1, sort_keys=True)
         )
 
-    # stdout carries 1-decimal per-query values: at 142 queries the
+    # stdout carries shrink-to-fit per-query values: at 142 queries the
     # 3-decimal form exceeded the driver's ~1.9 KB stdout tail and the
-    # fallback dropped the map entirely; full precision is in
-    # BENCH_DETAIL.json either way
-    line = json.dumps(
-        {
-            "metric": "total sec over all named queries (keymap: BENCH_DETAIL.json)",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(timings[n], 1) for k, n in sorted(keymap.items())},
-            "sf": sf_val,
-        },
-        separators=(",", ":"),
-    )
+    # fallback dropped the map entirely; at 200 queries even the
+    # 1-decimal form (1923 B) tripped the guard, losing the driver's
+    # per-query artifact for the round. So the line now degrades in
+    # PRECISION before it ever degrades in COVERAGE: 1-decimal seconds
+    # with x.0 collapsed to x, then integer seconds for values >= 1 s
+    # (sub-second per-query differences are under the 0.3 s noise floor
+    # anyway), and only then the empty-map fallback. Full 3-decimal
+    # timings are in BENCH_DETAIL.json either way; names resolve via the
+    # committed BENCH_KEYMAP_r{N}.json sidecar.
+    def _line(coarse: bool) -> str:
+        def enc(v: float):
+            r = round(v, 1)
+            if coarse and r >= 1:
+                return round(v)
+            return int(r) if r == int(r) else r
+
+        return json.dumps(
+            {
+                "metric": "total sec (keymap: BENCH_KEYMAP sidecar)",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: enc(timings[n]) for k, n in sorted(keymap.items())},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    line = _line(coarse=False)
+    if len(line) > 1900:
+        line = _line(coarse=True)
     if len(line) > 1900:  # belt-and-braces: never overflow the driver tail
         line = json.dumps(
             {
