@@ -493,3 +493,73 @@ def winnow_overlap_pairs(
         )
         .select("doc_id_1", "doc_id_2", "n_inter")
     )
+
+
+def duplicated_gram_positions(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup positions (Lee, Ippolito et al. — *Deduplicating
+    Training Data Makes Language Models Better*, ACL 2022 — the ExactSubstr
+    pass, re-expressed relationally): every corpus-wide repetition of a
+    ``k``-token run, EXCEPT its first occurrence, marks its covered token
+    positions for removal. Returns distinct ``(doc_id, pos)`` rows — the
+    tokens a single-pass substring-dedup rewrite would cut.
+
+    Semantics, stated precisely (all integer, so an oracle reproduces the
+    cutoff bit-exactly):
+    - tokens are whitespace-split with empties dropped; a doc with fewer
+      than ``k`` tokens emits no grams and is never cut;
+    - the FIRST occurrence of a gram value is the lexicographically
+      smallest (doc_id, pos) over the whole corpus — global, not
+      source-blocked: boilerplate repeated across sources is exactly what
+      substring dedup exists to cut;
+    - every other occurrence marks positions [pos, pos+k-1]; overlapping
+      marked ranges merge through the final DISTINCT;
+    - single pass (no cascade): removals do not create new adjacencies to
+      re-examine — the paper's semantics, and what keeps the operator one
+      deterministic plan.
+
+    Scale shape — the suffix-array stage of the paper replaced by
+    relational primitives: gram construction is the house-rule ROW form
+    (posexplode + lead, whole-stage codegen'd, one doc-keyed shuffle);
+    first-occurrence selection is a partial-aggregating ``groupBy(gram).
+    agg(min(struct(doc_id, pos)))`` — map-side combine collapses hot
+    boilerplate grams BEFORE the shuffle, so the gram exchange tracks
+    DISTINCT grams, not occurrences, and no per-gram sort or window ever
+    materializes a hot gram's full occurrence list on one task; the
+    occurrences-vs-first equi-join on gram is row-matched (linear in
+    occurrences, never quadratic — unlike pair-join dedup, repetition
+    MASS is the output here, so occurrence cardinality is irreducible);
+    the k-fold position explode is bounded by k * |duplicate grams|."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    firsts = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dup_occurrences = grams.join(firsts, "gram").where(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("pos") != F.col("first.pos"))
+    )
+    return (
+        dup_occurrences.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+            "pos",
+        )
+        .select("doc_id", (F.col("pos") + F.col("__i")).alias("pos"))
+        .distinct()
+    )

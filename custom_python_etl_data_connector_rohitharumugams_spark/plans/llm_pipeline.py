@@ -1076,3 +1076,96 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@query(
+    "llm_exact_substring_dedup",
+    tags=("L1", "L2", "A1"),
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_filter(string_split(COALESCE(text, ''), ' '),
+                           x -> x <> '') AS arr
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+        FROM d
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' ||
+               LEAD(tok, 2) OVER w AS gram
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ),
+    marked AS (
+        SELECT DISTINCT doc_id, pos + i AS mpos
+        FROM (SELECT doc_id, pos, unnest(range(0, 3)) AS i
+              FROM ranked WHERE rn > 1) t
+    ),
+    counts AS (SELECT doc_id, source, len(arr) AS n_tokens FROM d),
+    rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM marked GROUP BY doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(COALESCE(n_removed, 0)) AS BIGINT) AS tokens_removed,
+           CAST(SUM(CASE WHEN n_removed IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_affected
+    FROM counts LEFT JOIN rem USING (doc_id)
+    GROUP BY source
+    """,
+)
+def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup report (operators/dedup.
+    duplicated_gram_positions — Lee, Ippolito et al., ACL 2022): how many
+    tokens per source sit inside corpus-wide repeated 3-token runs beyond
+    each run's first occurrence — the removal mass of the paper's
+    ExactSubstr pass, the dedup tier BETWEEN exact-document (L1: whole
+    text identical) and near-dup (L2: mostly similar): it cuts verbatim
+    boilerplate embedded inside otherwise-unique documents, which neither
+    of the other tiers touches. The entire mark computation is integer
+    relational algebra (first occurrence = min (doc_id, pos) per gram via
+    a partial-aggregated groupBy, never a per-gram sort), so the DuckDB
+    oracle replays it exactly — a wrong first-occurrence rule, a missed
+    overlap merge, or an off-by-one in the k-window breaks the hash. At
+    corpus scale the paper's suffix array becomes this gram-postings
+    pipeline: shuffle currency is distinct grams (map-side combined), and
+    the duplicate-occurrence join is linear in repetition mass."""
+    from ..operators.dedup import duplicated_gram_positions
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    removals = duplicated_gram_positions(d, k=3)
+    counts = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                tokens(F.coalesce(F.col("text"), F.lit(""))),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("n_tokens"),
+    )
+    rem = removals.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        counts.join(rem, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.sum(F.col("n_removed").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("docs_affected"),
+        )
+    )

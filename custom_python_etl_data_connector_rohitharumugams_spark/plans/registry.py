@@ -60,11 +60,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-10 window (recomposed twice this round: at round start against
 # the nine committed CORRECTNESS files, then re-run at round end after
-# the six round-10 registrations landed): 30 cover + 19 first-time = 49
+# the six round-10 registrations landed): 30 cover + 20 first-time = 50
 # slots, zero deferred — the first-timers are the COMPLETE round-9
 # post-freeze orphan backlog (the VERDICT round-9 item-2 list) PLUS
 # every query registered this round (tar landing/roundtrip, streaming
-# observe + histogram maintenance, routed join, null-safe join). With
+# observe + histogram maintenance, routed join, null-safe join,
+# exact-substring dedup). With
 # this window, round 10 is the first round where every registered query
 # can hold a committed driver CORRECTNESS row.
 # tests/test_coverage.py asserts the backstop:
@@ -115,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_observed_pipeline_metrics",  # first-time: P2 A1 F3
     "join_null_safe_event_buckets",  # first-time: J1 F4 A1
     "llm_compression_ratio_filter",  # first-time: L12 L14 U3
+    "llm_exact_substring_dedup",  # first-time: L1 L2 A1
     "multimodal_dhash_near_dup",  # first-time: L5 L2 U3
     "multimodal_gif_decode",  # first-time: L5 U3
     "multimodal_mp4_samples",  # first-time: L5 U3

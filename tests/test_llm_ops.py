@@ -959,3 +959,42 @@ def test_bpe_driver_training_action_count_constant(spark, sf_dir):
     # old one-action-per-merge floor (6 merges used to cost >= 7 jobs
     # from the rounds alone).
     assert j6 == j3 <= 8, (j3, j6)
+
+
+def test_exact_substring_dedup_mark_semantics(spark):
+    """Hand-built corpus pins the ExactSubstr mark rules: the corpus-wide
+    FIRST occurrence of a repeated 3-gram survives, later occurrences
+    (cross-doc AND within-doc) mark their k token positions, overlapping
+    repeated runs merge through the distinct, and a doc shorter than k
+    tokens is never touched."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.dedup import (
+        duplicated_gram_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: the canonical first occurrence of "a b c" and "b c d"
+            (1, "a b c d"),
+            # doc 2: repeats the whole run "a b c d" -> grams "a b c" and
+            # "b c d" both duplicate; marks merge to positions 0..3
+            (2, "a b c d x"),
+            # doc 3: repeats "a b c" mid-doc -> marks positions 2..4 only
+            (3, "q r a b c s"),
+            # doc 4: within-doc repetition of "z z z": grams at pos 0 and
+            # 1 are both "z z z" -> first (pos 0) kept, pos 1 marks 1..3
+            (4, "z z z z"),
+            # doc 5: shorter than k -> no grams, never marked
+            (5, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos)
+        for r in duplicated_gram_positions(docs, k=3).collect()
+    }
+    want = (
+        {(2, p) for p in range(0, 4)}
+        | {(3, p) for p in range(2, 5)}
+        | {(4, p) for p in range(1, 4)}
+    )
+    assert got == want
