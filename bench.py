@@ -23,6 +23,55 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
+#: the driver records only the trailing ~2 KB of stdout; the JSON line
+#: must stay under this or the per-query map is lost for the round
+STDOUT_LINE_BUDGET = 1900
+
+
+def build_stdout_line(
+    timings: dict[str, float], keymap: dict[str, str], total: float, sf_val
+) -> str:
+    """Shrink-to-fit driver line (unit-tested at the live registry size):
+    precision degrades before coverage does — 1-decimal seconds with x.0
+    collapsed to x, then integer seconds for values >= 1 s (per-query
+    deltas under the 0.3 s noise floor are weather anyway), and only then
+    the empty-map fallback."""
+
+    def _line(coarse: bool) -> str:
+        def enc(v: float):
+            r = round(v, 1)
+            if coarse and r >= 1:
+                return round(v)
+            return int(r) if r == int(r) else r
+
+        return json.dumps(
+            {
+                "metric": "total sec (keymap: BENCH_KEYMAP sidecar)",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: enc(timings[n]) for k, n in sorted(keymap.items())},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    line = _line(coarse=False)
+    if len(line) > STDOUT_LINE_BUDGET:
+        line = _line(coarse=True)
+    if len(line) > STDOUT_LINE_BUDGET:  # never overflow the driver tail
+        line = json.dumps(
+            {
+                "metric": "total sec over all named queries (per-query: BENCH_DETAIL.json)",
+                "value": total,
+                "unit": "sec",
+                "queries": {},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -213,49 +262,13 @@ def main() -> None:
             json.dumps({"round": nxt, "keymap": keymap}, indent=1, sort_keys=True)
         )
 
-    # stdout carries shrink-to-fit per-query values: at 142 queries the
-    # 3-decimal form exceeded the driver's ~1.9 KB stdout tail and the
-    # fallback dropped the map entirely; at 200 queries even the
-    # 1-decimal form (1923 B) tripped the guard, losing the driver's
-    # per-query artifact for the round. So the line now degrades in
-    # PRECISION before it ever degrades in COVERAGE: 1-decimal seconds
-    # with x.0 collapsed to x, then integer seconds for values >= 1 s
-    # (sub-second per-query differences are under the 0.3 s noise floor
-    # anyway), and only then the empty-map fallback. Full 3-decimal
-    # timings are in BENCH_DETAIL.json either way; names resolve via the
-    # committed BENCH_KEYMAP_r{N}.json sidecar.
-    def _line(coarse: bool) -> str:
-        def enc(v: float):
-            r = round(v, 1)
-            if coarse and r >= 1:
-                return round(v)
-            return int(r) if r == int(r) else r
-
-        return json.dumps(
-            {
-                "metric": "total sec (keymap: BENCH_KEYMAP sidecar)",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: enc(timings[n]) for k, n in sorted(keymap.items())},
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
-
-    line = _line(coarse=False)
-    if len(line) > 1900:
-        line = _line(coarse=True)
-    if len(line) > 1900:  # belt-and-braces: never overflow the driver tail
-        line = json.dumps(
-            {
-                "metric": "total sec over all named queries (per-query: BENCH_DETAIL.json)",
-                "value": total,
-                "unit": "sec",
-                "queries": {},
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    # stdout carries shrink-to-fit per-query values (build_stdout_line:
+    # at 142 queries the 3-decimal form overflowed the driver's ~1.9 KB
+    # tail; at 200 even 1-decimal did. Precision degrades before
+    # coverage; the ladder is pinned by tests/test_bench_line.py at the
+    # live registry size). Full 3-decimal timings are in
+    # BENCH_DETAIL.json; names resolve via BENCH_KEYMAP_r{N}.json.
+    line = build_stdout_line(timings, keymap, total, sf_val)
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
     spark.stop()

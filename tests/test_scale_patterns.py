@@ -964,3 +964,25 @@ def test_route_join_broadcasts_small_dim(spark):
     routed.collect()
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_route_join_hash_ok_branch_plain_join(spark):
+    """A wide uniform key (n_keys above the broadcast ceiling, no skew)
+    routes to the plain hash join and still matches the direct join."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.skew import (
+        route_join,
+    )
+
+    fact = spark.range(50_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(5000)).alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    dim = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    )
+    routed, dec = route_join(fact, dim, on="k")
+    assert (dec["route"], dec["salt"]) == ("hash_ok", 0)
+    agg = lambda df: tuple(  # noqa: E731
+        df.agg(F.count(F.lit(1)), F.sum(F.col("v") * F.col("w"))).collect()[0]
+    )
+    assert agg(routed) == agg(fact.join(dim, "k"))
