@@ -158,9 +158,14 @@ def write_tar_shards(
             for _, row in pdf.sort_values(sample_col).iterrows():
                 key = f"{int(row[sample_col]):012d}"
                 text = row[text_col] if row[text_col] is not None else ""
+                # meta is BY CONTRACT already a JSON string; a NULL meta
+                # writes the JSON literal "null" (not Python's repr), so
+                # the member stays parseable and the decode side drops
+                # the sample through its normal no-label containment
+                meta = row[meta_col] if row[meta_col] is not None else "null"
                 members = {
                     f"{key}.txt": str(text).encode("utf-8"),
-                    f"{key}.json": str(row[meta_col]).encode("utf-8"),
+                    f"{key}.json": str(meta).encode("utf-8"),
                     f"{key}.bin": bytes(row[payload_col] or b""),
                 }
                 for name, body in members.items():
@@ -196,7 +201,15 @@ def decode_tar_shards(df: DataFrame) -> DataFrame:
     archive not a tar / truncated index -> no rows for the shard; sample
     missing any of the three members, member over the declared-size cap,
     text not UTF-8, or metadata not a JSON object with an integer
-    ``label`` -> no row for that sample only."""
+    ``label`` -> no row for that sample only.
+
+    Grouping is by the key STRING (the WebDataset identity): two members
+    whose keys differ only in zero-padding ("1" vs "001") are two
+    distinct samples that decode to the same integer ``sample_id`` — a
+    hostile archive can thus emit duplicate sample_ids, which downstream
+    aggregation keys on (shard_id, sample_id) like any other dirty-input
+    row; conforming writers (write_tar_shards) pad to a fixed width so
+    the case never arises on their output."""
     import io
     import json
     import tarfile
