@@ -245,20 +245,28 @@ def decode_tar_shards(df: DataFrame) -> DataFrame:
                             key, ext = ti.name.rsplit(".", 1)
                             if ext not in _SAMPLE_EXTS:
                                 continue
+                            m = samples.setdefault(key, {})
+                            if m.get(ext, b"") is None:
+                                # poison is STICKY: a later same-name
+                                # member must not resurrect a sample a
+                                # bomb/truncation already condemned
+                                continue
                             if ti.size > _MAX_TAR_MEMBER_BYTES:
                                 # poison the sample: a bomb-declared
                                 # member must not be read AND must not
                                 # leave a partial-looking sample behind
-                                samples.setdefault(key, {})[ext] = None
+                                m[ext] = None
                                 continue
                             fo = tf.extractfile(ti)
                             if fo is None:
                                 continue
                             body = fo.read()
                             if len(body) != ti.size:  # truncated payload
-                                samples.setdefault(key, {})[ext] = None
+                                m[ext] = None
                                 continue
-                            samples.setdefault(key, {})[ext] = body
+                            # duplicate healthy names: last wins, the
+                            # same resolution tarfile.extract applies
+                            m[ext] = body
                 except (tarfile.TarError, EOFError, OSError):
                     continue
                 for key in sorted(samples):

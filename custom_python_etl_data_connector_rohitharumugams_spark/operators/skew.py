@@ -52,18 +52,30 @@ SALT_CAP = 64
 
 
 def choose_route(
-    n_rows: int, n_keys: int, max_mult: int, parallelism: int = 32
+    n_rows: int,
+    n_keys: int,
+    max_mult: int,
+    dim_rows: int,
+    parallelism: int = 32,
 ) -> tuple[str, int]:
     """The profile -> plan-decision function, shared by the profiler
     query's ``recommendation`` column and :func:`route_join`: a
-    <=1000-key dimension broadcasts; a key whose max multiplicity is
-    >10x the mean salts; otherwise plain hash partitioning. The salt
-    factor is the smallest integer spreading the hot key's rows down to
-    the average reduce-partition size — ceil(max_mult * parallelism /
-    n_rows), integer arithmetic so any engine recomputes it exactly —
-    clamped to [2, SALT_CAP] (beyond the cap the dim replication cost
-    dominates what the extra spread buys)."""
-    if n_keys <= BROADCAST_KEY_CEILING:
+    <=1000-ROW dimension broadcasts (``dim_rows`` is the MEASURED right
+    side — the thing actually shipped to every executor; the fact key's
+    distinct count says nothing about dimension size when the dim
+    carries keys the fact never references); a key whose max
+    multiplicity is >10x the mean salts; otherwise plain hash
+    partitioning. The profiler query, which reports on ONE relation
+    with no concrete dim in hand, passes ``dim_rows = n_keys`` — the
+    row count of the smallest dim that could satisfy the join, i.e. its
+    recommendation reads "a (deduplicated) dimension on this key would
+    broadcast". The salt factor is the smallest integer spreading the
+    hot key's rows down to the average reduce-partition size —
+    ceil(max_mult * parallelism / n_rows), integer arithmetic so any
+    engine recomputes it exactly — clamped to [2, SALT_CAP] (beyond the
+    cap the dim replication cost dominates what the extra spread
+    buys)."""
+    if dim_rows <= BROADCAST_KEY_CEILING:
         return "broadcast_dim", 0
     if max_mult * n_keys > SALT_SKEW_FACTOR * n_rows:
         salt = (max_mult * parallelism + n_rows - 1) // n_rows
@@ -81,21 +93,33 @@ def route_join(
     """Profile-ROUTED equi-join: measure the left side's key distribution
     (one partial-aggregated pass — per-key counts reduce to three
     scalars, a bounded driver-side decision input by the same contract
-    as kmeans centers), feed it through :func:`choose_route`, and build
-    the plan the profile asks for — ``broadcast(right)``, a
+    as kmeans centers) AND the right side's row count (the broadcast
+    decision must see the frame it would ship, not an inference from the
+    fact's keys), feed both through :func:`choose_route`, and build the
+    plan the profile asks for — ``broadcast(right)``, a
     :func:`salted_join` with the computed factor, or the plain join.
     Returns ``(joined, decision)`` where ``decision`` carries
-    route/salt/n_rows/n_keys/max_mult so callers can emit the routing as
-    data (the registered query's oracle recomputes the identical CASE).
+    route/salt/n_rows/n_keys/max_mult/dim_rows so callers can emit the
+    routing as data (the registered query's oracle recomputes the
+    identical CASE).
+
+    Only inner and left joins are accepted — validated UP FRONT, because
+    the salt branch cannot honor right/full outer (salted_join
+    replicates the right side) and Spark cannot honor a broadcast hint
+    on the preserved side: an outer join must not crash or silently
+    degrade only on the data distributions that happen to route there.
 
     This is the DETECT -> MITIGATE wiring the skew playbook describes:
     dq_join_skew_profile computes exactly these statistics as a report;
     here they drive the physical plan, and the result is provably
     identical to the unsalted join (pytest-pinned; BENCH_SKEW.md's
     "routed" row measures the win on the planted power-law key). At
-    100 TB the profile pass amortizes trivially: it reads one column and
-    its shuffle is |distinct keys|, while the straggler it prevents is
-    the join stage's entire wall-clock."""
+    100 TB the profile pass amortizes trivially: the fact leg reads one
+    column with a |distinct keys| shuffle and the dim count is
+    metadata-cheap, while the straggler they prevent is the join
+    stage's entire wall-clock."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"route_join supports inner/left joins only, got {how!r}")
     stats = (
         left.groupBy(F.col(on))
         .agg(F.count(F.lit(1)).alias("m"))
@@ -111,13 +135,15 @@ def route_join(
         int(stats["n_keys"] or 0),
         int(stats["max_mult"] or 0),
     )
-    route, salt = choose_route(n_rows, n_keys, max_mult, parallelism)
+    dim_rows = right.count()
+    route, salt = choose_route(n_rows, n_keys, max_mult, dim_rows, parallelism)
     decision = {
         "route": route,
         "salt": salt,
         "n_rows": n_rows,
         "n_keys": n_keys,
         "max_mult": max_mult,
+        "dim_rows": dim_rows,
     }
     if route == "broadcast_dim":
         return left.join(F.broadcast(right), on, how), decision

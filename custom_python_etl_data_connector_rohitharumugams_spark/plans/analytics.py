@@ -347,21 +347,24 @@ def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT CAST(SUM(m) AS BIGINT) AS n_rows,
                CAST(COUNT(*) AS BIGINT) AS n_keys,
-               CAST(MAX(m) AS BIGINT) AS max_mult
+               CAST(MAX(m) AS BIGINT) AS max_mult,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS dim_rows
         FROM per_key
     ),
     dec AS (
-        SELECT CASE WHEN n_keys <= {BKC} THEN 'broadcast_dim'
+        SELECT dim_rows,
+               CASE WHEN dim_rows <= {BKC} THEN 'broadcast_dim'
                     WHEN max_mult * n_keys > {SSF} * n_rows THEN 'salt'
                     ELSE 'hash_ok' END AS route,
-               CAST(CASE WHEN n_keys <= {BKC}
+               CAST(CASE WHEN dim_rows <= {BKC}
                            OR max_mult * n_keys <= {SSF} * n_rows THEN 0
                          ELSE LEAST({CAP}, GREATEST(2,
                              (max_mult * 32 + n_rows - 1) // n_rows))
                     END AS BIGINT) AS salt
         FROM stats
     )
-    SELECT dec.route, dec.salt, j.c_mktsegment, j.cnt, j.total_price
+    SELECT dec.route, dec.salt, dec.dim_rows,
+           j.c_mktsegment, j.cnt, j.total_price
     FROM dec CROSS JOIN (
         SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
                ROUND(SUM(o_totalprice), 2) AS total_price
@@ -376,18 +379,21 @@ def skew_profile_routed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew playbook's DETECT -> MITIGATE wiring, end to end
     (operators/skew.route_join): profile the fact side's join-key
     distribution (per-key counts reduced to three scalars — the same
-    statistics dq_join_skew_profile reports), feed them through the
-    SHARED choose_route decision (imported constants, so profiler advice
-    and runtime routing cannot drift), and execute the plan the profile
-    asks for — broadcast for a small dim, a salted join with the
-    COMPUTED factor for a pathological key, plain hash otherwise. The
-    decision itself is emitted as data, and the oracle recomputes both
-    the decision CASE and the join aggregates from scratch — so a wrong
-    route, a mis-computed salt factor, OR any result deviation of the
-    routed plan from the plain join breaks the hash. Which branch fires
-    is scale-dependent by design (o_custkey is <=1000 keys at small sf
-    -> broadcast; wider and uniform at larger sf -> hash_ok); the salt
-    branch's win is measured on the planted power-law key in
+    statistics dq_join_skew_profile reports) AND the dimension's
+    MEASURED row count (the broadcast decision sees the frame it would
+    ship — a fact with few distinct keys must not broadcast a dim that
+    carries millions of unreferenced rows), feed both through the SHARED
+    choose_route decision (imported constants, so profiler advice and
+    runtime routing cannot drift), and execute the plan the profile asks
+    for — broadcast for a small dim, a salted join with the COMPUTED
+    factor for a pathological key, plain hash otherwise. The decision
+    itself is emitted as data (route, salt, dim_rows), and the oracle
+    recomputes both the decision CASE and the join aggregates from
+    scratch — so a wrong route, a mis-computed salt factor, OR any
+    result deviation of the routed plan from the plain join breaks the
+    hash. Which branch fires is scale-dependent by design (customer is
+    <=1000 rows at sf0.001 -> broadcast; bigger and uniform -> hash_ok);
+    the salt branch's win is measured on the planted power-law key in
     BENCH_SKEW.md's "routed" row and its byte-identity is pytest-pinned."""
     from ..operators.skew import route_join
 
@@ -405,6 +411,7 @@ def skew_profile_routed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit(dec["route"]).alias("route"),
             F.lit(dec["salt"]).cast("bigint").alias("salt"),
+            F.lit(dec["dim_rows"]).cast("bigint").alias("dim_rows"),
             "c_mktsegment",
             "cnt",
             "total_price",

@@ -534,6 +534,20 @@ def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_rows):
     return out
 
 
+def _landed_payloads(spark, out_dir: str, ext: str, id_alias: str):
+    """Read-side twin of _materialize_landing_dir: binaryFile scan over
+    the landing dir plus the (id, data) projection — the doc_%05d
+    zero-padding and anchored filename regex live HERE and in the
+    writer, nowhere else (they used to be copy-pasted per format and
+    would drift)."""
+    raw = spark.read.format("binaryFile").load(f"{out_dir}/*.{ext}")
+    return raw.select(
+        F.regexp_extract(F.col("path"), rf"doc_(\d+)\.{ext}$", 1)
+        .cast("long")
+        .alias(id_alias),
+        F.col("content").alias("data"),
+    )
+
 @query(
     "connector_binaryfile_media_landing",
     tags=("S6", "L5", "U3"),
@@ -584,14 +598,7 @@ def connector_binaryfile_media_landing(spark: SparkSession, sf_dir: str) -> Data
         docs.count(),
         lambda: ((r.doc_id, bytes(r.data)) for r in M.synth_gif(docs).collect()),
     )
-    raw = spark.read.format("binaryFile").load(f"{out}/*.gif")
-    payload = raw.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.gif$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("data"),
-    )
-    return M.decode_gif(payload)
+    return M.decode_gif(_landed_payloads(spark, out, "gif", "doc_id"))
 
 
 @query(
@@ -642,14 +649,7 @@ def connector_npy_embedding_landing(spark: SparkSession, sf_dir: str) -> DataFra
         docs.count(),
         lambda: ((r.doc_id, bytes(r.data)) for r in N.synth_npy(docs).collect()),
     )
-    raw = spark.read.format("binaryFile").load(f"{out}/*.npy")
-    payload = raw.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.npy$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("data"),
-    )
-    return N.decode_npy(payload)
+    return N.decode_npy(_landed_payloads(spark, out, "npy", "doc_id"))
 
 
 @query(
@@ -743,14 +743,7 @@ def connector_tar_shard_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in T.synth_tar_shards(shards).collect()
         ),
     )
-    raw = spark.read.format("binaryFile").load(f"{out}/*.tar")
-    payload = raw.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.tar$", 1)
-        .cast("long")
-        .alias("shard_id"),
-        F.col("content").alias("data"),
-    )
-    return T.decode_tar_shards(payload)
+    return T.decode_tar_shards(_landed_payloads(spark, out, "tar", "shard_id"))
 
 
 @query(
@@ -816,14 +809,9 @@ def connector_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         for r in T.write_tar_shards(samples, out_dir).collect()
     }
 
-    raw = spark.read.format("binaryFile").load(f"{out_dir}/*.tar")
-    payload = raw.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.tar$", 1)
-        .cast("long")
-        .alias("shard_id"),
-        F.col("content").alias("data"),
+    decoded = T.decode_tar_shards(
+        _landed_payloads(spark, out_dir, "tar", "shard_id")
     )
-    decoded = T.decode_tar_shards(payload)
     mrows = spark.createDataFrame(
         [(k, v) for k, v in sorted(manifest.items())],
         "shard_id long, manifest_n long",

@@ -55,6 +55,59 @@ def _stream_state_conf(spark: SparkSession):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _run_replay_foreachbatch(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    sink,
+    transform=None,
+    timeout: int = 300,
+):
+    """ONE copy of the replayed-foreachBatch scaffold shared by the
+    streaming-maintenance queries (CMS grids, observed metrics, histogram
+    quantiles): time-sliced replay source (maxFilesPerTrigger=1 => real
+    micro-batch boundaries), deterministic per-(tag, sf) parquet log dir
+    CLEARED at invocation start (the log must outlive the call for the
+    returned lazy plans, so a mkdtemp per run would leak one dir per
+    bench/driver execution — bounded to one per tag+sf instead), one-shot
+    checkpoint removed after termination, and the 300 s hang guard.
+    ``transform`` (optional) maps the streaming source frame before the
+    sink — e.g. observe() instrumentation; ``sink`` is a FACTORY
+    ``sink(log_dir) -> foreachBatch body`` so the batch writer is built
+    against the helper-owned log path. Returns ``(log_dir, query)`` —
+    the query object is terminated, kept for progress-ledger readers."""
+    import shutil
+    import tempfile
+
+    from ..streaming.replay import events_stream, split_events_for_replay
+
+    safe = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    replay_dir = split_events_for_replay(
+        spark, sf_dir, f"{tempfile.gettempdir()}/sg_{tag}_{safe}_replay"
+    )
+    log_dir = f"{tempfile.gettempdir()}/sg_{tag}_log_{safe}"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    cp = tempfile.mkdtemp(prefix=f"sg_{tag}_cp_")
+
+    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    if transform is not None:
+        sdf = transform(sdf)
+    with _stream_state_conf(spark):
+        q = (
+            sdf.writeStream.foreachBatch(sink(log_dir))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout):
+                q.stop()
+                raise RuntimeError(f"{tag} replay did not finish in {timeout} s")
+        finally:
+            shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
+    return log_dir, q
+
+
 @query(
     "stream_tumbling_event_counts",
     tags=("T1",),
@@ -865,50 +918,20 @@ def stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi_batch asserts the replay genuinely ran >= 2 micro-batches
     (maxFilesPerTrigger=1 over 3 slices), so the equality is a
     cross-batch statement, not a one-batch tautology."""
-    import shutil
-    import tempfile
-
     from ..operators.sketches import cms_build, cms_eps_bound, cms_estimate
-    from ..streaming.replay import events_stream, split_events_for_replay
 
-    replay_dir = split_events_for_replay(
-        spark,
-        sf_dir,
-        f"{tempfile.gettempdir()}/sg_cms_{os.path.basename(sf_dir.rstrip('/'))}_replay",
-    )
-    # deterministic per-sf log dir, cleared at invocation start: the log
-    # must outlive this function (the returned plan reads it lazily), so
-    # a fresh mkdtemp per run would leak one grid dir per bench/driver
-    # execution — bounding it to one dir per scale factor instead
-    log_dir = (
-        f"{tempfile.gettempdir()}/sg_cms_log_"
-        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    )
-    shutil.rmtree(log_dir, ignore_errors=True)
-    cp = tempfile.mkdtemp(prefix="sg_cms_cp_")
+    def _sink(log_dir: str):
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                cms_build(batch_df.select("user_id"), "user_id")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(log_dir)
+            )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            cms_build(batch_df.select("user_id"), "user_id")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(log_dir)
-        )
+        return write
 
-    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
-    with _stream_state_conf(spark):
-        q = (
-            sdf.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("CMS replay query did not finish in 300 s")
-        finally:
-            shutil.rmtree(cp, ignore_errors=True)  # one-shot replay: no resume
+    log_dir, _q = _run_replay_foreachbatch(spark, sf_dir, "cms", _sink)
 
     log = spark.read.parquet(log_dir).dropDuplicates(
         ["batch_id", "seed", "bucket", "cnt"]
@@ -988,45 +1011,34 @@ def stream_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFr
     statements. The DuckDB oracle then recomputes all four counters from
     the raw events table — so a broken observation (missed batch, dropped
     metric, double count) breaks the value hash, not just a boolean."""
-    import shutil
-    import tempfile
     import time
 
     from pyspark.sql.streaming import StreamingQueryListener
 
-    from ..streaming.replay import events_stream, split_events_for_replay
-
-    replay_dir = split_events_for_replay(
-        spark,
-        sf_dir,
-        f"{tempfile.gettempdir()}/sg_obs_{os.path.basename(sf_dir.rstrip('/'))}_replay",
-    )
-    log_dir = (
-        f"{tempfile.gettempdir()}/sg_obs_log_"
-        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    )
-    shutil.rmtree(log_dir, ignore_errors=True)
-    cp = tempfile.mkdtemp(prefix="sg_obs_cp_")
-
     class _ObsListener(StreamingQueryListener):
-        """batchId-keyed observed-metrics accumulator (async delivery:
-        events arrive on a listener-bus thread, possibly after the query
-        terminates — the poll below waits for it to catch up)."""
+        """(query id, batchId)-keyed observed-metrics accumulator. Events
+        are bucketed PER QUERY ID as they arrive and the caller selects
+        its own query's bucket after start() — no filter-at-delivery
+        race: the bus can deliver batch 0 before the caller even learns
+        its query id, and a stale event from an earlier query in the
+        session must never land in this run's totals. Delivery is async
+        (a listener-bus thread, possibly after the query terminates);
+        the poll below waits for it to catch up."""
 
         def __init__(self) -> None:
-            self.batches: dict[int, dict] = {}
-            self.query_id: str | None = None
+            self.by_query: dict[str, dict[int, dict]] = {}
+
+        def batches_for(self, query_id: str) -> dict[int, dict]:
+            return self.by_query.get(query_id, {})
 
         def onQueryStarted(self, event) -> None:  # noqa: N802
             pass
 
         def onQueryProgress(self, event) -> None:  # noqa: N802
             p = event.progress
-            if self.query_id is not None and str(p.id) != self.query_id:
-                return
             om = p.observedMetrics
             if om:
-                self.batches[p.batchId] = dict(om)
+                self.by_query.setdefault(str(p.id), {})[p.batchId] = dict(om)
 
         def onQueryIdle(self, event) -> None:  # noqa: N802
             pass
@@ -1034,44 +1046,37 @@ def stream_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFr
         def onQueryTerminated(self, event) -> None:  # noqa: N802
             pass
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(log_dir)
-        )
+    def _sink(log_dir: str):
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(log_dir)
+            )
+
+        return write
 
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    staged = events_stream(spark, replay_dir, max_files_per_trigger=1).observe(
-        "obs_in", F.count(F.lit(1)).alias("rows_in")
-    )
-    out = staged.where(
-        (F.col("event_type") == "click") & (F.col("value") >= 5.0)
-    ).observe(
-        "obs_out",
-        F.count(F.lit(1)).alias("rows_out"),
-        F.sum(cents).alias("value_cents_out"),
-    )
+
+    def _instrument(sdf: DataFrame) -> DataFrame:
+        return (
+            sdf.observe("obs_in", F.count(F.lit(1)).alias("rows_in"))
+            .where((F.col("event_type") == "click") & (F.col("value") >= 5.0))
+            .observe(
+                "obs_out",
+                F.count(F.lit(1)).alias("rows_out"),
+                F.sum(cents).alias("value_cents_out"),
+            )
+            .select("event_id", "event_type", "value")
+        )
 
     listener = _ObsListener()
     spark.streams.addListener(listener)
     try:
-        with _stream_state_conf(spark):
-            q = (
-                out.select("event_id", "event_type", "value")
-                .writeStream.foreachBatch(_sink)
-                .option("checkpointLocation", cp)
-                .trigger(availableNow=True)
-                .start()
-            )
-            listener.query_id = str(q.id)
-            try:
-                if not q.awaitTermination(300):
-                    q.stop()
-                    raise RuntimeError("observe replay did not finish in 300 s")
-            finally:
-                shutil.rmtree(cp, ignore_errors=True)  # one-shot replay
-
+        log_dir, q = _run_replay_foreachbatch(
+            spark, sf_dir, "obs", _sink, transform=_instrument
+        )
+        qid = str(q.id)
         # the synchronous in-plan ledger: batchId -> observed metrics
         inplan: dict[int, dict] = {}
         for p in q.recentProgress:
@@ -1093,10 +1098,15 @@ def stream_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFr
         # async listener: wait (bounded) until it has every in-plan batch
         deadline = time.monotonic() + 30
         while (
-            set(inplan) - set(listener.batches) and time.monotonic() < deadline
+            set(inplan) - set(listener.batches_for(qid))
+            and time.monotonic() < deadline
         ):
             time.sleep(0.1)
-        listener_ok = _totals(listener.batches) == (rows_in, rows_out, cents_out)
+        listener_ok = _totals(listener.batches_for(qid)) == (
+            rows_in,
+            rows_out,
+            cents_out,
+        )
     finally:
         spark.streams.removeListener(listener)
 
@@ -1176,50 +1186,23 @@ def stream_histogram_quantile_maintenance(
     argument applied to histogram cells. multi_batch pins >= 2 real
     micro-batch boundaries (maxFilesPerTrigger=1), making the equality a
     cross-batch statement."""
-    import shutil
-    import tempfile
-
-    from ..streaming.replay import events_stream, split_events_for_replay
-
-    replay_dir = split_events_for_replay(
-        spark,
-        sf_dir,
-        f"{tempfile.gettempdir()}/sg_hq_{os.path.basename(sf_dir.rstrip('/'))}_replay",
-    )
-    log_dir = (
-        f"{tempfile.gettempdir()}/sg_hq_log_"
-        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    )
-    shutil.rmtree(log_dir, ignore_errors=True)
-    cp = tempfile.mkdtemp(prefix="sg_hq_cp_")
-
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.where(F.col("value").isNotNull())
-            .select(cents.alias("v"))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(log_dir)
-        )
+    def _sink(log_dir: str):
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.where(F.col("value").isNotNull())
+                .select(cents.alias("v"))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(log_dir)
+            )
 
-    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
-    with _stream_state_conf(spark):
-        q = (
-            sdf.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("histogram replay did not finish in 300 s")
-        finally:
-            shutil.rmtree(cp, ignore_errors=True)  # one-shot replay
+        return write
+
+    log_dir, _q = _run_replay_foreachbatch(spark, sf_dir, "hq", _sink)
 
     log = spark.read.parquet(log_dir).dropDuplicates(["batch_id", "v", "c"])
     n_batches = log.select("batch_id").distinct().count()

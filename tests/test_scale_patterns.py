@@ -940,9 +940,12 @@ def test_route_join_salts_planted_power_law_and_matches_naive(spark):
 
     assert max_share(["k", "__salt"]) * 4 <= max_share(["k"])
 
-    # decision function unit checks: the other two branches
-    assert choose_route(10_000, 900, 20)[0] == "broadcast_dim"
-    assert choose_route(10_000, 5000, 15)[0] == "hash_ok"
+    # decision function unit checks: the other two branches, plus the
+    # huge-dim case the fact profile alone cannot see (few fact keys but
+    # a non-broadcastable right side -> must NOT broadcast)
+    assert choose_route(10_000, 900, 20, dim_rows=900)[0] == "broadcast_dim"
+    assert choose_route(10_000, 5000, 15, dim_rows=5000)[0] == "hash_ok"
+    assert choose_route(10_000, 900, 20, dim_rows=50_000_000)[0] == "hash_ok"
 
 
 def test_route_join_broadcasts_small_dim(spark):

@@ -171,3 +171,34 @@ def test_write_tar_shards_conforming_and_atomic(spark, tmp_path):
         (1, 2): (3, 2, 1, 5),
     }
     assert os.path.basename(manifest[0][1]) == "doc_00000.tar"
+
+
+def test_tar_bomb_poison_is_sticky_against_duplicate_names(spark):
+    """Review regression: a later same-name member must NOT resurrect a
+    sample a bomb-declared header already condemned — build an archive
+    where x.bin first declares 1 GiB (header only, no body) and a second
+    healthy x.bin follows; the sample stays dead while a sibling sample
+    lands."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+
+        def add(name: str, body: bytes, declared: int | None = None) -> None:
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(body) if declared is None else declared
+            tf.addfile(ti, io.BytesIO(body))
+
+        add("000000000009.txt", b"ttt")
+        add("000000000009.json", json.dumps({"label": 4}).encode())
+        # genuinely over-cap member (a real 64 MiB+1 body keeps the walk
+        # in sync, so the DUPLICATE-NAME path is what gets exercised —
+        # the desynced-walk variant is test_tar_bomb_declared_member_*)
+        add("000000000009.bin", b"\x00" * (T._MAX_TAR_MEMBER_BYTES + 1))
+        add("000000000009.bin", b"\x01\x02")
+        add("000000000011.txt", b"tt")
+        add("000000000011.json", json.dumps({"label": 7}).encode())
+        add("000000000011.bin", b"\x05")
+    out = T.decode_tar_shards(
+        spark.createDataFrame([(9, buf.getvalue())], "shard_id long, data binary")
+    ).collect()
+    assert all(r.sample_id != 9 for r in out)
+    assert {r.sample_id for r in out} <= {11}
