@@ -792,6 +792,85 @@ def ivf_frozen_add_topk(
     )
 
 
+def ivf_frozen_delete_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    tombstones: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DELETE support for the frozen index — the third verb of the index
+    lifecycle after train-once and add-forever (FAISS ``remove_ids`` /
+    IDSelector masking, re-expressed relationally): ``tombstones`` is a
+    1-column frame of deleted ids, and the mask is ONE left-anti join
+    applied BEFORE the probe, so tombstoned vectors never enter a cell
+    scan, a GEMM batch, or a rank window — deletion costs id-comparison
+    work, never vector movement, and the index structure (frozen
+    centers, cell assignments) is untouched. At 100 TB the tombstone set
+    shuffles ids only (or broadcasts while small), which is why deletes
+    stay O(|deletes|) until the compaction the load report below
+    schedules.
+
+    Semantics: exactly :func:`ivf_frozen_add_topk` over the live subset
+    — a deleted id can never be returned, and ranks re-close over the
+    remaining corpus (pytest-pinned against brute force on the live
+    set)."""
+    live = corpus.join(
+        tombstones.select(F.col(tombstones.columns[0]).alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+    return ivf_frozen_add_topk(
+        queries,
+        live,
+        centers,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def tombstone_load_report(
+    corpus: DataFrame,
+    tombstones: DataFrame,
+    rebuild_ppm: int = 200_000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The COMPACTION TRIGGER for tombstoned indexes, integer-ppm like
+    cell_occupancy_drift: one row ``(n_total, n_deleted, deleted_ppm,
+    rebuild)`` where ``deleted_ppm = matched-tombstone-count * 10^6 div
+    n_total`` and ``rebuild = deleted_ppm > rebuild_ppm``. The mask join
+    wastes exactly the deleted fraction of every scan, so when it passes
+    the threshold (default 20%) rebuilding the index is cheaper than
+    carrying the dead weight — the same decide-from-cheap-counters shape
+    as the drift trigger, and only tombstones that actually HIT the
+    corpus count (a stale tombstone for a never-indexed id wastes no
+    scan work)."""
+    ids = corpus.select(F.col(id_col))
+    dead = tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
+    flagged = ids.join(dead.withColumn("__t", F.lit(1)), id_col, "left")
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_deleted"),
+        )
+        .select(
+            "n_total",
+            "n_deleted",
+            F.expr("n_deleted * 1000000L div n_total").alias("deleted_ppm"),
+            (F.expr("n_deleted * 1000000L div n_total") > rebuild_ppm).alias(
+                "rebuild"
+            ),
+        )
+    )
+
+
 def cell_occupancy_drift(
     base_assign: DataFrame,
     batch_assign: DataFrame,

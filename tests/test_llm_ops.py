@@ -998,3 +998,63 @@ def test_exact_substring_dedup_mark_semantics(spark):
         | {(4, p) for p in range(1, 4)}
     )
     assert got == want
+
+
+def test_frozen_delete_masks_tombstones_and_recloses_ranks(spark):
+    """The index lifecycle's DELETE verb (ivf_frozen_delete_topk): plant
+    an identical twin for every query vector (guaranteed rank-1 by
+    cosine 1.0), tombstone the twins, and the deleted ids must (a) never
+    appear in any result and (b) with exhaustive probing the survivors
+    must equal brute force over the LIVE corpus exactly — deletion
+    re-closes ranks, it does not leave holes."""
+    import math
+
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    twins = e.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + OFFSET
+    )
+    corpus = e.unionByName(twins)
+    n_lists = max(5, math.ceil(math.sqrt(corpus.count())))
+    _, _, centers = S.kmeans_train(e, k=n_lists, iters=2, return_centers=True)
+    q = e.where(F.col("vec_id") < 20)
+    dead = twins.select("vec_id")
+
+    got = S.ivf_frozen_delete_topk(
+        q, corpus, centers, dead, k=3, nprobe=n_lists
+    ).toPandas()
+    assert not (got.neighbor_id >= OFFSET).any(), "tombstoned id returned"
+    live_bf = S.cosine_topk(q, e, k=3).toPandas()
+    key = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, live_bf[key].values.tolist())
+    )
+    # sanity: without the tombstones the twins DO win rank 1
+    with_dead = S.ivf_frozen_add_topk(
+        q, corpus, centers, k=1, nprobe=n_lists
+    ).toPandas()
+    assert (with_dead.neighbor_id >= OFFSET).all()
+
+
+def test_tombstone_load_report_threshold_and_stale_ids(spark):
+    """Compaction trigger arithmetic: integer ppm over MATCHED tombstones
+    only (a stale tombstone for a never-indexed id wastes no scan work
+    and must not count), rebuild fires strictly above the threshold."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+        tombstone_load_report,
+    )
+
+    corpus = spark.range(1000).select(F.col("id").alias("vec_id"))
+    # 199 real + 500 stale tombstones -> 199_000 ppm: under the 20% gate
+    dead_under = spark.range(199).select(F.col("id").alias("vec_id")).unionByName(
+        spark.range(5000, 5500).select(F.col("id").alias("vec_id"))
+    )
+    r = tombstone_load_report(corpus, dead_under).collect()[0]
+    assert (r.n_total, r.n_deleted, r.deleted_ppm, r.rebuild) == (
+        1000,
+        199,
+        199_000,
+        False,
+    )
+    dead_over = spark.range(201).select(F.col("id").alias("vec_id"))
+    r2 = tombstone_load_report(corpus, dead_over).collect()[0]
+    assert (r2.n_deleted, r2.deleted_ppm, r2.rebuild) == (201, 201_000, True)
