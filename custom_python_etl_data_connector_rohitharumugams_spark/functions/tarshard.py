@@ -174,6 +174,10 @@ def write_tar_shards(
                     tf.addfile(ti, io.BytesIO(body))
                 n += 1
         data = buf.getvalue()
+        # the driver-side makedirs above only covers single-node runs; on
+        # a cluster each executor writes to ITS view of out_dir, so the
+        # sink must be self-contained per task (idempotent, race-safe)
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"doc_{sid:05d}.tar")
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:

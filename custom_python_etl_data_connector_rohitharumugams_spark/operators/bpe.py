@@ -229,10 +229,14 @@ def bpe_train(
     skips the count; ``"rounds"`` forces the distributed per-round form
     (:func:`_bpe_train_rounds`), the escape hatch for a vocabulary that
     genuinely exceeds driver memory. Both paths produce the identical
-    merge table, final state, and pair totals (pytest-pinned; note the
-    driver path splits words by Python code point while the rounds path
-    splits by Spark's UTF-16 — identical on BMP text, which the
-    whitespace word fixtures are)."""
+    merge table, final state, and pair totals on ANY text, non-BMP
+    included (pytest-pinned on an emoji/astral-CJK fixture): both split
+    words by CODE POINT (Python ``list(word)`` driver-side; Spark's
+    ``split(word, '')`` is Java-regex zero-width splitting, which never
+    lands inside a surrogate pair — verified empirically, U+1F600 stays
+    one symbol), and both tie-break in code-point order (Python string
+    compare ≡ UTF8String's UTF-8 binary compare), so ``auto`` switching
+    strategies on vocabulary size can never change the learned model."""
     if strategy == "rounds":
         return _bpe_train_rounds(words, n_merges, min_pair_freq)
     if strategy == "auto" and words.count() > max_driver_words:

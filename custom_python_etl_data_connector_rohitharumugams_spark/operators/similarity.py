@@ -849,24 +849,34 @@ def tombstone_load_report(
     carrying the dead weight — the same decide-from-cheap-counters shape
     as the drift trigger, and only tombstones that actually HIT the
     corpus count (a stale tombstone for a never-indexed id wastes no
-    scan work)."""
+    scan work).
+
+    The tombstone side is ``distinct()``-ed before the join: a delete
+    log plausibly records the same id many times (retries, idempotent
+    re-deletes), and ivf_frozen_delete_topk's left_anti mask tolerates
+    that — but a plain left join would fan each corpus row out once per
+    duplicate, misreporting BOTH n_total and n_deleted. An empty corpus
+    yields the contained row (0, 0, 0, false) rather than NULL ppm."""
     ids = corpus.select(F.col(id_col))
-    dead = tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
+    dead = (
+        tombstones.select(F.col(tombstones.columns[0]).alias(id_col)).distinct()
+    )
     flagged = ids.join(dead.withColumn("__t", F.lit(1)), id_col, "left")
+    ppm = F.expr(
+        "CASE WHEN n_total = 0 THEN 0L ELSE n_deleted * 1000000L div n_total END"
+    )
     return (
         flagged.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_total"),
-            F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+            F.coalesce(F.sum(F.coalesce(F.col("__t"), F.lit(0))), F.lit(0))
             .cast("bigint")
             .alias("n_deleted"),
         )
         .select(
             "n_total",
             "n_deleted",
-            F.expr("n_deleted * 1000000L div n_total").alias("deleted_ppm"),
-            (F.expr("n_deleted * 1000000L div n_total") > rebuild_ppm).alias(
-                "rebuild"
-            ),
+            ppm.alias("deleted_ppm"),
+            (ppm > rebuild_ppm).alias("rebuild"),
         )
     )
 

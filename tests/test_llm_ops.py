@@ -930,6 +930,43 @@ def test_bpe_driver_and_rounds_paths_agree(spark, sf_dir):
     assert got_drv == got_rnd
 
 
+def test_bpe_paths_agree_on_non_bmp_text(spark):
+    """strategy='auto' switches between the driver finish and the
+    distributed rounds purely on vocabulary size, so the two paths must
+    learn the identical model even on astral-plane text (emoji, CJK
+    extension B) — i.e. the split and the tie-break must both be
+    code-point-based on BOTH paths (Python list(word) vs Spark
+    split(word,''), Python string compare vs UTF8String byte compare).
+    A surrogate-pair-splitting engine would learn lone-surrogate
+    symbols here and the merge tables would diverge."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators import bpe as B
+
+    words = spark.createDataFrame(
+        [
+            ("\U0001F600\U0001F600ab", 7),   # emoji pair + ascii tail
+            ("\U00020000\U0001F600ab", 5),   # CJK-B then emoji
+            ("ab\ue000c", 4),  # BMP private-use char just above surrogates
+            ("\U0001F600ab", 3),
+        ],
+        "word string, cnt long",
+    )
+    m_drv, st_drv, t_drv = B.bpe_train(words, n_merges=4, strategy="driver")
+    m_rnd, st_rnd, t_rnd = B.bpe_train(words, n_merges=4, strategy="rounds")
+    assert m_drv == m_rnd
+    assert t_drv == t_rnd
+    got_drv = {r.word: list(r.syms) for r in st_drv.collect()}
+    got_rnd = {r.word: list(r.syms) for r in st_rnd.collect()}
+    st_rnd.unpersist()
+    assert got_drv == got_rnd
+    # the astral chars were treated as ONE symbol each — no symbol on
+    # either path may contain a lone surrogate code unit
+    for got in (got_drv, got_rnd):
+        for syms in got.values():
+            for s in syms:
+                assert not any("\ud800" <= ch <= "\udfff" for ch in s), s
+    assert any("\U0001F600" in s for s in got_drv["\U0001F600ab"])
+
+
 def test_bpe_driver_training_action_count_constant(spark, sf_dir):
     """The batched-training cost model, pinned: driver-side training runs
     a CONSTANT number of Spark jobs (vocab count + vocab collect, +1 for
@@ -1058,3 +1095,22 @@ def test_tombstone_load_report_threshold_and_stale_ids(spark):
     dead_over = spark.range(201).select(F.col("id").alias("vec_id"))
     r2 = tombstone_load_report(corpus, dead_over).collect()[0]
     assert (r2.n_deleted, r2.deleted_ppm, r2.rebuild) == (201, 201_000, True)
+    # a delete log with RETRIES (duplicate ids) must not fan out the join:
+    # n_total stays the corpus size and each id counts once
+    dead_dup = dead_under.unionByName(dead_under).unionByName(dead_under)
+    r3 = tombstone_load_report(corpus, dead_dup).collect()[0]
+    assert (r3.n_total, r3.n_deleted, r3.deleted_ppm, r3.rebuild) == (
+        1000,
+        199,
+        199_000,
+        False,
+    )
+    # empty corpus: contained (0,0,0,false) row, never a NULL ppm
+    empty = corpus.where(F.lit(False))
+    r4 = tombstone_load_report(empty, dead_under).collect()[0]
+    assert (r4.n_total, r4.n_deleted, r4.deleted_ppm, r4.rebuild) == (
+        0,
+        0,
+        0,
+        False,
+    )

@@ -76,6 +76,14 @@ def main() -> None:
     shared = sorted(set(base) & set(cur))
     cur_s = sum(cur[k] for k in shared)
     base_s = sum(base[k] for k in shared)
+    if not shared or base_s == 0:
+        # one artifact carried the empty-map fallback (queries={}) or the
+        # keymaps are disjoint — a ratio is undefined; say so, don't crash
+        raise SystemExit(
+            f"no shared queries to compare ({len(base)} base / {len(cur)} "
+            "current) — one artifact likely carries the empty-map stdout "
+            "fallback; re-run bench or pass its BENCH_KEYMAP sidecar"
+        )
     print(f"registered queries: {len(cur)} (total {sum(cur.values()):.1f} s)")
     print(
         f"shared with baseline: {len(shared)} — {cur_s:.1f} s vs {base_s:.1f} s"
