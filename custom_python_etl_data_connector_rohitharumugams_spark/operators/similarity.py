@@ -792,6 +792,20 @@ def ivf_frozen_add_topk(
     )
 
 
+def _mask_tombstones(
+    corpus: DataFrame, tombstones: DataFrame, id_col: str
+) -> DataFrame:
+    """The one tombstone-mask definition (DELETE verb + compaction share
+    it): left-anti the corpus against the tombstone frame's first column.
+    left_anti is duplicate-tolerant by construction, so a delete log with
+    retries masks identically to its distinct set."""
+    return corpus.join(
+        tombstones.select(F.col(tombstones.columns[0]).alias(id_col)),
+        id_col,
+        "left_anti",
+    )
+
+
 def ivf_frozen_delete_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -818,11 +832,7 @@ def ivf_frozen_delete_topk(
     — a deleted id can never be returned, and ranks re-close over the
     remaining corpus (pytest-pinned against brute force on the live
     set)."""
-    live = corpus.join(
-        tombstones.select(F.col(tombstones.columns[0]).alias(id_col)),
-        id_col,
-        "left_anti",
-    )
+    live = _mask_tombstones(corpus, tombstones, id_col)
     return ivf_frozen_add_topk(
         queries,
         live,
@@ -879,6 +889,58 @@ def tombstone_load_report(
             (ppm > rebuild_ppm).alias("rebuild"),
         )
     )
+
+
+def ivf_compact(
+    corpus: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    tombstones: DataFrame,
+    retrain: bool = False,
+    n_lists: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """The COMPACTION ACTION :func:`tombstone_load_report` schedules —
+    the relational form of FAISS's rebuild-after-remove_ids: materialize
+    the live set (tombstones dropped for good, so every later scan stops
+    paying the mask join and the dead fraction of each cell) and return
+    ``(live_corpus, centers)`` ready for :func:`ivf_frozen_add_topk`
+    with NO tombstone argument — deleted mass back to exactly 0.
+
+    Two modes, matching how damaged the index is:
+
+    - ``retrain=False`` (reassign, the default): keep the FROZEN centers.
+      Deletion never moves a surviving vector, so every live vector's
+      nearest-center cell is unchanged — compaction is ONE anti-join and
+      the index structure over the live set is IDENTICAL pre/post
+      (pytest-pinned cell-map equality). This is the cheap path the
+      report's ppm trigger normally fires: cost O(corpus) scan, no
+      training, no extra shuffle beyond the mask.
+    - ``retrain=True``: deletes were skewed enough that the old centers
+      no longer describe the live distribution (the cell_occupancy_drift
+      signal, post-mask) — train a fresh sqrt-rule quantizer on the live
+      set. Search results at exhaustive probe are unchanged either way
+      (the quantizer only routes; pytest pins post-retrain top-k ==
+      brute force on the live set).
+
+    At 100 TB: reassign-compaction is a single left-anti shuffle of ids
+    (or broadcast while the tombstone set is small) feeding the rewrite
+    of the index's storage — exactly the cost profile a production
+    rebuild wants; retrain adds the sampled Lloyd's passes
+    :func:`kmeans_train` already bounds."""
+    live = _mask_tombstones(corpus, tombstones, id_col)
+    if not retrain:
+        return live, centers
+    import math
+
+    if n_lists is None:
+        n_lists = max(5, math.ceil(math.sqrt(live.count())))
+    _, _inertias, new_centers = kmeans_train(
+        live, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col,
+        return_centers=True,
+    )
+    return live, new_centers
 
 
 def cell_occupancy_drift(

@@ -1135,6 +1135,226 @@ def llm_frozen_index_drift_trigger(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "llm_ann_frozen_delete_topk",
+    tags=("L3", "W4"),
+    oracle=f"""
+    WITH {COSINE_TOPK_CTES}
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim FROM exact_topk
+    """,
+)
+def llm_ann_frozen_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index lifecycle's DELETE verb under a ROW-EXACT planted-twin
+    oracle (operators/similarity.ivf_frozen_delete_topk — FAISS
+    ``remove_ids`` as one left-anti mask BEFORE the probe): plant a
+    byte-identical twin of every query vector (negative ids — a-priori
+    collision-free at every tier, including the replicated scaled
+    fixtures whose ids live at k*10^9 offsets), tombstone the twins with
+    a RETRYING delete log (each id logged twice — the duplicate-tolerant
+    mask contract), and probe EXHAUSTIVELY. The oracle is then a
+    theorem, not a recall gate: had any tombstone leaked, its twin wins
+    rank 1 at cosine exactly 1.0 and the row hash breaks; with the mask
+    correct, ranks RE-CLOSE and the result is cell-for-cell the exact
+    brute-force top-5 over the original corpus — the same exact_topk CTE
+    llm_cosine_topk pins, now reached through the frozen-quantizer
+    assign -> mask -> probe -> rerank pipeline.
+
+    Scale shape: deletion costs one id anti-join (broadcast while the
+    tombstone set is small) — no vector moves, no cell retrains; the
+    exhaustive probe is this QUERY's verification discipline, not the
+    operator's production setting (partial-probe recall rides
+    llm_ann_frozen_add_topk's gate)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
+    )
+    q = e.where(F.col("vec_id") < 20)
+    twins = q.withColumn("vec_id", -F.col("vec_id") - 1)
+    corpus = e.unionByName(twins)
+    dead = twins.select("vec_id")
+    dead_log = dead.unionByName(dead)  # a delete log with retries
+    return S.ivf_frozen_delete_topk(
+        q, corpus, centers, dead_log, k=5, nprobe=n_lists
+    )
+
+
+@query(
+    "llm_tombstone_compaction_trigger",
+    tags=("L3", "A1", "F4"),
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_under,
+               CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over
+        FROM embeddings)
+    SELECT n_total,
+           n_under AS under_deleted,
+           n_under * 1000000 // n_total AS under_ppm,
+           (n_under * 1000000 // n_total) > 200000 AS under_rebuild,
+           n_over AS over_deleted,
+           n_over * 1000000 // n_total AS over_ppm,
+           (n_over * 1000000 // n_total) > 200000 AS over_rebuild
+    FROM m
+    """,
+)
+def llm_tombstone_compaction_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tombstoned index's COMPACTION TRIGGER, executable
+    (operators/similarity.tombstone_load_report): the mask join wastes
+    exactly the deleted fraction of every scan, and this monitor decides
+    — from id counts alone, never vectors — when that waste crosses the
+    rebuild line (integer ppm > 200000, the drift trigger's parity
+    discipline: ``div`` floors identically in both engines). Two
+    a-priori legs over the same corpus:
+
+    - UNDER leg: every vec_id % 10 == 0 tombstoned — ~10% load, below
+      the 20% line. The delete log is ADVERSARIAL on purpose: each id
+      logged three times (retries) plus a stale cohort of never-indexed
+      negative ids — duplicates must not fan out the join (n_total would
+      misreport) and stale ids must not count (they waste no scan work).
+    - OVER leg: the complement (% 10 != 0) — ~90% load, rebuild fires.
+
+    The oracle recomputes both legs' arithmetic from the base table, so
+    every output cell is checked, not just the booleans."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ids = e.select("vec_id")
+    stale = ids.select((-F.col("vec_id") - 1).alias("vec_id"))
+    under = ids.where(F.col("vec_id") % 10 == 0)
+    under_log = under.unionByName(under).unionByName(under).unionByName(stale)
+    over_log = ids.where(F.col("vec_id") % 10 != 0).unionByName(stale)
+    rep_u = S.tombstone_load_report(e, under_log).select(
+        "n_total",
+        F.col("n_deleted").alias("under_deleted"),
+        F.col("deleted_ppm").alias("under_ppm"),
+        F.col("rebuild").alias("under_rebuild"),
+    )
+    rep_o = S.tombstone_load_report(e, over_log).select(
+        F.col("n_deleted").alias("over_deleted"),
+        F.col("deleted_ppm").alias("over_ppm"),
+        F.col("rebuild").alias("over_rebuild"),
+    )
+    return rep_u.crossJoin(F.broadcast(rep_o))
+
+
+@query(
+    "llm_ann_index_compaction",
+    tags=("L3", "J4", "O4"),
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos_sim_sql("q.embedding", "c.embedding", 6)} AS sim
+        FROM q JOIN embeddings c
+          ON q.vec_id != c.vec_id AND c.vec_id % 4 <> 0
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id, rank, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n4
+          FROM embeddings)
+    SELECT m.n + 20 AS n_total_pre,
+           m.n4 + 20 AS n_dead_pre,
+           ((m.n4 + 20) * 1000000 // (m.n + 20)) > 200000 AS pre_rebuild,
+           m.n - m.n4 AS n_live,
+           CAST(0 AS BIGINT) AS post_deleted_ppm,
+           FALSE AS post_rebuild,
+           TRUE AS topk_equal,
+           (SELECT CAST(SUM(neighbor_id * rank) AS BIGINT) FROM exact_topk)
+               AS topk_checksum
+    FROM m
+    """,
+)
+def llm_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trigger -> action arc of tombstone maintenance, ONE
+    Catalyst plan (operators/similarity.ivf_compact — FAISS's
+    rebuild-after-remove_ids, reassign mode): tombstone a quarter of the
+    corpus plus every planted query twin so the load report provably
+    fires (a-priori: (n/4 + 20)/(n + 20) > 20% for any n), compact —
+    live set materialized, frozen centers kept, deletion never moves a
+    surviving vector so every live cell assignment is unchanged
+    (pytest-pinned cell-map equality) — then prove the rebuild changed
+    NOTHING a searcher can see and EVERYTHING the scanner pays:
+
+    - post-compact load report returns to exactly (n_live, 0 ppm, no
+      rebuild) — the mask join's dead weight is gone;
+    - exhaustive-probe top-5 through the compacted index equals the
+      pre-compact MASKED search row-for-row (symmetric exceptAll
+      difference is empty, computed in-plan — never a driver collect)
+      and its rank-weighted checksum equals the exact brute-force top-5
+      over the live set, which the oracle recomputes from the base
+      table.
+
+    Scale shape: compaction is one id anti-join feeding the index
+    rewrite — the cost profile a production rebuild wants; the searcher
+    never sees a hole (ranks re-closed before compaction by the mask,
+    after it by absence)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
+    )
+    q = e.where(F.col("vec_id") < 20)
+    twins = q.withColumn("vec_id", -F.col("vec_id") - 1)
+    corpus = e.unionByName(twins)
+    dead = twins.select("vec_id").unionByName(
+        e.where(F.col("vec_id") % 4 == 0).select("vec_id")
+    )
+    dead_log = dead.unionByName(dead)  # retries, again on purpose
+    rep_pre = S.tombstone_load_report(corpus, dead_log).select(
+        F.col("n_total").alias("n_total_pre"),
+        F.col("n_deleted").alias("n_dead_pre"),
+        F.col("rebuild").alias("pre_rebuild"),
+    )
+    live, centers2 = S.ivf_compact(corpus, centers, dead_log, retrain=False)
+    rep_post = S.tombstone_load_report(live, dead_log).select(
+        F.col("n_total").alias("n_live"),
+        F.col("deleted_ppm").alias("post_deleted_ppm"),
+        F.col("rebuild").alias("post_rebuild"),
+    )
+    pre_masked = S.ivf_frozen_delete_topk(
+        q, corpus, centers, dead_log, k=5, nprobe=n_lists
+    )
+    post = S.ivf_frozen_add_topk(q, live, centers2, k=5, nprobe=n_lists)
+    diff = (
+        pre_masked.exceptAll(post)
+        .unionByName(post.exceptAll(pre_masked))
+        .agg(F.count(F.lit(1)).alias("__n_diff"))
+    )
+    chk = post.agg(
+        F.sum(F.col("neighbor_id") * F.col("rank"))
+        .cast("bigint")
+        .alias("topk_checksum")
+    )
+    return (
+        rep_pre.crossJoin(F.broadcast(rep_post))
+        .crossJoin(F.broadcast(diff))
+        .crossJoin(F.broadcast(chk))
+        .select(
+            "n_total_pre",
+            "n_dead_pre",
+            "pre_rebuild",
+            "n_live",
+            "post_deleted_ppm",
+            "post_rebuild",
+            (F.col("__n_diff") == 0).alias("topk_equal"),
+            "topk_checksum",
+        )
+    )
+
+
+@query(
     "llm_semantic_dedup",
     tags=("L2", "L3", "U3"),
     oracle="""

@@ -1072,6 +1072,88 @@ def test_frozen_delete_masks_tombstones_and_recloses_ranks(spark):
     assert (with_dead.neighbor_id >= OFFSET).all()
 
 
+def test_ivf_compact_reassign_keeps_structure_and_results(spark):
+    """Compaction (reassign mode) must change NOTHING a searcher sees and
+    everything the scanner pays: (a) the live set's cell assignments are
+    IDENTICAL pre/post (deletion never moves a surviving vector, centers
+    frozen — index-structure equality); (b) exhaustive-probe top-k
+    through the compacted index equals the pre-compact masked search
+    row-for-row; (c) the post-compact load report is (n_live, 0, 0,
+    false)."""
+    import math
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.similarity import (
+        tombstone_load_report,
+    )
+
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    twins = e.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + OFFSET
+    )
+    corpus = e.unionByName(twins)
+    n_lists = max(5, math.ceil(math.sqrt(corpus.count())))
+    _, _, centers = S.kmeans_train(e, k=n_lists, iters=2, return_centers=True)
+    dead = twins.select("vec_id")
+    q = e.where(F.col("vec_id") < 20)
+
+    live, centers2 = S.ivf_compact(corpus, centers, dead, retrain=False)
+    assert centers2 is centers  # reassign mode: the quantizer is untouched
+    pre_cells = {
+        r.vec_id: r.cid
+        for r in S.assign_to_centers(corpus, centers).select("vec_id", "cid").collect()
+        if r.vec_id < OFFSET
+    }
+    post_cells = {
+        r.vec_id: r.cid
+        for r in S.assign_to_centers(live, centers2).select("vec_id", "cid").collect()
+    }
+    assert post_cells == pre_cells  # index structure over the live set
+
+    masked = S.ivf_frozen_delete_topk(
+        q, corpus, centers, dead, k=3, nprobe=n_lists
+    ).toPandas()
+    compacted = S.ivf_frozen_add_topk(
+        q, live, centers2, k=3, nprobe=n_lists
+    ).toPandas()
+    key = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, masked[key].values.tolist())) == sorted(
+        map(tuple, compacted[key].values.tolist())
+    )
+    r = tombstone_load_report(live, dead).collect()[0]
+    assert (r.n_total, r.n_deleted, r.deleted_ppm, r.rebuild) == (
+        e.count(),
+        0,
+        0,
+        False,
+    )
+
+
+def test_ivf_compact_retrain_preserves_search_results(spark):
+    """Compaction with retrain=True replaces the quantizer (fresh Lloyd's
+    on the live set) — the structure may change arbitrarily, but at
+    exhaustive probe the search results must STILL equal brute force over
+    the live set: the quantizer only routes."""
+    import math
+
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    twins = e.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + OFFSET
+    )
+    corpus = e.unionByName(twins)
+    _, _, centers = S.kmeans_train(e, k=8, iters=2, return_centers=True)
+    dead = twins.select("vec_id")
+    live, centers2 = S.ivf_compact(corpus, centers, dead, retrain=True, iters=2)
+    n_lists2 = len(centers2)
+    assert n_lists2 == max(5, math.ceil(math.sqrt(e.count())))
+    q = e.where(F.col("vec_id") < 20)
+    got = S.ivf_frozen_add_topk(q, live, centers2, k=3, nprobe=n_lists2).toPandas()
+    bf = S.cosine_topk(q, e, k=3).toPandas()
+    key = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, bf[key].values.tolist())
+    )
+
+
 def test_tombstone_load_report_threshold_and_stale_ids(spark):
     """Compaction trigger arithmetic: integer ppm over MATCHED tombstones
     only (a stale tombstone for a never-indexed id wastes no scan work

@@ -250,6 +250,11 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                  # assignment pass itself
         "llm_frozen_index_drift_trigger",        # + the same frozen assign
                                                  # (GEMM) feeding the monitor
+        "llm_ann_frozen_delete_topk",            # + the frozen assign under
+                                                 # the tombstone mask
+        "llm_ann_index_compaction",              # + frozen assigns on both
+                                                 # sides of the compaction
+                                                 # equivalence proof
         "llm_ann_ivf_pq_opq_topk",               # + the OPQ rotation apply
                                                  # (Arrow GEMM) by design
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
