@@ -496,12 +496,19 @@ def connector_xml_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_rows):
+def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_df):
     """Skip-if-built landing fixture under a resolved-path-keyed temp dir
     — ONE copy of the subtle bits (count-checked staleness, tmp dir with
     pid suffix, atomic rename, lose-the-race cleanup) shared by every
-    binaryFile landing tier. ``synth_rows()`` is called only on a build
-    and must yield (doc_id, payload_bytes) pairs. Returns the dir path."""
+    binaryFile landing tier. ``synth_df()`` is called only on a build and
+    must return a DataFrame whose first two columns are (id, payload
+    bytes). Files are written EXECUTOR-SIDE through one mapInPandas pass
+    (the write_tar_shards landing discipline — payload bytes never visit
+    the driver; only a file-count manifest scalar comes back), so fixture
+    synthesis exercises the same distributed sink path the engine's own
+    tar/shard sinks use. On a multi-node cluster the tmp dir must be a
+    shared filesystem, exactly as for those sinks — each task makedirs
+    its own view, idempotently. Returns the dir path."""
     import hashlib
     import os
     import shutil
@@ -522,9 +529,34 @@ def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_rows):
     # serve a short fixture
     tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    for doc_id, payload in synth_rows():
-        with open(f"{tmp}/doc_{doc_id:05d}.{ext}", "wb") as f:
-            f.write(payload)
+    df = synth_df()
+    id_col, data_col = df.columns[:2]
+
+    def write_files(batches):
+        import os as _os
+
+        import pandas as _pd
+
+        n = 0
+        for pdf in batches:
+            _os.makedirs(tmp, exist_ok=True)  # self-contained per task
+            for i, b in zip(pdf[id_col], pdf[data_col]):
+                with open(f"{tmp}/doc_{int(i):05d}.{ext}", "wb") as f:
+                    f.write(bytes(b))
+                n += 1
+        yield _pd.DataFrame({"n_files": _pd.Series([n], dtype="int64")})
+
+    n_written = (
+        df.mapInPandas(write_files, "n_files long")
+        .agg(F.sum("n_files"))
+        .collect()[0][0]
+    )  # a one-cell manifest, never payload bytes
+    if n_written != n_expected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"landing fixture build wrote {n_written} files, expected "
+            f"{n_expected} — synth frame and staleness count disagree"
+        )
     if os.path.isdir(out):  # stale partial from an earlier crash
         shutil.rmtree(out, ignore_errors=True)
     try:
@@ -596,7 +628,7 @@ def connector_binaryfile_media_landing(spark: SparkSession, sf_dir: str) -> Data
         "sg_gifland",
         "gif",
         docs.count(),
-        lambda: ((r.doc_id, bytes(r.data)) for r in M.synth_gif(docs).collect()),
+        lambda: M.synth_gif(docs),
     )
     return M.decode_gif(_landed_payloads(spark, out, "gif", "doc_id"))
 
@@ -647,7 +679,7 @@ def connector_npy_embedding_landing(spark: SparkSession, sf_dir: str) -> DataFra
         "sg_npyland",
         "npy",
         docs.count(),
-        lambda: ((r.doc_id, bytes(r.data)) for r in N.synth_npy(docs).collect()),
+        lambda: N.synth_npy(docs),
     )
     return N.decode_npy(_landed_payloads(spark, out, "npy", "doc_id"))
 
@@ -738,10 +770,7 @@ def connector_tar_shard_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sg_tarland",
         "tar",
         shards.count(),
-        lambda: (
-            (r.shard_id, bytes(r.data))
-            for r in T.synth_tar_shards(shards).collect()
-        ),
+        lambda: T.synth_tar_shards(shards),
     )
     return T.decode_tar_shards(_landed_payloads(spark, out, "tar", "shard_id"))
 
