@@ -1078,6 +1078,212 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INC_SPLIT_ID = 250  # arrival boundary: batch A = doc_id < 250, delta = rest
+INC_BUDGET = 55  # per-source token ledger — sized so the sf0.01 fixture
+#                  exercises all three delta outcomes (reject, overshoot
+#                  admission, fresh admission) in the SECOND leg
+
+
+def _inc_digest():
+    """The exact-dedup digest (null-safe) — one definition shared by the
+    batch state, the delta leg, and the from-scratch twin."""
+    return F.coalesce(
+        F.md5("text"),
+        F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
+    )
+
+
+def _inc_gated(docs: DataFrame, keepers: DataFrame, contaminated: DataFrame):
+    """The per-doc admission gate every leg shares: benchmark holdout,
+    dedup-keeper semi join, decontamination anti join, Gopher/C4 quality
+    — identical to llm_corpus_build_e2e stage for stage."""
+    from ..functions.text import distinct_ratio as _distinct_ratio
+
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    avg_toklen = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+    return (
+        docs.where(F.col("doc_id") % BENCH_MODULUS != 0)
+        .join(keepers.select("doc_id"), "doc_id", "semi")
+        .join(contaminated, "doc_id", "anti")
+        .where(
+            n_tokens.between(MIN_TOKENS, MAX_TOKENS)
+            & avg_toklen.between(MIN_AVG_TOKLEN, MAX_AVG_TOKLEN)
+            & (_distinct_ratio(toks) >= MIN_DISTINCT_RATIO)
+        )
+        .select("doc_id", "source", n_tokens.cast("bigint").alias("n_tokens"))
+    )
+
+
+def _inc_admit(quality: DataFrame, ledger: DataFrame | None = None):
+    """Arrival-ordered (doc_id ASC) per-source token-budget admission —
+    admit while tokens-seen-before < INC_BUDGET. ``ledger`` is the
+    frozen per-source tokens-SEEN counter from the previous batch (all
+    quality tokens, admitted or not — later arrivals' cum_before counts
+    them either way); None for the first batch / the from-scratch twin."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    q = quality.withColumn(
+        "cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    if ledger is not None:
+        q = q.join(F.broadcast(ledger), "source", "left").withColumn(
+            "cb", F.col("cb") + F.coalesce(F.col("seen"), F.lit(0))
+        )
+    return q.where(F.col("cb") < INC_BUDGET).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+@query(
+    "llm_corpus_build_incremental",
+    tags=("L1", "L9", "L12", "L13"),
+    oracle=f"""
+    WITH {CONTAMINATION_CTES},
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY COALESCE(md5(text), '__null__' || CAST(doc_id AS VARCHAR))
+    ),
+    quality AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d
+        JOIN keepers k USING (doc_id)
+        WHERE d.doc_id % {BENCH_MODULUS} <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated_pairs)
+          AND len(string_split(text, ' '))
+                  BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+          AND CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                  / len(string_split(text, ' '))
+                  BETWEEN {MIN_AVG_TOKLEN} AND {MAX_AVG_TOKLEN}
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO}
+    ),
+    adm AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+        FROM quality
+    ),
+    admitted AS (SELECT * FROM adm WHERE cb < {INC_BUDGET})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (doc_id >= {INC_SPLIT_ID}) AS BIGINT)
+               AS n_new,
+           TRUE AS incremental_matches
+    FROM admitted
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus build — a delta batch re-admitted against
+    FROZEN pipeline state, the connector_incremental_sync proof pattern
+    applied to the corpus tier. llm_corpus_build_e2e is one-shot; a real
+    pipeline ships batch A on day one and must then process ONLY the
+    delta on day two, against three pieces of carried state:
+
+    - the DEDUP STATE: batch A's text-digest set — a delta doc whose
+      digest was already seen is dropped without re-reading A;
+    - the DECONTAMINATION REFERENCE: the benchmark shingle postings
+      (doc_id % {BENCH_MODULUS} == 0 — an external eval set, frozen up
+      front, identical in both legs by design);
+    - the BUDGET LEDGER: per-source tokens SEEN in leg 1 (admitted or
+      not — later arrivals' cum_before counts them either way), so the
+      delta admission window resumes mid-budget instead of re-running A.
+
+    The proof is the sync pattern's: the two legs' union must equal the
+    from-scratch rebuild on A ∪ delta ROW FOR ROW, which holds as a
+    THEOREM because batches are arrival-ordered (A ids < delta ids):
+    the union build's doc_id-ordered admission prefix over A is exactly
+    leg 1, and a delta doc's union cum_before is exactly ledger[source]
+    + its in-batch cum_before. The query computes both legs AND the
+    twin, compares in-plan (symmetric exceptAll — never a driver
+    collect), and reports per-source totals the oracle recomputes from
+    scratch; n_new counts the delta leg's admissions (INC_BUDGET is
+    sized so the sf0.01 fixture exercises rejection, overshoot
+    admission, and fresh admission in the delta).
+
+    Scale shape: leg 2 touches the delta plus kilobyte-scale state (a
+    digest set — at 100 TB a Bloom/anti-join against A's digest store,
+    exactly the shape here; a per-source ledger of a few rows; the
+    broadcast benchmark postings). Nothing rescans batch A."""
+    from ..operators.dedup import shingle_postings
+
+    d = load_table(spark, sf_dir, "documents")
+    # frozen decontamination reference: full-table postings vs the
+    # benchmark side (an external eval set — known up front)
+    contaminated = (
+        contamination_pairs(shingle_postings(d, shingle_n=3))
+        .select("doc_id")
+        .distinct()
+    )
+    a = d.where(F.col("doc_id") < INC_SPLIT_ID)
+    delta = d.where(F.col("doc_id") >= INC_SPLIT_ID)
+
+    # ---- leg 1: batch A, empty state ----
+    keepers_a = a.groupBy(_inc_digest().alias("__dig")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    quality_a = _inc_gated(a, keepers_a, contaminated)
+    admitted_a = _inc_admit(quality_a)
+    # carried state: digest set + per-source tokens-seen ledger
+    state_digests = a.select(_inc_digest().alias("__dig")).distinct()
+    ledger = quality_a.groupBy("source").agg(
+        F.sum("n_tokens").alias("seen")
+    )
+
+    # ---- leg 2: the delta only, against the frozen state ----
+    keepers_b = (
+        delta.withColumn("__dig", _inc_digest())
+        .join(state_digests, "__dig", "anti")
+        .groupBy("__dig")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    quality_b = _inc_gated(delta, keepers_b, contaminated)
+    admitted_b = _inc_admit(quality_b, ledger)
+
+    incremental = admitted_a.unionByName(admitted_b)
+
+    # ---- from-scratch twin on the union + in-plan equality proof ----
+    keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    twin = _inc_admit(_inc_gated(d, keepers_u, contaminated))
+    diff = (
+        incremental.exceptAll(twin)
+        .unionByName(twin.exceptAll(incremental))
+        .agg(F.count(F.lit(1)).alias("__n_diff"))
+    )
+    return (
+        incremental.withColumn(
+            "__new", (F.col("doc_id") >= INC_SPLIT_ID).cast("bigint")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("__new").cast("bigint").alias("n_new"),
+        )
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_new",
+            (F.col("__n_diff") == 0).alias("incremental_matches"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "llm_exact_substring_dedup",
     tags=("L1", "L2", "A1"),
