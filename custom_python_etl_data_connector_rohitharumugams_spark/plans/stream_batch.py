@@ -1242,3 +1242,230 @@ def stream_histogram_quantile_maintenance(
         F.lit(1 if mismatch == 0 else 0).alias("streamed_equals_batch"),
         F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
     )
+
+
+#: op-stream keying for the ANN maintenance loop: every event targets
+#: vector event_id % STREAM_ANN_MOD; sparse co-prime strides keep the
+#: add/delete sets non-degenerate (neither empty nor the whole id space)
+STREAM_ANN_MOD = 500
+STREAM_ANN_ADD_STRIDE = 23
+STREAM_ANN_DEL_STRIDE = 83
+
+
+@query(
+    "stream_ann_index_maintenance",
+    # real readStream source (S8) + foreachBatch durable log (S9), the
+    # add path is a stream-static join against embeddings (T7), and the
+    # maintained artifact is the L3 frozen index
+    tags=("S8", "S9", "T7", "L3"),
+    oracle=f"""
+    WITH adds AS (
+        SELECT DISTINCT e.vec_id
+        FROM (SELECT event_id % {STREAM_ANN_MOD} AS vec_id FROM events
+              WHERE event_type = 'signup'
+                AND event_id % {STREAM_ANN_ADD_STRIDE} = 0) s
+        JOIN embeddings e USING (vec_id)
+    ), dels AS (
+        SELECT DISTINCT e.vec_id
+        FROM (SELECT event_id % {STREAM_ANN_MOD} AS vec_id FROM events
+              WHERE event_type = 'purchase'
+                AND event_id % {STREAM_ANN_DEL_STRIDE} = 0) s
+        JOIN embeddings e USING (vec_id)
+    ), indexed AS (
+        SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+        UNION
+        SELECT vec_id FROM adds
+    ), dead AS (
+        SELECT vec_id FROM indexed INTERSECT SELECT vec_id FROM dels
+    ), m AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM adds) AS n_adds,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dels) AS n_deletes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM indexed) AS n_indexed,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dead) AS n_dead
+    )
+    SELECT n_adds, n_deletes, n_indexed,
+           n_indexed - n_dead AS n_live,
+           n_dead * 1000000 // n_indexed AS deleted_ppm,
+           (n_dead * 1000000 // n_indexed) > 200000 AS rebuild,
+           1 AS multi_batch,
+           1 AS maintained_equals_batch,
+           1 AS search_equal
+    FROM m
+    """,
+)
+def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the frozen vector index — the sketch
+    trio's batch<->streaming equivalence applied to the index family
+    (operators/similarity: assign_to_centers + tombstones + the load
+    report). The quantizer trains ONCE on the base half of the corpus
+    (vec_id % 2 == 0, frozen centers — the train()/add()-forever
+    contract); then events replay through a REAL ``readStream`` file
+    source in time-sliced micro-batches and each batch applies its index
+    OPS through foreachBatch:
+
+    - ADD (sparse ``signup`` events, event_id-keyed): the new vectors
+      join the static embeddings table (the T7 stream-static shape),
+      run ONE shuffle-free frozen-center assignment, and append
+      (vec_id, cid) rows to the cell-map log — ingestion never
+      retrains;
+    - DELETE (sparse ``purchase`` events): append the id to the
+      tombstone log — deletion never moves a vector.
+
+    Replay idempotence is the CMS argument verbatim: a re-executed
+    batch recomputes the IDENTICAL assignment rows (deterministic
+    centers, deterministic ids), so dropDuplicates over (vec_id, cid) /
+    (vec_id) collapses at-least-once re-delivery. Tombstones are
+    ABSOLUTE until compaction (a re-added tombstoned id stays masked —
+    the frozen-index tombstone-tier semantics, ivf_frozen_delete_topk's
+    contract), which is what makes the final state order-free and the
+    oracle a-priori.
+
+    The proof columns: the maintained cell map (base assignments ∪
+    add-log − tombstones) must equal the BATCH-built index over the
+    same op table cell-for-cell (full symmetric difference, in-plan),
+    and a partial-probe search through the maintained index must equal
+    ivf_frozen_delete_topk over the batch-derived corpus row-for-row —
+    same centers, same cells, same live set, so equality is a theorem
+    even at partial probe. The load report (deleted_ppm over MATCHED
+    tombstones — stream deletes targeting never-indexed odd ids are
+    stale and must not count) rides the same output row, its
+    arithmetic recomputed by the oracle from the raw events.
+
+    100 TB shape: per micro-batch the loop pays one narrow Arrow
+    assignment pass over the batch's adds plus two kilobyte-scale log
+    appends; the corpus is never rescanned and the index never
+    rebuilt until the ppm trigger says so."""
+    import math
+
+    from ..operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 2 == 0)
+    n_lists = max(5, math.ceil(math.sqrt(base.count())))
+    _, _inertias, centers = S.kmeans_train(
+        base, k=n_lists, iters=2, return_centers=True
+    )
+
+    def _ops(df: DataFrame, etype: str, stride: int) -> DataFrame:
+        return (
+            df.where(
+                (F.col("event_type") == etype)
+                & (F.col("event_id") % stride == 0)
+            )
+            .select((F.col("event_id") % STREAM_ANN_MOD).alias("vec_id"))
+            .distinct()
+            .join(e.select("vec_id"), "vec_id", "semi")
+        )
+
+    def _sink(log_dir: str):
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            adds = _ops(batch_df, "signup", STREAM_ANN_ADD_STRIDE)
+            add_rows = (
+                S.assign_to_centers(adds.join(e, "vec_id"), centers)
+                .select(
+                    F.lit("add").alias("op"),
+                    "vec_id",
+                    F.col("cid").cast("long").alias("cid"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
+            del_rows = _ops(
+                batch_df, "purchase", STREAM_ANN_DEL_STRIDE
+            ).select(
+                F.lit("del").alias("op"),
+                "vec_id",
+                F.lit(-1).cast("long").alias("cid"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            add_rows.unionByName(del_rows).write.mode("append").parquet(
+                log_dir
+            )
+
+        return write
+
+    log_dir, _q = _run_replay_foreachbatch(spark, sf_dir, "annidx", _sink)
+
+    log = spark.read.parquet(log_dir)
+    n_batches = log.select("batch_id").distinct().count()
+    add_log = log.where(F.col("op") == "add").dropDuplicates(
+        ["vec_id", "cid"]
+    ).select("vec_id", "cid")
+    tomb = log.where(F.col("op") == "del").dropDuplicates(["vec_id"]).select(
+        "vec_id"
+    )
+
+    base_assign = S.assign_to_centers(base, centers).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    maintained = (
+        base_assign.unionByName(add_log)
+        .dropDuplicates(["vec_id", "cid"])
+        .join(tomb, "vec_id", "anti")
+    )
+
+    # batch twin over the same op table, recomputed from the raw events
+    ev = load_table(spark, sf_dir, "events")
+    adds_b = _ops(ev, "signup", STREAM_ANN_ADD_STRIDE)
+    dels_b = _ops(ev, "purchase", STREAM_ANN_DEL_STRIDE)
+    indexed = base.select("vec_id").unionByName(adds_b).distinct()
+    indexed_corpus = e.join(indexed, "vec_id", "semi")
+    twin = (
+        S.assign_to_centers(
+            indexed_corpus.join(dels_b, "vec_id", "anti"), centers
+        ).select("vec_id", F.col("cid").cast("long").alias("cid"))
+    )
+    cells_diff = (
+        maintained.exceptAll(twin)
+        .unionByName(twin.exceptAll(maintained))
+        .agg(F.count(F.lit(1)).alias("__cells_diff"))
+    )
+
+    # partial-probe search equality: maintained index vs batch DELETE verb
+    q = e.where(F.col("vec_id") < 20)
+    nprobe = max(4, n_lists // 2)
+    got = S.ivf_topk(
+        q,
+        e.join(maintained.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
+        k=5,
+        nprobe=nprobe,
+        list_col="__ivf_cell",
+    )
+    want = S.ivf_frozen_delete_topk(
+        q, indexed_corpus, centers, dels_b, k=5, nprobe=nprobe
+    )
+    search_diff = (
+        got.exceptAll(want)
+        .unionByName(want.exceptAll(got))
+        .agg(F.count(F.lit(1)).alias("__search_diff"))
+    )
+
+    rep = S.tombstone_load_report(indexed_corpus, tomb).select(
+        F.col("n_total").alias("n_indexed"),
+        F.col("n_deleted").alias("__n_dead"),
+        "deleted_ppm",
+        "rebuild",
+    )
+    counts = (
+        adds_b.agg(F.count(F.lit(1)).alias("n_adds"))
+        .crossJoin(
+            F.broadcast(dels_b.agg(F.count(F.lit(1)).alias("n_deletes")))
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(rep))
+        .crossJoin(F.broadcast(cells_diff))
+        .crossJoin(F.broadcast(search_diff))
+        .select(
+            F.col("n_adds").cast("bigint").alias("n_adds"),
+            F.col("n_deletes").cast("bigint").alias("n_deletes"),
+            "n_indexed",
+            (F.col("n_indexed") - F.col("__n_dead")).alias("n_live"),
+            "deleted_ppm",
+            "rebuild",
+            F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+            (F.col("__cells_diff") == 0)
+            .cast("int")
+            .alias("maintained_equals_batch"),
+            (F.col("__search_diff") == 0).cast("int").alias("search_equal"),
+        )
+    )

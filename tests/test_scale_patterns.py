@@ -255,6 +255,9 @@ def test_no_python_in_unexpected_query_plans(spark):
         "llm_ann_index_compaction",              # + frozen assigns on both
                                                  # sides of the compaction
                                                  # equivalence proof
+        "stream_ann_index_maintenance",          # + frozen assigns in the
+                                                 # maintained/batch-twin
+                                                 # equivalence proof
         "llm_ann_ivf_pq_opq_topk",               # + the OPQ rotation apply
                                                  # (Arrow GEMM) by design
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
