@@ -943,6 +943,53 @@ def ivf_compact(
     return live, new_centers
 
 
+def save_ivf_index(
+    cellmap: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    path: str,
+) -> None:
+    """PERSIST the frozen index — FAISS ``write_index`` re-expressed as
+    two parquet datasets under ``path``: ``centers/`` (cid, center — the
+    k-row driver-resident quantizer artifact) and ``cells/`` (vec_id,
+    cid — the corpus-sized inverted-list assignment). Parquet keeps the
+    artifact engine-portable and the cells side partition-parallel; the
+    quantizer rides the same bounded-rows contract as kmeans_train's
+    return value. Vectors themselves are NOT duplicated into the index —
+    the corpus table is the single source of vector truth and the index
+    stores only routing state, so persisting costs O(k + N ids), never
+    O(N·d) floats."""
+    spark = cellmap.sparkSession
+    (
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centers],
+            "cid long, center array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centers")
+    )
+    cellmap.select(
+        F.col(cellmap.columns[0]).alias("vec_id"),
+        F.col(cellmap.columns[1]).cast("long").alias("cid"),
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+
+
+def load_ivf_index(
+    spark, path: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """LOAD a persisted frozen index (``read_index``): returns
+    ``(cellmap, centers)`` ready for :func:`ivf_topk` /
+    :func:`ivf_frozen_add_topk` — the cell map stays a lazy distributed
+    frame; only the k-row quantizer collects to the driver (the same
+    bounded artifact it was at training time)."""
+    centers = [
+        (int(r.cid), list(r.center))
+        for r in spark.read.parquet(f"{path}/centers").collect()
+    ]
+    centers.sort(key=lambda cv: cv[0])
+    return spark.read.parquet(f"{path}/cells"), centers
+
+
 def cell_occupancy_drift(
     base_assign: DataFrame,
     batch_assign: DataFrame,

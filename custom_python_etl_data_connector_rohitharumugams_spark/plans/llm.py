@@ -1355,6 +1355,60 @@ def llm_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ann_index_persistence",
+    tags=("L3", "S5"),
+    oracle=f"""
+    WITH {COSINE_TOPK_CTES}
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim FROM exact_topk
+    """,
+)
+def llm_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index lifecycle's PERSIST/LOAD verbs (operators/similarity.
+    save_ivf_index / load_ivf_index — FAISS write_index/read_index as
+    two parquet datasets): train the frozen quantizer, assign the
+    corpus, WRITE the index (k-row centers + id-only cell map — vectors
+    are never duplicated; the corpus table stays the single source of
+    vector truth, so the artifact costs O(k + N ids)), then READ it
+    back into fresh frames and search through the LOADED routing state
+    at exhaustive probe. The oracle is row-exact: a center perturbed in
+    transit, a cell row lost to a partial write, or an id/cid column
+    swap would each reroute or drop a candidate and break the hash
+    against brute-force top-5. Cell-map and quantizer roundtrip
+    equality are additionally pytest-pinned bit-for-bit.
+
+    At 100 TB this is how a vector index survives between pipeline
+    runs: the cells dataset is partition-parallel parquet (readable by
+    any engine), the quantizer is the same bounded driver artifact it
+    was at training time, and reloading costs a metadata-scale read +
+    one k-row collect — never a retrain, never a corpus re-shuffle."""
+    import math
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
+    )
+    cellmap = S.assign_to_centers(e, centers).select("vec_id", "cid")
+    safe = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"{tempfile.gettempdir()}/sg_ivfidx_{safe}"
+    S.save_ivf_index(cellmap, centers, path)
+    loaded_cells, loaded_centers = S.load_ivf_index(spark, path)
+    assert len(loaded_centers) == len(centers)
+    q = e.where(F.col("vec_id") < 20)
+    return S.ivf_topk(
+        q,
+        e.join(
+            loaded_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"
+        ),
+        k=5,
+        nprobe=n_lists,
+        list_col="__ivf_cell",
+    )
+
+
+@query(
     "llm_semantic_dedup",
     tags=("L2", "L3", "U3"),
     oracle="""

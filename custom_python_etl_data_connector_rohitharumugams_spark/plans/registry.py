@@ -58,16 +58,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # set cover (DFS) over the tags the first-time cohort does not carry,
 # then a drop loop ejecting first-timers until 50 slots fit.
 #
-# Round-10 window (recomposed twice this round: at round start against
-# the nine committed CORRECTNESS files, then re-run at round end after
-# the six round-10 registrations landed): 30 cover + 20 first-time = 50
-# slots, zero deferred — the first-timers are the COMPLETE round-9
-# post-freeze orphan backlog (the VERDICT round-9 item-2 list) PLUS
-# every query registered this round (tar landing/roundtrip, streaming
-# observe + histogram maintenance, routed join, null-safe join,
-# exact-substring dedup). With
-# this window, round 10 is the first round where every registered query
-# can hold a committed driver CORRECTNESS row.
+# Round-11 window — MAX-AGE-FIRST RECERTIFICATION. Round 10 closed the
+# first-certification era (every registered query holds a committed
+# driver row), so the rotation goal shifts: code keeps being refactored
+# while most rows age, and the window now re-certifies the STALEST
+# evidence first. Composition (tools/window_optimizer.py, age-aware):
+# 31 cover slots whose tag-tied representatives are chosen oldest-row-
+# first (pulling the r5-r7 sole carriers back in), 6 first-timers (the
+# round-11 registrations: the frozen-index DELETE pair, the compaction
+# arc, index persistence, the incremental corpus build, streaming ANN
+# maintenance), and 13 refresh slots filled outright with the oldest-
+# certified queries — the r1-era residue, join_broadcast_region_revenue
+# and the J3 analytics family included (the judge-named oldest
+# sole-carriers). Zero deferred.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window
@@ -76,56 +79,56 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (tests/test_oracle_parity.py runs all of them under the driver's
 # compare).
 _PRIORITY: tuple[str, ...] = (
-    "agg_hll_partition_merge",  # cover: A3 A1 F2
-    "agg_rollup_pricing",  # cover: A4
-    "analytics_daily_order_gapfill",  # cover: F5 F2 J2 F4
-    "asof_next_purchase_within_2d",  # cover: J7 F2
-    "connector_incremental_sync",  # cover: S1 S2 S3 S4 S7
-    "connector_key_sanitization_report",  # cover: P3
-    "dq_constraint_report",  # cover: P4 A5 F4 A2
-    "join_range_price_bands",  # cover: J5 A1
-    "llm_chunk_documents",  # cover: L6 F5
-    "llm_corpus_build_e2e",  # cover: L1 L9 L12 L13 L10
-    "llm_cosine_topk",  # cover: L3 J8 W4 F5
-    "llm_langid_ngram",  # cover: L4 F1 A1 W4
-    "llm_neardup_degree_histogram",  # cover: L2 L11 A1 F5
-    "llm_pii_scrub",  # cover: L8 F1
-    "llm_sequence_packing",  # cover: L7 W3
-    "pricing_summary",  # cover: S5 P1 P2 A1 O1
-    "scalar_map_event_totals",  # cover: F6 F7
-    "setop_except_lapsed_customers",  # cover: O4
-    "sql_waiting_suppliers",  # cover: J4 J1 A1 F2 O2
-    "sql_window_distribution",  # cover: W1
-    "stream_checkpoint_recovery",  # cover: T4 T1 S8 S9
-    "stream_dedup_user_event_types",  # cover: T5 O5
-    "stream_running_totals_update_log",  # cover: T6 W3
-    "stream_session_windows",  # cover: T3 W2
-    "stream_sliding_event_volume",  # cover: T2
-    "stream_static_join_enrichment",  # cover: T7 J1
-    "stream_stream_interval_join",  # cover: T8 J6
-    "udaf_weighted_avg_price",  # cover: A7 U2
-    "udf_scalar_name_clean",  # cover: U1
-    "udtf_fixed_width_parse",  # cover: U4 P5
-    "agg_cms_heavy_hitters",  # first-time: A1 F8 O2
-    "agg_histogram_quantiles",  # first-time: A6 A1 W3
-    "connector_npy_embedding_landing",  # first-time: S6 L5 U3
-    "connector_tar_shard_landing",  # first-time: S6 L5 U3
-    "connector_tar_shard_roundtrip",  # first-time: S7b L5 U3
-    "connector_xml_landing",  # first-time: S6 P5
-    "dq_join_skew_profile",  # first-time: A1 A6 O3
-    "dq_observed_pipeline_metrics",  # first-time: P2 A1 F3
-    "join_null_safe_event_buckets",  # first-time: J1 F4 A1
-    "llm_compression_ratio_filter",  # first-time: L12 L14 U3
-    "llm_exact_substring_dedup",  # first-time: L1 L2 A1
-    "multimodal_dhash_near_dup",  # first-time: L5 L2 U3
-    "multimodal_gif_decode",  # first-time: L5 U3
-    "multimodal_mp4_samples",  # first-time: L5 U3
-    "multimodal_npz_shards",  # first-time: L5 U3
-    "multimodal_wav_spectral",  # first-time: L5 U3
-    "skew_profile_routed_join",  # first-time: J1 J3 A1
-    "stream_cms_maintenance",  # first-time: S8 S9 A1 F8
-    "stream_histogram_quantile_maintenance",  # first-time: S8 S9 A6 A1
-    "stream_observed_pipeline_metrics",  # first-time: S8 S9 P2 A1
+    "analytics_value_outliers_iqr",  # cover (last r6): A6 J3 P2 A5
+    "asof_next_purchase_within_2d",  # cover (last r10): J7 F2
+    "connector_incremental_sync",  # cover (last r10): S1 S2 S3 S4 S7
+    "connector_json_landing",  # cover (last r8): S6 P4 P5
+    "connector_key_sanitization_report",  # cover (last r10): P3
+    "connector_tar_shard_roundtrip",  # cover (last r10): S7b L5 U3
+    "graph_pagerank_suppliers",  # cover (last r7): J1 J2 A1 F3
+    "join_range_price_bands",  # cover (last r10): J5 A1
+    "llm_bm25_search",  # cover (last r7): L3 L4 F5 A1 O2
+    "llm_chunk_documents",  # cover (last r10): L6 F5
+    "llm_cosine_topk",  # cover (last r10): L3 J8 W4 F5
+    "llm_neardup_degree_histogram",  # cover (last r10): L2 L11 A1 F5
+    "llm_pii_scrub",  # cover (last r10): L8 F1
+    "llm_repetition_filter",  # cover (last r5): L14 F5
+    "llm_sequence_packing",  # cover (last r10): L7 W3
+    "llm_stratified_split",  # cover (last r5): L10 F8
+    "pricing_summary",  # cover (last r10): S5 P1 P2 A1 O1
+    "profile_lineitem_columns",  # cover (last r7): A1 A2 O3
+    "scalar_map_event_totals",  # cover (last r10): F6 F7
+    "sql_approx_topk_brands",  # cover (last r9): A3 O2
+    "sql_grouping_sets_revenue",  # cover (last r6): A4 A1
+    "stream_dedup_user_event_types",  # cover (last r10): T5 O5
+    "stream_running_totals_update_log",  # cover (last r10): T6 W3
+    "stream_session_windows",  # cover (last r10): T3 W2
+    "stream_sliding_event_volume",  # cover (last r10): T2
+    "stream_stream_left_outer_interval_join",  # cover (last r8): T8 J6 F4
+    "stream_watermark_late_drop",  # cover (last r5): T4 T1 S8 S9
+    "udaf_weighted_avg_price",  # cover (last r10): A7 U2
+    "udf_scalar_name_clean",  # cover (last r10): U1
+    "udtf_fixed_width_parse",  # cover (last r10): U4 P5
+    "window_rank_customers_by_balance",  # cover (last r5): W1
+    "llm_ann_frozen_delete_topk",  # first-time: L3 W4
+    "llm_ann_index_compaction",  # first-time: L3 J4 O4
+    "llm_ann_index_persistence",  # first-time: L3 S5
+    "llm_corpus_build_incremental",  # first-time: L1 L9 L12 L13
+    "llm_tombstone_compaction_trigger",  # first-time: L3 A1 F4
+    "stream_ann_index_maintenance",  # first-time: S8 S9 T7 L3
+    "analytics_brand_quantity_bands",  # refresh (last r1): J3 P2 A1
+    "analytics_idle_supplier_parts",  # refresh (last r1): J4 A2
+    "analytics_large_volume_customers",  # refresh (last r1): J1 A1 J4
+    "analytics_promo_revenue_share",  # refresh (last r1): J3 A5 F2
+    "analytics_region_market_share",  # refresh (last r1): J3 A5 F2
+    "analytics_returned_item_losses",  # refresh (last r1): J1 J3 A1 O2
+    "join_anti_customers_without_orders",  # refresh (last r1): J4 A1
+    "join_broadcast_region_revenue",  # refresh (last r1): J3 J1 A1
+    "join_inner_segment_revenue",  # refresh (last r1): J1 A1
+    "join_left_outer_order_histogram",  # refresh (last r1): J2 A1
+    "join_right_outer_nation_coverage",  # refresh (last r1): J2 A1 F4
+    "llm_doc_fingerprints",  # refresh (last r1): L4 F5
+    "llm_lang_marker_profile",  # refresh (last r1): L4 A1
 )
 
 def priority_names() -> tuple[str, ...]:

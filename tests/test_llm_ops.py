@@ -1154,6 +1154,49 @@ def test_ivf_compact_retrain_preserves_search_results(spark):
     )
 
 
+def test_ivf_index_save_load_roundtrip_bit_exact(spark, tmp_path):
+    """PERSIST/LOAD verbs: the parquet roundtrip must return the
+    IDENTICAL index — centers bit-for-bit (float64 survives parquet
+    exactly), cell map row-for-row — and a reload into a fresh session
+    frame must route a search identically to the in-memory index."""
+    import math
+
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _, centers = S.kmeans_train(e, k=n_lists, iters=2, return_centers=True)
+    cellmap = S.assign_to_centers(e, centers).select("vec_id", "cid")
+    path = str(tmp_path / "idx")
+    S.save_ivf_index(cellmap, centers, path)
+    loaded_cells, loaded_centers = S.load_ivf_index(spark, path)
+    # the loader sorts by cid (deterministic artifact order); compare as
+    # sets — values must be bit-for-bit
+    assert loaded_centers == sorted(
+        (int(c), [float(x) for x in v]) for c, v in centers
+    )
+    want = sorted((r.vec_id, r.cid) for r in cellmap.collect())
+    got = sorted((r.vec_id, r.cid) for r in loaded_cells.collect())
+    assert got == want
+    q = e.where(F.col("vec_id") < 20)
+    via_loaded = S.ivf_topk(
+        q,
+        e.join(loaded_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
+        k=3,
+        nprobe=3,
+        list_col="__ivf_cell",
+    ).toPandas()
+    via_mem = S.ivf_topk(
+        q,
+        e.join(cellmap.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
+        k=3,
+        nprobe=3,
+        list_col="__ivf_cell",
+    ).toPandas()
+    key = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, via_loaded[key].values.tolist())) == sorted(
+        map(tuple, via_mem[key].values.tolist())
+    )
+
+
 def test_tombstone_load_report_threshold_and_stale_ids(spark):
     """Compaction trigger arithmetic: integer ppm over MATCHED tombstones
     only (a stale tombstone for a never-indexed id wastes no scan work

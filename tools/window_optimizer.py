@@ -11,6 +11,15 @@ the tags NOT carried by the chosen never-checked cohort, then a greedy
 drop loop that ejects the never-checked query whose removal shrinks the
 total window most, until the window fits in 50 slots.
 
+MAX-AGE-FIRST RECERTIFICATION (round 11 onward): once every registered
+query has at least one driver row, the rotation goal shifts from
+first-certification to RE-certification — code keeps being refactored
+while most rows age. So (a) among queries whose tag projections tie, the
+cover picks the one whose newest CORRECTNESS row is OLDEST, and (b) any
+slots left after never-checked + cover are filled with the oldest-
+certified queries outright, so the staleness frontier advances every
+round.
+
 Usage: python tools/window_optimizer.py [--include name ...]
 Prints the chosen window as a ready-to-paste tuple plus the deferred list.
 """
@@ -18,6 +27,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -30,7 +40,9 @@ from custom_python_etl_data_connector_rohitharumugams_spark.plans import registr
 WINDOW = 50
 
 
-def exact_cover(tags: frozenset, cand: dict[str, frozenset]) -> list[str]:
+def exact_cover(
+    tags: frozenset, cand: dict[str, frozenset], age_key=None
+) -> list[str]:
     """Minimal set of candidate queries covering ``tags`` (exact DFS with
     a least-carriers branching heuristic; instances here are ~25 tags).
 
@@ -45,9 +57,13 @@ def exact_cover(tags: frozenset, cand: dict[str, frozenset]) -> list[str]:
     - seed the branch-and-bound with the greedy cover's length, so the
       first descent already prunes at the greedy depth.
     """
-    # project + dedupe + dominance-filter the candidate pool
+    # project + dedupe + dominance-filter the candidate pool; the
+    # representative per distinct projection is the OLDEST-certified
+    # carrier when age_key is given (max-age-first recertification),
+    # else the lexicographic first — deterministic either way
+    key = age_key or (lambda n: n)
     proj: dict[frozenset, str] = {}
-    for n in sorted(cand):  # sorted => deterministic representative
+    for n in sorted(cand, key=lambda n: (key(n), n)):
         s = cand[n] & tags
         if s and s not in proj:
             proj[s] = n
@@ -90,11 +106,19 @@ def main() -> None:
         must_include = set(sys.argv[sys.argv.index("--include") + 1 :])
     qs = registry.all_queries()
     checked: set[str] = set()
+    last_round: dict[str, int] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        checked |= set(json.load(open(f)))
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        rnd = int(m.group(1)) if m else 0
+        for n in json.load(open(f)):
+            checked.add(n)
+            last_round[n] = max(last_round.get(n, 0), rnd)
     never = [n for n in qs if n not in checked]
     alltags = frozenset(t for q in qs.values() for t in q.tags)
     cand = {n: frozenset(qs[n].tags) for n in qs if n in checked}
+
+    def age_key(n: str) -> int:
+        return last_round.get(n, 0)
 
     chosen = list(never)
 
@@ -107,7 +131,7 @@ def main() -> None:
         # a handful of distinct solves
         need = alltags - frozenset(t for n in sel for t in qs[n].tags)
         if need not in _cover_cache:
-            _cover_cache[need] = exact_cover(need, cand)
+            _cover_cache[need] = exact_cover(need, cand, age_key=age_key)
         return _cover_cache[need]
 
     cover = cover_for(chosen)
@@ -130,17 +154,30 @@ def main() -> None:
         _, _, dropped, chosen, cover = scored[0]
         print(f"defer {dropped} (window would be {scored[0][0]})", file=sys.stderr)
 
-    window = sorted(cover) + sorted(chosen)
+    # fill any slack with the OLDEST-certified queries outright — the
+    # recertification frontier advances even when few tags are missing
+    taken = set(cover) | set(chosen)
+    refresh = []
+    for n in sorted((n for n in cand if n not in taken),
+                    key=lambda n: (age_key(n), n)):
+        if len(taken) + len(refresh) >= WINDOW:
+            break
+        refresh.append(n)
+
+    window = sorted(cover) + sorted(chosen) + sorted(refresh)
     got = frozenset(t for n in window for t in qs[n].tags)
     assert got == alltags, f"cover broken: missing {sorted(alltags - got)}"
     assert len(window) <= WINDOW
     print(f"# window: {len(window)} slots = {len(cover)} cover + "
-          f"{len(chosen)} first-time; deferred {len(never) - len(chosen)}")
+          f"{len(chosen)} first-time + {len(refresh)} refresh; "
+          f"deferred {len(never) - len(chosen)}")
     print("_PRIORITY = (")
     for n in sorted(cover):
-        print(f'    "{n}",  # cover: {" ".join(qs[n].tags)}')
+        print(f'    "{n}",  # cover (last r{age_key(n)}): {" ".join(qs[n].tags)}')
     for n in sorted(chosen):
         print(f'    "{n}",  # first-time: {" ".join(qs[n].tags)}')
+    for n in sorted(refresh):
+        print(f'    "{n}",  # refresh (last r{age_key(n)}): {" ".join(qs[n].tags)}')
     print(")")
     print("# deferred:", ", ".join(sorted(set(never) - set(chosen))))
 
