@@ -934,8 +934,17 @@ def ivf_compact(
         return live, centers
     import math
 
+    n_live = live.count()
+    if n_live == 0:
+        # the 100%-deleted case the trigger fires hardest on: there is
+        # nothing to train a quantizer on — fail with the reason rather
+        # than letting Lloyd's crash opaquely on an empty init sample
+        raise ValueError(
+            "ivf_compact(retrain=True): live set is empty after masking "
+            "tombstones — drop the index instead of retraining it"
+        )
     if n_lists is None:
-        n_lists = max(5, math.ceil(math.sqrt(live.count())))
+        n_lists = max(5, math.ceil(math.sqrt(n_live)))
     _, _inertias, new_centers = kmeans_train(
         live, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col,
         return_centers=True,

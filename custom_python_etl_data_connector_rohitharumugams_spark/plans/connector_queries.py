@@ -541,8 +541,15 @@ def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_df):
         for pdf in batches:
             _os.makedirs(tmp, exist_ok=True)  # self-contained per task
             for i, b in zip(pdf[id_col], pdf[data_col]):
-                with open(f"{tmp}/doc_{int(i):05d}.{ext}", "wb") as f:
+                # tmp-with-pid + atomic replace per file (the
+                # write_tar_shards discipline): a speculative/zombie
+                # duplicate attempt can never interleave bytes into the
+                # file a later attempt's replace publishes
+                dst = f"{tmp}/doc_{int(i):05d}.{ext}"
+                part = f"{dst}.part.{_os.getpid()}"
+                with open(part, "wb") as f:
                     f.write(bytes(b))
+                _os.replace(part, dst)
                 n += 1
         yield _pd.DataFrame({"n_files": _pd.Series([n], dtype="int64")})
 

@@ -1019,6 +1019,33 @@ def llm_ann_ivf_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frozen_quantizer(e: DataFrame) -> tuple[int, list]:
+    """The frozen-index family's ONE quantizer recipe — sqrt-rule cell
+    count from the FULL corpus, trained on the even half (vec_id % 2 ==
+    0), 2 Lloyd's iterations. Shared by every frozen-index query
+    (add/drift/delete/compaction/persistence) so the sizing rule cannot
+    drift per call site."""
+    import math
+
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
+    )
+    return n_lists, centers
+
+
+def _planted_twins(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(probe queries, corpus-with-twins, retrying delete log): a
+    byte-identical twin of every probe vector at NEGATIVE ids — a-priori
+    collision-free at every tier, including the replicated scaled
+    fixtures whose ids live at k*10^9 offsets — with each twin id logged
+    twice (the duplicate-tolerant mask contract)."""
+    q = e.where(F.col("vec_id") < 20)
+    twins = q.withColumn("vec_id", -F.col("vec_id") - 1)
+    dead = twins.select("vec_id")
+    return q, e.unionByName(twins), dead.unionByName(dead)
+
+
 @query("llm_ann_frozen_add_topk", tags=("L3", "U2"), oracle=ANN_RECALL_ORACLE)
 def llm_ann_frozen_add_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INDEX MAINTENANCE under the oracle — the FAISS train()-once /
@@ -1040,13 +1067,10 @@ def llm_ann_frozen_add_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-data one for the same recall (the probe sweep is in the
     operator docstring) — that probe budget is the price of never
     retraining."""
-    e = load_table(spark, sf_dir, "embeddings")
     import math
 
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    n_lists, centers = _frozen_quantizer(e)
     q = e.where(F.col("vec_id") < 20)
     return _ann_recall_report(
         _exact_ground_truth(e),
@@ -1094,13 +1118,8 @@ def llm_frozen_index_drift_trigger(spark: SparkSession, sf_dir: str) -> DataFram
     scan cost rises. The monitor costs the assignment pass ingest
     already pays plus a k-row compare; the threshold (TV > 0.2) and the
     integer-ppm parity discipline are dq_distribution_drift's."""
-    import math
-
     e = load_table(spark, sf_dir, "embeddings")
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
-    )
+    _n_lists, centers = _frozen_quantizer(e)
     # the baseline assignment feeds THREE legs (identity compare, min-cell
     # pick, drift batch): persist so the corpus GEMM pass runs once for
     # them — two integer columns, the _LEARNED_CELLS KB-residue contract.
@@ -1163,18 +1182,9 @@ def llm_ann_frozen_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive probe is this QUERY's verification discipline, not the
     operator's production setting (partial-probe recall rides
     llm_ann_frozen_add_topk's gate)."""
-    import math
-
     e = load_table(spark, sf_dir, "embeddings")
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
-    )
-    q = e.where(F.col("vec_id") < 20)
-    twins = q.withColumn("vec_id", -F.col("vec_id") - 1)
-    corpus = e.unionByName(twins)
-    dead = twins.select("vec_id")
-    dead_log = dead.unionByName(dead)  # a delete log with retries
+    n_lists, centers = _frozen_quantizer(e)
+    q, corpus, dead_log = _planted_twins(e)
     return S.ivf_frozen_delete_topk(
         q, corpus, centers, dead_log, k=5, nprobe=n_lists
     )
@@ -1221,7 +1231,11 @@ def llm_tombstone_compaction_trigger(spark: SparkSession, sf_dir: str) -> DataFr
     every output cell is checked, not just the booleans."""
     e = load_table(spark, sf_dir, "embeddings")
     ids = e.select("vec_id")
-    stale = ids.select((-F.col("vec_id") - 1).alias("vec_id"))
+    # a BOUNDED stale cohort (100 negative ids — never in any tier's
+    # corpus) proves the matched-only property at constant cost; a
+    # corpus-sized stale set would double the delete log's shuffle mass
+    # just to prove the same thing
+    stale = spark.range(100).select((-F.col("id") - 1).alias("vec_id"))
     under = ids.where(F.col("vec_id") % 10 == 0)
     under_log = under.unionByName(under).unionByName(under).unionByName(stale)
     over_log = ids.where(F.col("vec_id") % 10 != 0).unionByName(stale)
@@ -1298,20 +1312,13 @@ def llm_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite — the cost profile a production rebuild wants; the searcher
     never sees a hole (ranks re-closed before compaction by the mask,
     after it by absence)."""
-    import math
-
     e = load_table(spark, sf_dir, "embeddings")
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
-    )
-    q = e.where(F.col("vec_id") < 20)
-    twins = q.withColumn("vec_id", -F.col("vec_id") - 1)
-    corpus = e.unionByName(twins)
-    dead = twins.select("vec_id").unionByName(
-        e.where(F.col("vec_id") % 4 == 0).select("vec_id")
-    )
-    dead_log = dead.unionByName(dead)  # retries, again on purpose
+    n_lists, centers = _frozen_quantizer(e)
+    q, corpus, twin_log = _planted_twins(e)
+    quarter = e.where(F.col("vec_id") % 4 == 0).select("vec_id")
+    dead_log = twin_log.unionByName(quarter).unionByName(
+        quarter
+    )  # retries, again on purpose
     rep_pre = S.tombstone_load_report(corpus, dead_log).select(
         F.col("n_total").alias("n_total_pre"),
         F.col("n_deleted").alias("n_dead_pre"),
@@ -1381,18 +1388,24 @@ def llm_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine), the quantizer is the same bounded driver artifact it
     was at training time, and reloading costs a metadata-scale read +
     one k-row collect — never a retrain, never a corpus re-shuffle."""
-    import math
+    import hashlib
     import os
     import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
-    )
+    n_lists, centers = _frozen_quantizer(e)
     cellmap = S.assign_to_centers(e, centers).select("vec_id", "cid")
-    safe = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"{tempfile.gettempdir()}/sg_ivfidx_{safe}"
+    # path keyed by resolved fixture path (basename collisions) AND pid
+    # (a concurrent session's overwrite must never race this session's
+    # load — each process owns its artifact; same-process reruns
+    # overwrite their own)
+    resolved = os.path.realpath(sf_dir.rstrip("/"))
+    tag = (
+        os.path.basename(resolved).replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
+    path = f"{tempfile.gettempdir()}/sg_ivfidx_{tag}_{os.getpid()}"
     S.save_ivf_index(cellmap, centers, path)
     loaded_cells, loaded_centers = S.load_ivf_index(spark, path)
     assert len(loaded_centers) == len(centers)

@@ -1341,7 +1341,11 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     base = e.where(F.col("vec_id") % 2 == 0)
-    n_lists = max(5, math.ceil(math.sqrt(base.count())))
+    # the family sqrt rule sizes cells for the FULL anticipated
+    # population (train-time capacity planning — streamed adds will
+    # grow the index toward e's size), uniform with the frozen-index
+    # siblings in plans/llm.py (_frozen_quantizer)
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
     _, _inertias, centers = S.kmeans_train(
         base, k=n_lists, iters=2, return_centers=True
     )
