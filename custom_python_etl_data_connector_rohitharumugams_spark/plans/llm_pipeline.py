@@ -1219,11 +1219,15 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     # frozen decontamination reference: full-table postings vs the
-    # benchmark side (an external eval set — known up front)
+    # benchmark side (an external eval set — known up front). Persisted:
+    # THREE legs (A, delta, twin) anti-join against it, and the shingle
+    # join that derives it is the query's most expensive subtree — a
+    # doc_id-list KB-scale residue, the _LEARNED_CELLS contract
     contaminated = (
         contamination_pairs(shingle_postings(d, shingle_n=3))
         .select("doc_id")
         .distinct()
+        .persist()
     )
     a = d.where(F.col("doc_id") < INC_SPLIT_ID)
     delta = d.where(F.col("doc_id") >= INC_SPLIT_ID)
@@ -1232,7 +1236,9 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers_a = a.groupBy(_inc_digest().alias("__dig")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    quality_a = _inc_gated(a, keepers_a, contaminated)
+    # quality_a feeds BOTH the admission window and the ledger — persist
+    # the (id, source, tokens) rows so the gate evaluates once
+    quality_a = _inc_gated(a, keepers_a, contaminated).persist()
     admitted_a = _inc_admit(quality_a)
     # carried state: digest set + per-source tokens-seen ledger
     state_digests = a.select(_inc_digest().alias("__dig")).distinct()
@@ -1250,13 +1256,16 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_b = _inc_gated(delta, keepers_b, contaminated)
     admitted_b = _inc_admit(quality_b, ledger)
 
-    incremental = admitted_a.unionByName(admitted_b)
+    # the incremental result and the twin each feed THREE consumers (two
+    # exceptAll directions + the report aggregate / nothing else): both
+    # are admitted-rows-sized — persist so each pipeline runs once
+    incremental = admitted_a.unionByName(admitted_b).persist()
 
     # ---- from-scratch twin on the union + in-plan equality proof ----
     keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    twin = _inc_admit(_inc_gated(d, keepers_u, contaminated))
+    twin = _inc_admit(_inc_gated(d, keepers_u, contaminated)).persist()
     diff = (
         incremental.exceptAll(twin)
         .unionByName(twin.exceptAll(incremental))

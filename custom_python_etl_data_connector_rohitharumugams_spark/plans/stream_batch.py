@@ -1401,22 +1401,29 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_assign = S.assign_to_centers(base, centers).select(
         "vec_id", F.col("cid").cast("long").alias("cid")
     )
+    # the maintained map and the twin each feed multiple consumers (two
+    # exceptAll directions + the maintained-index search); both are
+    # (id, cid) integer frames — persist so the Arrow assignment passes
+    # run once, not per consumer (the _LEARNED_CELLS residue contract)
     maintained = (
         base_assign.unionByName(add_log)
         .dropDuplicates(["vec_id", "cid"])
         .join(tomb, "vec_id", "anti")
+        .persist()
     )
 
     # batch twin over the same op table, recomputed from the raw events
     ev = load_table(spark, sf_dir, "events")
     adds_b = _ops(ev, "signup", STREAM_ANN_ADD_STRIDE)
-    dels_b = _ops(ev, "purchase", STREAM_ANN_DEL_STRIDE)
+    dels_b = _ops(ev, "purchase", STREAM_ANN_DEL_STRIDE).persist()
     indexed = base.select("vec_id").unionByName(adds_b).distinct()
-    indexed_corpus = e.join(indexed, "vec_id", "semi")
+    indexed_corpus = e.join(indexed, "vec_id", "semi").persist()
     twin = (
         S.assign_to_centers(
             indexed_corpus.join(dels_b, "vec_id", "anti"), centers
-        ).select("vec_id", F.col("cid").cast("long").alias("cid"))
+        )
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .persist()
     )
     cells_diff = (
         maintained.exceptAll(twin)
@@ -1433,10 +1440,10 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=nprobe,
         list_col="__ivf_cell",
-    )
+    ).persist()
     want = S.ivf_frozen_delete_topk(
         q, indexed_corpus, centers, dels_b, k=5, nprobe=nprobe
-    )
+    ).persist()
     search_diff = (
         got.exceptAll(want)
         .unionByName(want.exceptAll(got))
