@@ -1019,19 +1019,35 @@ def llm_ann_ivf_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-corpus cache of the frozen quantizer (same session-artifact
+#: discipline as _EXACT_TRUTH / similarity._LEARNED_CELLS): five
+#: registered queries train the IDENTICAL quantizer — deterministic
+#: recipe, deterministic result — so re-running Lloyd's per query is
+#: pure waste. load_table returns one frame per (session, sf, table),
+#: which is what makes the WeakKeyDictionary hit across queries; the
+#: entry is k centers of d doubles, dying with the corpus frame.
+_FROZEN_Q: "WeakKeyDictionary[DataFrame, tuple[int, list]]" = WeakKeyDictionary()
+
+
 def _frozen_quantizer(e: DataFrame) -> tuple[int, list]:
     """The frozen-index family's ONE quantizer recipe — sqrt-rule cell
     count from the FULL corpus, trained on the even half (vec_id % 2 ==
     0), 2 Lloyd's iterations. Shared by every frozen-index query
     (add/drift/delete/compaction/persistence) so the sizing rule cannot
-    drift per call site."""
+    drift per call site — and cached per corpus, so it TRAINS once per
+    session (train-once is the family's whole contract)."""
     import math
 
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2, return_centers=True
-    )
-    return n_lists, centers
+    if e not in _FROZEN_Q:
+        n_lists = max(5, math.ceil(math.sqrt(e.count())))
+        _, _inertias, centers = S.kmeans_train(
+            e.where(F.col("vec_id") % 2 == 0),
+            k=n_lists,
+            iters=2,
+            return_centers=True,
+        )
+        _FROZEN_Q[e] = (n_lists, centers)
+    return _FROZEN_Q[e]
 
 
 def _planted_twins(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
