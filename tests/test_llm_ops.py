@@ -1197,6 +1197,32 @@ def test_ivf_index_save_load_roundtrip_bit_exact(spark, tmp_path):
     )
 
 
+def test_frozen_quantizer_trains_once_per_corpus(spark, sf_dir):
+    """The frozen family's train-once contract applied to the harness
+    itself: the second _frozen_quantizer call on the same corpus frame
+    must hit the _FROZEN_Q cache — ZERO new Spark jobs — and return the
+    identical object. Five registered queries share this quantizer, so
+    a cache regression would silently re-run Lloyd's per query."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans import llm as L
+
+    e = load_table(spark, sf_dir, "embeddings")
+    L._FROZEN_Q.pop(e, None)  # isolate from other tests in this session
+    sc = spark.sparkContext
+
+    def jobs_for(group: str):
+        sc.setJobGroup(group, "frozen-q-pin")
+        try:
+            out = L._frozen_quantizer(e)
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    first, j1 = jobs_for("fq-pin-1")
+    second, j2 = jobs_for("fq-pin-2")
+    assert j1 > 0 and j2 == 0, (j1, j2)
+    assert second is first  # same tuple object, not a retrain
+
+
 def test_tombstone_load_report_threshold_and_stale_ids(spark):
     """Compaction trigger arithmetic: integer ppm over MATCHED tombstones
     only (a stale tombstone for a never-indexed id wastes no scan work
