@@ -564,6 +564,19 @@ def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_df):
             f"landing fixture build wrote {n_written} files, expected "
             f"{n_expected} — synth frame and staleness count disagree"
         )
+    # n_written counts TASK-side writes; on a cluster without a shared
+    # filesystem the tasks' files never land in the driver-visible tmp.
+    # Count driver-side too, turning the single-node/shared-fs
+    # assumption into a checked invariant instead of a comment.
+    n_visible = len(os.listdir(tmp)) if os.path.isdir(tmp) else 0
+    if n_visible != n_expected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"landing fixture: tasks reported {n_written} writes but "
+            f"only {n_visible} files are driver-visible — executors do "
+            "not share this filesystem; landing fixtures require a "
+            "shared or local filesystem"
+        )
     if os.path.isdir(out):  # stale partial from an earlier crash
         shutil.rmtree(out, ignore_errors=True)
     try:

@@ -1038,16 +1038,28 @@ def _frozen_quantizer(e: DataFrame) -> tuple[int, list]:
     session (train-once is the family's whole contract)."""
     import math
 
-    if e not in _FROZEN_Q:
-        n_lists = max(5, math.ceil(math.sqrt(e.count())))
-        _, _inertias, centers = S.kmeans_train(
-            e.where(F.col("vec_id") % 2 == 0),
-            k=n_lists,
-            iters=2,
-            return_centers=True,
-        )
-        _FROZEN_Q[e] = (n_lists, centers)
-    return _FROZEN_Q[e]
+    try:
+        cached = _FROZEN_Q.get(e)
+    except TypeError:
+        # Non-hashable / non-weak-referenceable frame (e.g. Spark
+        # Connect proxies): fall back to uncached training, matching
+        # _exact_ground_truth and similarity._LEARNED_CELLS.
+        cached = None
+    if cached is not None:
+        return cached
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0),
+        k=n_lists,
+        iters=2,
+        return_centers=True,
+    )
+    artifact = (n_lists, centers)
+    try:
+        _FROZEN_Q[e] = artifact
+    except TypeError:
+        pass
+    return artifact
 
 
 def _planted_twins(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -1406,6 +1418,7 @@ def llm_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     one k-row collect — never a retrain, never a corpus re-shuffle."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1424,7 +1437,17 @@ def llm_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{tempfile.gettempdir()}/sg_ivfidx_{tag}_{os.getpid()}"
     S.save_ivf_index(cellmap, centers, path)
     loaded_cells, loaded_centers = S.load_ivf_index(spark, path)
-    assert len(loaded_centers) == len(centers)
+    # Sever the returned plan's lineage from the on-disk artifact
+    # (eager localCheckpoint), then reclaim the pid-keyed dir — the
+    # roundtrip is proven through the checkpointed frames, and no
+    # artifact leaks per process/sf tier.
+    loaded_cells = loaded_cells.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    if len(loaded_centers) != len(centers):
+        raise RuntimeError(
+            "IVF index roundtrip lost centers: "
+            f"saved {len(centers)}, loaded {len(loaded_centers)}"
+        )
     q = e.where(F.col("vec_id") < 20)
     return S.ivf_topk(
         q,
