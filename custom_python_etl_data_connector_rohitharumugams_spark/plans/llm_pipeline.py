@@ -930,21 +930,106 @@ E2E_BUDGET = 500  # per-source token quota after cleaning
 E2E_SHARDS = 8
 
 
+#: Fuzzy-dedup stage threshold shared by the one-shot and incremental
+#: corpus builds (and their oracles). The stage is UNCAPPED and
+#: UNBLOCKED 3-gram Jaccard — unlike NGRAM_JACCARD_SQL's inverted-index
+#: pair queries, candidate generation here is the MinHash BAND join, so
+#: no df-cap is needed to bound the pair count (the cap exists to stop
+#: posting-list self-joins from degenerating on boilerplate shingles),
+#: and source-blocking would miss cross-source near-dups. Fixture
+#: margin (measured r12, all tiers): every natural near-dup pair sits
+#: at J >= 0.9 and the densest non-dup pair at J <= 0.14, so tau = 0.5
+#: has a ~4x separation on both sides; banded MinHash recall against
+#: the exact pair set is 100% at sf0.001/0.01/0.1 (pytest-pinned,
+#: tests/test_llm_pipeline.py::test_corpus_neardup_stage_is_exact).
+NEARDUP_TAU = 0.5
+
+
+def neardup_stage(kept: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The corpus builds' shared near-dup DETECTION stage over the
+    exact-dedup survivors: distinct 3-gram shingle postings -> 32-perm
+    MinHash signatures -> LSH band equi-join (8 bands x 4 rows, never
+    all-pairs) -> exact-Jaccard verification of the candidates at
+    NEARDUP_TAU. Returns (postings, verified pairs with doc_id_1 <
+    doc_id_2); the KEEPER rule differs by build (connected-component min
+    in the one-shot build, arrival-ordered greedy in the incremental
+    one) and stays at the call sites."""
+    from ..operators import dedup as D
+
+    posts = D.shingle_postings(kept)
+    sigs = D.minhash_signatures(posts)
+    cands = D.lsh_candidate_pairs(sigs)
+    return posts, D.jaccard_verify(cands, posts, threshold=NEARDUP_TAU)
+
+
+#: DuckDB CTE block computing the stage's exact pair set over a `kept`
+#: relation (doc_id, text): UNCAPPED, UNBLOCKED 3-gram Jaccard at
+#: NEARDUP_TAU — the a-priori form of neardup_stage's banded output
+#: (recall 100%, see NEARDUP_TAU note). Ends at ndpairs(doc_id_1 <
+#: doc_id_2); prepend inside a WITH list after `kept` is defined.
+NEARDUP_PAIRS_CTES = f"""
+    ktoks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2]))))
+                   AS shingle
+        FROM kept
+    ),
+    ksizes AS (SELECT doc_id, COUNT(*) AS ns FROM ktoks GROUP BY doc_id),
+    kinter AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               COUNT(*) AS inter
+        FROM ktoks a
+        JOIN ktoks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ndpairs AS (
+        SELECT doc_id_1, doc_id_2
+        FROM kinter
+        JOIN ksizes s1 ON s1.doc_id = kinter.doc_id_1
+        JOIN ksizes s2 ON s2.doc_id = kinter.doc_id_2
+        WHERE ROUND(CAST(inter AS DOUBLE) / (s1.ns + s2.ns - inter), 4)
+                  >= {NEARDUP_TAU}
+    )
+"""
+
+
 @query(
     "llm_corpus_build_e2e",
-    tags=("L1", "L9", "L12", "L13", "L10"),
+    tags=("L1", "L2", "L11", "L9", "L12", "L13", "L10"),
     oracle=f"""
-    WITH {CONTAMINATION_CTES},
+    WITH RECURSIVE {CONTAMINATION_CTES},
     keepers AS (
         SELECT MIN(doc_id) AS doc_id
         FROM documents
         GROUP BY COALESCE(md5(text), '__null__' || CAST(doc_id AS VARCHAR))
     ),
+    kept AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN keepers k USING (doc_id)
+    ),
+    {NEARDUP_PAIRS_CTES},
+    sym AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM ndpairs
+        UNION ALL
+        SELECT doc_id_2 AS a, doc_id_1 AS b FROM ndpairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    ndrops AS (
+        SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    ),
     clean AS (
         SELECT d.doc_id, d.source, d.text
-        FROM documents d
-        JOIN keepers k USING (doc_id)
-        WHERE d.doc_id % {BENCH_MODULUS} <> 0
+        FROM kept d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM ndrops)
+          AND d.doc_id % {BENCH_MODULUS} <> 0
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated_pairs)
     ),
     quality AS (
@@ -980,7 +1065,8 @@ E2E_SHARDS = 8
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(COUNT(DISTINCT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                                    AS BIGINT) % {E2E_SHARDS}) AS BIGINT) AS n_shards
+                                    AS BIGINT) % {E2E_SHARDS}) AS BIGINT) AS n_shards,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ndrops) AS n_neardup_dropped
     FROM admitted
     GROUP BY 1, 2
     ORDER BY source, split
@@ -992,29 +1078,40 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformations with nothing materialized in between:
 
     1. exact dedup (keep smallest doc_id per text digest, null-safe);
-    2. benchmark holdout + decontamination (shared-shingle rule, the
+    2. FUZZY dedup (neardup_stage: MinHash band join over the exact
+       survivors -> exact-Jaccard verify at NEARDUP_TAU -> connected
+       components (operators/graph.py) -> keep each cluster's smallest
+       id). The oracle recomputes the identical drop set a priori:
+       exact all-pairs Jaccard in SQL + a recursive-CTE closure — the
+       banded path must reproduce it pair-for-pair (measured recall
+       100% at every fixture tier, pytest-pinned);
+    3. benchmark holdout + decontamination (shared-shingle rule, the
        same single definition llm_benchmark_overlap checks);
-    3. Gopher/C4-style quality gate (token bounds, mean-token-length
+    4. Gopher/C4-style quality gate (token bounds, mean-token-length
        bounds, vocabulary-diversity floor — llm_quality_filter_report's
        exact rule);
-    4. hard per-source token-budget admission (md5-rank prefix sum —
+    5. hard per-source token-budget admission (md5-rank prefix sum —
        llm_token_budget_downsample's exact rule);
-    5. deterministic 90/10 split + md5 shard assignment (the shardsink
-       rule), reported per (source, split) with distinct-shard counts.
+    6. deterministic 90/10 split + md5 shard assignment (the shardsink
+       rule), reported per (source, split) with distinct-shard counts
+       plus the global near-dup drop count (n_neardup_dropped — the
+       fuzzy stage's effect is visible in the output even when every
+       dropped doc would also have failed a later gate).
 
     Each stage is a semi/anti join or filter against a small derived
     frame; Catalyst pipelines the lot, prunes every documents scan to
     the 2-3 needed columns (pytest-pinned: test_scale_patterns.py::
-    test_corpus_build_e2e_scans_are_pruned), and the only wide
-    operations are the contamination
-    shingle join (benchmark side broadcast), the per-source admission
-    window, and the final aggregate. The point of this query: a user can
-    swap any stage's constant and the ENTIRE build re-plans — no
-    intermediate files, no orchestration glue, one lineage from raw docs
-    to shard roster.
+    test_corpus_build_e2e_scans_are_pruned), and the wide operations are
+    the contamination shingle join (benchmark side broadcast), the
+    near-dup band join (pair cost tracks band collisions, never n^2),
+    the per-source admission window, and the final aggregate. The point
+    of this query: a user can swap any stage's constant and the ENTIRE
+    build re-plans — no intermediate files, no orchestration glue, one
+    lineage from raw docs to shard roster.
     """
     from ..functions.text import distinct_ratio as _distinct_ratio
     from ..operators.dedup import shingle_postings
+    from ..operators.graph import connected_components
     from ..sources.shardsink import shard_assignment
 
     d = load_table(spark, sf_dir, "documents")
@@ -1023,6 +1120,19 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
     )
     keepers = d.groupBy(dig.alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
+    # fuzzy-dedup stage over the exact survivors: banded candidates,
+    # exact-Jaccard verify, component-min keeper. The pair set is the
+    # detection OUTPUT — orders of magnitude smaller than the corpus —
+    # so clustering cost is negligible next to the band join.
+    kept = d.join(keepers.select("doc_id"), "doc_id", "semi")
+    _, nd_verified = neardup_stage(kept)
+    comps = connected_components(nd_verified)
+    nd_drops = comps.where(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    n_nd_dropped = nd_drops.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neardup_dropped")
+    )
     contaminated = (
         contamination_pairs(shingle_postings(d, shingle_n=3))
         .select("doc_id")
@@ -1032,8 +1142,8 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     avg_toklen = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
     quality = (
-        d.where(F.col("doc_id") % BENCH_MODULUS != 0)
-        .join(keepers.select("doc_id"), "doc_id", "semi")
+        kept.where(F.col("doc_id") % BENCH_MODULUS != 0)
+        .join(nd_drops, "doc_id", "anti")
         .join(contaminated, "doc_id", "anti")
         .where(
             n_tokens.between(MIN_TOKENS, MAX_TOKENS)
@@ -1074,6 +1184,7 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
             F.countDistinct("shard").cast("bigint").alias("n_shards"),
         )
+        .crossJoin(F.broadcast(n_nd_dropped))
         .orderBy("source", "split")
     )
 
@@ -1093,19 +1204,30 @@ def _inc_digest():
     )
 
 
-def _inc_gated(docs: DataFrame, keepers: DataFrame, contaminated: DataFrame):
+def _inc_gated(
+    docs: DataFrame,
+    keepers: DataFrame,
+    contaminated: DataFrame,
+    nd_drops: DataFrame | None = None,
+):
     """The per-doc admission gate every leg shares: benchmark holdout,
-    dedup-keeper semi join, decontamination anti join, Gopher/C4 quality
-    — identical to llm_corpus_build_e2e stage for stage."""
+    dedup-keeper semi join, near-dup anti join (``nd_drops``, the fuzzy
+    stage's arrival-ordered drop set), decontamination anti join,
+    Gopher/C4 quality — identical to llm_corpus_build_e2e stage for
+    stage, except the fuzzy KEEPER rule (see _inc_neardup_drops)."""
     from ..functions.text import distinct_ratio as _distinct_ratio
 
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     avg_toklen = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
-    return (
+    gated = (
         docs.where(F.col("doc_id") % BENCH_MODULUS != 0)
         .join(keepers.select("doc_id"), "doc_id", "semi")
-        .join(contaminated, "doc_id", "anti")
+    )
+    if nd_drops is not None:
+        gated = gated.join(nd_drops, "doc_id", "anti")
+    return (
+        gated.join(contaminated, "doc_id", "anti")
         .where(
             n_tokens.between(MIN_TOKENS, MAX_TOKENS)
             & avg_toklen.between(MIN_AVG_TOKLEN, MAX_AVG_TOKLEN)
@@ -1113,6 +1235,20 @@ def _inc_gated(docs: DataFrame, keepers: DataFrame, contaminated: DataFrame):
         )
         .select("doc_id", "source", n_tokens.cast("bigint").alias("n_tokens"))
     )
+
+
+def _inc_neardup_drops(verified: DataFrame) -> DataFrame:
+    """The incremental build's fuzzy KEEPER rule: drop a doc iff a
+    verified near-dup with a SMALLER doc_id exists among the exact-dedup
+    survivors seen so far — arrival-ordered greedy, NOT component-min.
+    Component-min cannot be incremental: a later doc can bridge two
+    previously separate components, and the merged component's min would
+    retroactively evict a keeper an earlier batch already shipped. The
+    greedy rule is the semantics every streaming dedup system actually
+    has (match the new doc against the index of prior admissions; prior
+    docs are never revisited), and it makes the prefix property a
+    theorem: a doc's fate depends only on strictly-smaller ids."""
+    return verified.select(F.col("doc_id_2").alias("doc_id")).distinct()
 
 
 def _inc_admit(quality: DataFrame, ledger: DataFrame | None = None):
@@ -1140,7 +1276,7 @@ def _inc_admit(quality: DataFrame, ledger: DataFrame | None = None):
 
 @query(
     "llm_corpus_build_incremental",
-    tags=("L1", "L9", "L12", "L13"),
+    tags=("L1", "L2", "L9", "L12", "L13"),
     oracle=f"""
     WITH {CONTAMINATION_CTES},
     keepers AS (
@@ -1148,12 +1284,18 @@ def _inc_admit(quality: DataFrame, ledger: DataFrame | None = None):
         FROM documents
         GROUP BY COALESCE(md5(text), '__null__' || CAST(doc_id AS VARCHAR))
     ),
+    kept AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN keepers k USING (doc_id)
+    ),
+    {NEARDUP_PAIRS_CTES},
+    ndrops AS (SELECT DISTINCT doc_id_2 AS doc_id FROM ndpairs),
     quality AS (
         SELECT d.doc_id, d.source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents d
-        JOIN keepers k USING (doc_id)
+        FROM kept d
         WHERE d.doc_id % {BENCH_MODULUS} <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM ndrops)
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated_pairs)
           AND len(string_split(text, ' '))
                   BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
@@ -1192,6 +1334,14 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - the DEDUP STATE: batch A's text-digest set — a delta doc whose
       digest was already seen is dropped without re-reading A;
+    - the NEAR-DUP INDEX: batch A's shingle postings + MinHash
+      signatures over its exact survivors (the persisted-index shape of
+      llm_incremental_dedup_admission). A delta doc's signature is
+      band-joined against the index ∪ the delta's own signatures, band
+      hits are exact-Jaccard-verified at NEARDUP_TAU, and the doc is
+      dropped iff a smaller-id verified neighbor exists — the
+      arrival-ordered greedy keeper (_inc_neardup_drops documents why
+      component-min cannot be incremental);
     - the DECONTAMINATION REFERENCE: the benchmark shingle postings
       (doc_id % {BENCH_MODULUS} == 0 — an external eval set, frozen up
       front, identical in both legs by design);
@@ -1203,18 +1353,25 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch rebuild on A ∪ delta ROW FOR ROW, which holds as a
     THEOREM because batches are arrival-ordered (A ids < delta ids):
     the union build's doc_id-ordered admission prefix over A is exactly
-    leg 1, and a delta doc's union cum_before is exactly ledger[source]
-    + its in-batch cum_before. The query computes both legs AND the
-    twin, compares in-plan (symmetric exceptAll — never a driver
-    collect), and reports per-source totals the oracle recomputes from
-    scratch; n_new counts the delta leg's admissions (INC_BUDGET is
-    sized so the sf0.01 fixture exercises rejection, overshoot
+    leg 1, a doc's fuzzy fate depends only on strictly-smaller ids
+    (greedy rule), and a delta doc's union cum_before is exactly
+    ledger[source] + its in-batch cum_before. The query computes both
+    legs AND the twin, compares in-plan (symmetric exceptAll — never a
+    driver collect), and reports per-source totals the oracle recomputes
+    from scratch (including the fuzzy drop set, as exact all-pairs
+    Jaccard in SQL); n_new counts the delta leg's admissions (INC_BUDGET
+    is sized so the sf0.01 fixture exercises rejection, overshoot
     admission, and fresh admission in the delta).
 
-    Scale shape: leg 2 touches the delta plus kilobyte-scale state (a
-    digest set — at 100 TB a Bloom/anti-join against A's digest store,
-    exactly the shape here; a per-source ledger of a few rows; the
-    broadcast benchmark postings). Nothing rescans batch A."""
+    Scale shape: leg 2 touches the delta plus carried state that is
+    bounded by the corpus' UNIQUE content, not its raw size (a digest
+    set — at 100 TB a Bloom/anti-join against A's digest store, exactly
+    the shape here; a signature sketch of 32 int64s per survivor; the
+    postings index — the one corpus-sized piece, but it IS the
+    near-dup index every incremental dedup system persists; a
+    per-source ledger of a few rows; the broadcast benchmark postings).
+    Nothing rescans batch A's raw text."""
+    from ..operators import dedup as D
     from ..operators.dedup import shingle_postings
 
     d = load_table(spark, sf_dir, "documents")
@@ -1236,11 +1393,23 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers_a = a.groupBy(_inc_digest().alias("__dig")).agg(
         F.min("doc_id").alias("doc_id")
     )
+    # near-dup index over A's exact survivors — persisted: the postings
+    # feed leg 1's verify (both pair sides), leg 2's verify (the A side
+    # of cross-batch pairs), and the signature build; the signatures
+    # feed leg 1's band join and leg 2's (index ∪ delta) band join
+    kept_a = a.join(keepers_a.select("doc_id"), "doc_id", "semi")
+    posts_a = shingle_postings(kept_a).persist()
+    sigs_a = D.minhash_signatures(posts_a).persist()
+    drops_a = _inc_neardup_drops(
+        D.jaccard_verify(
+            D.lsh_candidate_pairs(sigs_a), posts_a, threshold=NEARDUP_TAU
+        )
+    )
     # quality_a feeds BOTH the admission window and the ledger — persist
     # the (id, source, tokens) rows so the gate evaluates once
-    quality_a = _inc_gated(a, keepers_a, contaminated).persist()
+    quality_a = _inc_gated(a, keepers_a, contaminated, drops_a).persist()
     admitted_a = _inc_admit(quality_a)
-    # carried state: digest set + per-source tokens-seen ledger
+    # carried state: digest set + near-dup index + tokens-seen ledger
     state_digests = a.select(_inc_digest().alias("__dig")).distinct()
     ledger = quality_a.groupBy("source").agg(
         F.sum("n_tokens").alias("seen")
@@ -1253,7 +1422,23 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__dig")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    quality_b = _inc_gated(delta, keepers_b, contaminated)
+    # delta near-dups: band-join the delta's signatures against the
+    # frozen index ∪ the delta itself, keep only pairs whose LATER side
+    # is a delta doc (A-A pairs were leg 1's; doc_id_1 < doc_id_2 and
+    # A ids < INC_SPLIT_ID <= delta ids make the predicate exact), then
+    # verify through the union postings
+    kept_b = delta.join(keepers_b.select("doc_id"), "doc_id", "semi")
+    posts_b = shingle_postings(kept_b)
+    sigs_b = D.minhash_signatures(posts_b)
+    cands_2 = D.lsh_candidate_pairs(sigs_a.unionByName(sigs_b)).where(
+        F.col("doc_id_2") >= INC_SPLIT_ID
+    )
+    drops_b = _inc_neardup_drops(
+        D.jaccard_verify(
+            cands_2, posts_a.unionByName(posts_b), threshold=NEARDUP_TAU
+        )
+    )
+    quality_b = _inc_gated(delta, keepers_b, contaminated, drops_b)
     admitted_b = _inc_admit(quality_b, ledger)
 
     # the incremental result and the twin each feed THREE consumers (two
@@ -1262,10 +1447,17 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental = admitted_a.unionByName(admitted_b).persist()
 
     # ---- from-scratch twin on the union + in-plan equality proof ----
+    # (the twin recomputes its OWN postings/signatures from the union —
+    # reusing the legs' persisted index here would make the fuzzy half
+    # of the equality proof circular)
     keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    twin = _inc_admit(_inc_gated(d, keepers_u, contaminated)).persist()
+    kept_u = d.join(keepers_u.select("doc_id"), "doc_id", "semi")
+    _, ver_u = neardup_stage(kept_u)
+    twin = _inc_admit(
+        _inc_gated(d, keepers_u, contaminated, _inc_neardup_drops(ver_u))
+    ).persist()
     diff = (
         incremental.exceptAll(twin)
         .unionByName(twin.exceptAll(incremental))

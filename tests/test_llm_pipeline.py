@@ -272,3 +272,96 @@ def test_incremental_dedup_rejects_planted_batch_dups(spark, tmp_path):
     assert out[45] is False, "higher-id batch twin must be rejected"
     assert out[50] is True, "unique batch doc must be admitted"
     assert 3001 not in out and 3 not in out, "corpus docs must not be re-adjudicated"
+
+
+def test_corpus_neardup_stage_is_exact(spark):
+    """The corpus builds' fuzzy-dedup contract (NEARDUP_TAU note): the
+    banded MinHash+LSH+verify stage must reproduce the EXACT 3-gram
+    Jaccard pair set over the exact-dedup survivors — the oracles
+    compute that exact set a priori, so a single banding miss is a
+    driver hash mismatch. Pinned at sf0.001 and sf0.01 here (the driver
+    certifies sf0.01); sf0.1 measured 241/241 with zero extras (r12).
+    The fixture margin makes this robust, not lucky: every true pair
+    sits at J >= 0.9 (banding miss probability < 1e-4 per pair, and
+    xxhash64 is deterministic, so 'measured 100%' is frozen), while the
+    densest non-pair is at J <= 0.14 — a ~4x gap on both sides of 0.5."""
+    import duckdb
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.dedup import exact_dedup
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.llm_pipeline import (
+        NEARDUP_PAIRS_CTES,
+        neardup_stage,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        truth = set(
+            map(
+                tuple,
+                con.execute(
+                    f"""
+                    WITH k0 AS (
+                        SELECT MIN(doc_id) AS doc_id FROM documents
+                        GROUP BY COALESCE(md5(text),
+                                          '__null__' || CAST(doc_id AS VARCHAR))
+                    ),
+                    kept AS (
+                        SELECT d.doc_id, d.text FROM documents d
+                        JOIN k0 USING (doc_id)
+                    ),
+                    {NEARDUP_PAIRS_CTES}
+                    SELECT doc_id_1, doc_id_2 FROM ndpairs
+                    """
+                ).fetchall(),
+            )
+        )
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        _, verified = neardup_stage(exact_dedup(d))
+        got = {(r.doc_id_1, r.doc_id_2) for r in verified.collect()}
+        assert got == truth, (
+            f"{sf}: banded pairs != exact pairs; "
+            f"missed={sorted(truth - got)[:5]} extra={sorted(got - truth)[:5]}"
+        )
+        assert truth, f"{sf}: fixture lost its planted near-dups"
+
+
+def test_incremental_greedy_keeper_differs_from_component_min(spark):
+    """Pin the documented semantics split between the two corpus builds:
+    on a 'late bridge' pair set {(1,3), (2,3)} the incremental build's
+    arrival-ordered greedy rule keeps doc 2 (no verified neighbor with a
+    SMALLER id), while the one-shot build's component-min keeper would
+    evict it (the bridge doc 3 merges {1,3} and {2,3} into one component
+    with min 1). This is exactly why component-min cannot be computed
+    incrementally — the merge retroactively changes an already-shipped
+    batch's keeper set — and why _inc_neardup_drops exists."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.operators.graph import (
+        connected_components,
+    )
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.llm_pipeline import (
+        _inc_neardup_drops,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_id_1 bigint, doc_id_2 bigint"
+    )
+    greedy = {r.doc_id for r in _inc_neardup_drops(pairs).collect()}
+    comps = connected_components(pairs)
+    cc_drops = {
+        r.vertex
+        for r in comps.where(F.col("vertex") != F.col("component")).collect()
+    }
+    assert greedy == {3}
+    assert cc_drops == {2, 3}
+
+
+def test_corpus_build_e2e_reports_live_neardup_drops(spark):
+    """n_neardup_dropped must be a real, non-zero measurement of the fuzzy
+    stage (the fixture generator plants near-dup pairs at every tier) and
+    constant across the report's rows (it is a global stage statistic)."""
+    rows = QS["llm_corpus_build_e2e"].fn(spark, SMOKE_SF).collect()
+    drops = {r.n_neardup_dropped for r in rows}
+    assert len(drops) == 1 and drops.pop() > 0

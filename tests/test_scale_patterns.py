@@ -269,6 +269,8 @@ def test_no_python_in_unexpected_query_plans(spark):
         # edge set (<=3M rows by construction) — metadata-scale, not
         # corpus-scale; the corpus-sized work stays JVM-side upstream
         "llm_dedup_clusters", "llm_dedup_clusters_star",
+        "llm_corpus_build_e2e",  # + the same single-task CC finish over the
+                                 # fuzzy-dedup stage's verified pair set
         "connector_json_landing", "connector_csv_landing",  # file-source landings
     }
     PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
