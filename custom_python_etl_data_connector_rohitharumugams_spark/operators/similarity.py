@@ -537,12 +537,29 @@ PQ_SUBSPACES = 4
 PQ_DIMS = 16
 
 
-def pq_subspace_dists(vec_col, m: int):
+def _pq_codebooks(codebooks=None) -> tuple:
+    """Normalize a codebook argument to one center table PER SUBSPACE
+    (tuple of tuples of center vectors, equal sub-dims). ``None`` keeps
+    the module default: the shared 4x4 sign-pattern table replicated
+    across the 4 subspaces — byte-identical plans to the pre-parameter
+    form, which is what keeps the existing PQ oracles untouched."""
+    if codebooks is None:
+        return (PQ_CENTERS,) * PQ_SUBSPACES
+    cbs = tuple(tuple(tuple(float(x) for x in c) for c in cb) for cb in codebooks)
+    widths = {len(c) for cb in cbs for c in cb}
+    if len(widths) != 1:
+        raise ValueError(f"pq codebooks must share one sub-dim, got {widths}")
+    return cbs
+
+
+def pq_subspace_dists(vec_col, m: int, codebooks=None):
     """Array of squared L2 distances from subspace ``m`` of ``vec_col`` to
-    each codebook center (left fold from 0, cast-to-double — the exact
-    op order the DuckDB oracle mirrors)."""
-    centers = F.array(*[F.array(*[F.lit(v) for v in c]) for c in PQ_CENTERS])
-    sub = F.slice(vec_col, m * PQ_DIMS + 1, PQ_DIMS)
+    each of that subspace's codebook centers (left fold from 0,
+    cast-to-double — the exact op order the DuckDB oracle mirrors)."""
+    cbs = _pq_codebooks(codebooks)
+    sub_dims = len(cbs[m][0])
+    centers = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cbs[m]])
+    sub = F.slice(vec_col, m * sub_dims + 1, sub_dims)
     return F.transform(
         centers,
         lambda c: F.aggregate(
@@ -557,19 +574,36 @@ def pq_subspace_dists(vec_col, m: int):
     )
 
 
-def pq_codes(vec_col):
-    """4-element int array: each subspace's nearest-center index (0-based)."""
+def pq_codes(vec_col, codebooks=None):
+    """Int array, one element per subspace: each subspace's
+    nearest-center index (0-based, first-match tiebreak)."""
+    cbs = _pq_codebooks(codebooks)
     return F.array(
         *[
             (
                 F.array_position(
-                    pq_subspace_dists(vec_col, m),
-                    F.array_min(pq_subspace_dists(vec_col, m)),
+                    pq_subspace_dists(vec_col, m, cbs),
+                    F.array_min(pq_subspace_dists(vec_col, m, cbs)),
                 )
                 - 1
             ).cast("int")
-            for m in range(PQ_SUBSPACES)
+            for m in range(len(cbs))
         ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+) -> DataFrame:
+    """Materializable code table ``(id_col, codes array<int>)`` — the
+    per-vector payload of a persisted compressed index. One narrow
+    projection over the corpus; at 100 TB this is the encode pass a
+    production build runs once per vector and stores forever."""
+    return corpus.select(
+        F.col(id_col), pq_codes(F.col(vec_col), codebooks).alias("codes")
     )
 
 
@@ -582,6 +616,9 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     list_col: str = "label",
+    codebooks=None,
+    codes_col: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the full compressed-index search:
 
@@ -600,26 +637,52 @@ def ivf_pq_topk(
     touches ONLY codes (4 bytes/vector) and the per-query table, so the
     probed lists stream compressed; full vectors are read for
     ``rerank`` rows per query, not per candidate.
+
+    The three optional inputs make the LOADED-index search real
+    (:func:`load_pq_index`): ``codes_col`` names a corpus column holding
+    already-encoded codes (skip the encode expression — a reloaded index
+    must never re-derive its payload from raw vectors), ``codebooks``
+    supplies per-subspace center tables from the artifact, and
+    ``centroids`` is a stored ``(ivf_list, centroid)`` routing frame that
+    replaces the corpus-derived per-cell means — probe routing then
+    touches only artifact state.
     """
-    c = _ivf_corpus(corpus, id_col, vec_col, list_col).withColumn(
-        "__codes", pq_codes(F.col("c_vec"))
+    cbs = _pq_codebooks(codebooks)
+    n_sub = len(cbs)
+    sub_dims = len(cbs[0][0])
+    if codes_col is None:
+        c = _ivf_corpus(corpus, id_col, vec_col, list_col).withColumn(
+            "__codes", pq_codes(F.col("c_vec"), cbs)
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(list_col).alias("ivf_list"),
+            F.col(codes_col).alias("__codes"),
+        ).withColumn("__cn", norm(F.col("c_vec")))
+    cent = (
+        _ivf_centroids(c)
+        if centroids is None
+        else centroids.select(
+            "ivf_list", "centroid", norm(F.col("centroid")).alias("__cent_n")
+        )
     )
-    probed = _ivf_probed(queries, _ivf_centroids(c), nprobe, id_col, vec_col)
+    probed = _ivf_probed(queries, cent, nprobe, id_col, vec_col)
     # per-query ADC lookup table: table[m][cidx] = dot(q_sub_m, center_cidx)
-    centers = F.array(*[F.array(*[F.lit(v) for v in cc]) for cc in PQ_CENTERS])
     table = F.array(
         *[
             F.transform(
-                centers,
+                F.array(*[F.array(*[F.lit(v) for v in cc]) for cc in cbs[m]]),
                 lambda cc, _m=m: dot(
-                    F.slice(F.col("q_vec"), _m * PQ_DIMS + 1, PQ_DIMS), cc
+                    F.slice(F.col("q_vec"), _m * sub_dims + 1, sub_dims), cc
                 ),
             )
-            for m in range(PQ_SUBSPACES)
+            for m in range(n_sub)
         ]
     )
     adc = F.expr(
-        "aggregate(sequence(1, 4), 0D, (acc, m) -> "
+        f"aggregate(sequence(1, {n_sub}), 0D, (acc, m) -> "
         "acc + element_at(element_at(__tab, m), element_at(__codes, m) + 1))"
     )
     prune_w = Window.partitionBy("query_id").orderBy(
@@ -697,19 +760,17 @@ _LEARNED_CELLS: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
 )
 
 
-def attach_learned_cells(
+def learned_cellmap(
     corpus: DataFrame,
     n_lists: int,
     train_iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Train the k-means coarse quantizer and attach each corpus vector's
-    learned cell as ``__ivf_cell`` — the shared quantizer-fit front end of
-    :func:`ivf_learned_topk`, :func:`ivf_pq_learned_topk` and
-    :func:`semantic_dedup` (one place defines how assignments become
-    inverted lists). The trained (vec_id, cell) map is cached per
-    (corpus frame, params) — see ``_LEARNED_CELLS``."""
+    """The trained ``(id_col, __ivf_cell)`` assignment map itself —
+    cached per (corpus frame, params), see ``_LEARNED_CELLS``. Split out
+    of :func:`attach_learned_cells` so persistence (save_pq_index) can
+    write the map without dragging the corpus join along."""
     key = (n_lists, train_iters, id_col, vec_col)
     try:
         cache = _LEARNED_CELLS.setdefault(corpus, {})
@@ -725,7 +786,25 @@ def attach_learned_cells(
         ).persist()
         if cache is not None:
             cache[key] = cellmap
-    return corpus.join(cellmap, id_col)
+    return cellmap
+
+
+def attach_learned_cells(
+    corpus: DataFrame,
+    n_lists: int,
+    train_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the k-means coarse quantizer and attach each corpus vector's
+    learned cell as ``__ivf_cell`` — the shared quantizer-fit front end of
+    :func:`ivf_learned_topk`, :func:`ivf_pq_learned_topk` and
+    :func:`semantic_dedup` (one place defines how assignments become
+    inverted lists). The trained (vec_id, cell) map is cached per
+    (corpus frame, params) — see ``_LEARNED_CELLS``."""
+    return corpus.join(
+        learned_cellmap(corpus, n_lists, train_iters, id_col, vec_col), id_col
+    )
 
 
 def ivf_pq_learned_topk(
@@ -999,6 +1078,122 @@ def load_ivf_index(
     return spark.read.parquet(f"{path}/cells"), centers
 
 
+def ivf_centroids_frame(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """Public ``(ivf_list, centroid)`` view of the routing state
+    :func:`ivf_topk` derives internally — the k-row frame a persisted
+    index stores so a LOADED search can route probes without touching
+    corpus vectors (see :func:`save_pq_index`)."""
+    return _ivf_centroids(_ivf_corpus(corpus, id_col, vec_col, list_col)).select(
+        "ivf_list", "centroid"
+    )
+
+
+def save_pq_index(
+    cellmap: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    rotation,
+    path: str,
+) -> None:
+    """PERSIST the COMPRESSED index family — FAISS ``write_index`` for
+    IVF-PQ(-OPQ), re-expressed as five parquet datasets under ``path``:
+
+    - ``cells/`` (vec_id, cid): the corpus-sized inverted-list
+      assignment (partition-parallel, the one N-row piece);
+    - ``centroids/`` (ivf_list, centroid): the k-row probe-routing
+      state, stored so a loaded search never re-derives it from data;
+    - ``codes/`` (vec_id, codes array<int>): the per-vector PQ payload —
+      the compressed representation ADC scans instead of vectors;
+    - ``codebooks/`` (m, cidx, center array<double>): per-subspace
+      center tables (the format supports per-subspace books even though
+      this repo's default replicates one shared table);
+    - ``rotation/`` (i, row array<double>): the OPQ orthogonal matrix,
+      row-major; ``rotation=None`` writes an empty marker dataset and
+      loads back as None (identity).
+
+    Everything is float64 parquet, so the roundtrip is BIT-exact
+    (pytest-pinned); vectors are never duplicated — the corpus table
+    stays the single source of vector truth, and the artifact costs
+    O(N·(1 id + M bytes) + k·d), the real memory story of a compressed
+    index."""
+    spark = cellmap.sparkSession
+    cellmap.select(
+        F.col(cellmap.columns[0]).alias("vec_id"),
+        F.col(cellmap.columns[1]).cast("long").alias("cid"),
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+    centroids.select(
+        F.col("ivf_list").cast("long"), "centroid"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codes.select(
+        F.col(codes.columns[0]).alias("vec_id"), F.col(codes.columns[1]).alias("codes")
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    cbs = _pq_codebooks(codebooks)
+    (
+        spark.createDataFrame(
+            [
+                (m, i, list(center))
+                for m, cb in enumerate(cbs)
+                for i, center in enumerate(cb)
+            ],
+            "m int, cidx int, center array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+    rot_rows = (
+        []
+        if rotation is None
+        else [(i, [float(x) for x in row]) for i, row in enumerate(rotation)]
+    )
+    (
+        spark.createDataFrame(rot_rows, "i int, row array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/rotation")
+    )
+
+
+def load_pq_index(spark, path: str):
+    """LOAD a persisted compressed index (``read_index`` for the
+    IVF-PQ(-OPQ) family): returns ``(cellmap, centroids, codes,
+    codebooks, rotation)``. The cell and code maps stay lazy distributed
+    frames; only the bounded artifacts collect — the k-row centroid
+    frame stays distributed too (it feeds a broadcast probe join), while
+    codebooks (M tables of a few centers) and the d x d rotation (numpy
+    array, or None if the index was saved unrotated) are driver-resident
+    by nature, exactly as they were at build time."""
+    import numpy as np
+
+    cb_rows = sorted(
+        spark.read.parquet(f"{path}/codebooks").collect(),
+        key=lambda r: (r.m, r.cidx),
+    )
+    n_sub = 1 + max(r.m for r in cb_rows)
+    codebooks = tuple(
+        tuple(tuple(r.center) for r in cb_rows if r.m == m) for m in range(n_sub)
+    )
+    rot_rows = sorted(
+        spark.read.parquet(f"{path}/rotation").collect(), key=lambda r: r.i
+    )
+    rotation = (
+        np.array([list(r.row) for r in rot_rows]) if rot_rows else None
+    )
+    return (
+        spark.read.parquet(f"{path}/cells"),
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codes"),
+        codebooks,
+        rotation,
+    )
+
+
 def cell_occupancy_drift(
     base_assign: DataFrame,
     batch_assign: DataFrame,
@@ -1144,8 +1339,22 @@ def opq_rotation(
     driver-resident-artifact contract as kmeans centers).
     The d x d eigendecomposition is driver-side numpy (64 x 64 — trivial
     at any corpus size; d is the embedding width, not the row count).
+
+    The learned matrix is cached per corpus frame (``_OPQ_ROT_MAT``,
+    same weak-key discipline as the rotated-frame cache): the rotation
+    is a deterministic per-corpus artifact, so persistence queries that
+    need R ITSELF (save_pq_index) share the covariance pass with the
+    search queries that only need the rotated frame.
     """
     import numpy as np
+
+    cache_key = (vec_col, n_subspaces)
+    try:
+        mat_cache = _OPQ_ROT_MAT.setdefault(corpus, {})
+    except TypeError:
+        mat_cache = None
+    if mat_cache is not None and cache_key in mat_cache:
+        return mat_cache[cache_key]
 
     d_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if d_row is None:
@@ -1197,7 +1406,10 @@ def opq_rotation(
     )
     n = sum(r["n"] for r in parts)
     if n < 2:
-        return np.eye(dim)
+        rot = np.eye(dim)
+        if mat_cache is not None:
+            mat_cache[cache_key] = rot
+        return rot
     s = np.zeros(dim)
     o = np.zeros((dim, dim))
     for r in parts:  # fixed summation order => run-to-run determinism
@@ -1227,7 +1439,10 @@ def opq_rotation(
         )
         buckets[best].append(i)
     rows = [evecs[:, j] for b in buckets for j in b]
-    return np.array(rows)  # (dim, dim): rotated = R @ v
+    rot = np.array(rows)  # (dim, dim): rotated = R @ v
+    if mat_cache is not None:
+        mat_cache[cache_key] = rot
+    return rot
 
 
 #: per-corpus cache of the OPQ-rotated frame (same weak-key discipline as
@@ -1238,6 +1453,46 @@ def opq_rotation(
 _OPQ_ROTATED: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
     WeakKeyDictionary()
 )
+
+#: per-corpus cache of the learned rotation MATRIX itself (numpy d x d) —
+#: see opq_rotation's docstring; entries are ~32 KB at d=64 and die with
+#: the corpus frame.
+_OPQ_ROT_MAT: "WeakKeyDictionary[DataFrame, dict[tuple, object]]" = (
+    WeakKeyDictionary()
+)
+
+
+def opq_apply(
+    corpus: DataFrame,
+    rot,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a KNOWN rotation matrix (numpy ``(d, d)``, rotated =
+    ``R @ v``) to ``(id_col, vec_col)`` — the shuffle-free Arrow GEMM
+    :func:`opq_rotate` uses, split out so a LOADED index can rotate its
+    query vectors with the artifact's R instead of re-learning one."""
+    import numpy as np
+
+    rot_t = np.ascontiguousarray(np.asarray(rot, dtype=np.float64).T)
+
+    def apply_rot(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: [r.tolist() for r in x @ rot_t],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        apply_rot, f"{id_col} long, {vec_col} array<double>"
+    )
 
 
 def opq_rotate(
@@ -1259,28 +1514,8 @@ def opq_rotate(
     hit = cache.get(key) if cache is not None else None
     if hit is not None:
         return hit
-    import numpy as np
-
     rot = opq_rotation(corpus, vec_col=vec_col, n_subspaces=n_subspaces)
-    rot_t = np.ascontiguousarray(rot.T)
-
-    def apply_rot(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: [r.tolist() for r in x @ rot_t],
-                }
-            )
-
-    out = corpus.select(id_col, vec_col).mapInPandas(
-        apply_rot, f"{id_col} long, {vec_col} array<double>"
-    )
+    out = opq_apply(corpus, rot, id_col=id_col, vec_col=vec_col)
     if cache is not None:
         # persist ONLY the cacheable frame: a weak-unreferenceable corpus
         # gets a plain lazy frame — persisting it would orphan JVM cache

@@ -1461,6 +1461,134 @@ def llm_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ann_pq_index_persistence",
+    tags=("L3", "U2", "S5"),
+    oracle=f"""
+    WITH {COSINE_TOPK_CTES}
+    SELECT COUNT(DISTINCT query_id) AS n_queries,
+           COUNT(*) AS n_exact,
+           CAST(SUM(neighbor_id * rank) AS BIGINT) AS truth_checksum,
+           TRUE AS recall_ok,
+           TRUE AS loaded_matches_build
+    FROM exact_topk
+    """,
+)
+def llm_ann_pq_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSIST/LOAD for the COMPRESSED index family — FAISS
+    write_index/read_index extended to IVF-PQ-OPQ (operators/similarity.
+    save_pq_index / load_pq_index): learn the OPQ rotation, train the
+    scale-budgeted coarse quantizer on the rotated corpus, ENCODE the
+    per-vector PQ codes, WRITE all five artifact datasets (cells,
+    centroids, codes, codebooks, rotation — vectors never duplicated;
+    the artifact costs O(N·(id+codes) + k·d + d^2)), then READ them back
+    into fresh frames and search through the LOADED state only: probe
+    routing from the stored centroids, ADC from the stored codes and
+    codebooks, query vectors rotated by the stored R.
+
+    Two proofs ride the one row: the loaded search clears the same
+    0.8-recall gate as llm_ann_ivf_pq_scaled_topk against the
+    brute-force oracle, and loaded_matches_build asserts IN-PLAN
+    (symmetric exceptAll, never a driver collect) that the reloaded
+    search is ROW-EXACT against an in-session search over the same
+    routing state — a perturbed centroid, a lost code row, a transposed
+    rotation, or a reordered codebook would each reroute or rescore a
+    candidate and flip the boolean. Roundtrip bit-equality of every
+    artifact piece is additionally pytest-pinned
+    (tests/test_llm_ops.py::test_pq_index_roundtrip_is_bit_exact).
+
+    The routing centroids are eagerly materialized ONCE
+    (localCheckpoint) and fed to the save AND the in-session search:
+    float aggregation order is not replayable across re-executions, so
+    'the same index' must mean the same MATERIALIZED artifact — exactly
+    the property a persisted index provides at 100 TB, where reloading
+    costs a metadata-scale read (k centroids, M codebooks, one d x d
+    matrix) plus lazy scans of the id-keyed cell/code maps, never a
+    retrain, re-encode, or corpus re-shuffle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_lists, nprobe, rerank = S.scaled_pq_budgets(e.count())
+    rot = S.opq_rotation(e)  # cached per corpus (one covariance pass)
+    er = S.opq_rotate(e)  # cached rotated frame (same R, same GEMM)
+    cellmap = S.learned_cellmap(er, n_lists, 2)
+    corpus_mem = er.join(cellmap, "vec_id")
+    centroids = S.ivf_centroids_frame(
+        corpus_mem, list_col="__ivf_cell"
+    ).localCheckpoint(eager=True)
+    codes = S.pq_encode(er)
+
+    resolved = os.path.realpath(sf_dir.rstrip("/"))
+    tag = (
+        os.path.basename(resolved).replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
+    path = f"{tempfile.gettempdir()}/sg_pqidx_{tag}_{os.getpid()}"
+    S.save_pq_index(cellmap, centroids, codes, None, rot, path)
+    l_cells, l_cent, l_codes, l_cbs, l_rot = S.load_pq_index(spark, path)
+    # sever lineage from the on-disk artifact, then reclaim the dir
+    # (the llm_ann_index_persistence discipline: no leaked artifact per
+    # process/sf tier; the k-row/N-id frames checkpoint cheaply)
+    l_cells = l_cells.localCheckpoint(eager=True)
+    l_cent = l_cent.localCheckpoint(eager=True)
+    l_codes = l_codes.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    if l_rot is None or len(l_cbs) != S.PQ_SUBSPACES:
+        raise RuntimeError(
+            "PQ index roundtrip lost artifact state: rotation "
+            f"{'missing' if l_rot is None else 'ok'}, "
+            f"{len(l_cbs)} codebooks"
+        )
+
+    # loaded-state search: corpus vectors re-rotated through the LOADED
+    # R (the artifact stores routing/compression state, never vectors —
+    # the corpus table remains the single source of vector truth)
+    er_loaded = S.opq_apply(e, l_rot)
+    corpus_loaded = er_loaded.join(
+        l_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"
+    ).join(l_codes, "vec_id")
+    ann_loaded = S.ivf_pq_topk(
+        er_loaded.where(F.col("vec_id") < 20),
+        corpus_loaded,
+        k=5,
+        nprobe=nprobe,
+        rerank=rerank,
+        list_col="__ivf_cell",
+        codebooks=l_cbs,
+        codes_col="codes",
+        centroids=l_cent,
+    )
+    ann_mem = S.ivf_pq_topk(
+        er.where(F.col("vec_id") < 20),
+        corpus_mem,
+        k=5,
+        nprobe=nprobe,
+        rerank=rerank,
+        list_col="__ivf_cell",
+        centroids=centroids,
+    )
+    diff = (
+        ann_loaded.exceptAll(ann_mem)
+        .unionByName(ann_mem.exceptAll(ann_loaded))
+        .agg(F.count(F.lit(1)).alias("__n_diff"))
+    )
+    return (
+        _ann_recall_report(_exact_ground_truth(e), ann_loaded, floor=(4, 5))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "n_queries",
+            "n_exact",
+            "truth_checksum",
+            "recall_ok",
+            (F.col("__n_diff") == 0).alias("loaded_matches_build"),
+        )
+    )
+
+
+@query(
     "llm_semantic_dedup",
     tags=("L2", "L3", "U3"),
     oracle="""

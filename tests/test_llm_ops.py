@@ -1265,3 +1265,86 @@ def test_tombstone_load_report_threshold_and_stale_ids(spark):
         0,
         False,
     )
+
+
+def test_pq_index_roundtrip_is_bit_exact(spark, tmp_path):
+    """PERSIST/LOAD for the COMPRESSED family (save_pq_index /
+    load_pq_index): every artifact piece must survive the parquet
+    roundtrip bit-for-bit — rotation matrix (float64), per-subspace
+    codebooks, routing centroids, cell map, per-vector codes — and a
+    search through the loaded state must equal the in-session search
+    row-exactly (the llm_ann_pq_index_persistence proof, unit-scale)."""
+    import numpy as np
+
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    n_lists, nprobe, rerank = S.scaled_pq_budgets(e.count())
+    rot = S.opq_rotation(e)
+    er = S.opq_rotate(e)
+    cellmap = S.learned_cellmap(er, n_lists, 2)
+    corpus_mem = er.join(cellmap, "vec_id")
+    centroids = S.ivf_centroids_frame(
+        corpus_mem, list_col="__ivf_cell"
+    ).localCheckpoint(eager=True)
+    codes = S.pq_encode(er)
+    path = str(tmp_path / "pqidx")
+    S.save_pq_index(cellmap, centroids, codes, None, rot, path)
+    l_cells, l_cent, l_codes, l_cbs, l_rot = S.load_pq_index(spark, path)
+
+    assert l_rot is not None and np.array_equal(l_rot, rot)  # bit-exact
+    assert l_cbs == S._pq_codebooks(None)
+    want_cent = sorted(
+        (r.ivf_list, tuple(r.centroid)) for r in centroids.collect()
+    )
+    got_cent = sorted(
+        (r.ivf_list, tuple(r.centroid)) for r in l_cent.collect()
+    )
+    assert got_cent == want_cent
+    assert sorted((r["vec_id"], r["__ivf_cell"]) for r in cellmap.collect()) == sorted(
+        (r.vec_id, r.cid) for r in l_cells.collect()
+    )
+    assert sorted((r.vec_id, tuple(r.codes)) for r in codes.collect()) == sorted(
+        (r.vec_id, tuple(r.codes)) for r in l_codes.collect()
+    )
+
+    er_loaded = S.opq_apply(e, l_rot)
+    via_loaded = S.ivf_pq_topk(
+        er_loaded.where(F.col("vec_id") < 20),
+        er_loaded.join(
+            l_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"
+        ).join(l_codes, "vec_id"),
+        k=3,
+        nprobe=nprobe,
+        rerank=rerank,
+        list_col="__ivf_cell",
+        codebooks=l_cbs,
+        codes_col="codes",
+        centroids=l_cent,
+    ).toPandas()
+    via_mem = S.ivf_pq_topk(
+        er.where(F.col("vec_id") < 20),
+        corpus_mem,
+        k=3,
+        nprobe=nprobe,
+        rerank=rerank,
+        list_col="__ivf_cell",
+        centroids=centroids,
+    ).toPandas()
+    key = ["query_id", "neighbor_id", "rank", "sim"]
+    assert sorted(map(tuple, via_loaded[key].values.tolist())) == sorted(
+        map(tuple, via_mem[key].values.tolist())
+    )
+
+
+def test_save_pq_index_without_rotation_loads_none(spark, tmp_path):
+    """rotation=None must roundtrip as None (identity contract for
+    indexes of the unrotated PQ family), not crash or fabricate an R."""
+    e = load_table(spark, SMOKE_SF, "embeddings")
+    cellmap = S.learned_cellmap(e, 5, 1)
+    centroids = S.ivf_centroids_frame(
+        e.join(cellmap, "vec_id"), list_col="__ivf_cell"
+    )
+    path = str(tmp_path / "pqidx_norot")
+    S.save_pq_index(cellmap, centroids, S.pq_encode(e), None, None, path)
+    _, _, _, l_cbs, l_rot = S.load_pq_index(spark, path)
+    assert l_rot is None
+    assert l_cbs == S._pq_codebooks(None)

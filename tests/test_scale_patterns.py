@@ -260,6 +260,8 @@ def test_no_python_in_unexpected_query_plans(spark):
                                                  # equivalence proof
         "llm_ann_ivf_pq_opq_topk",               # + the OPQ rotation apply
                                                  # (Arrow GEMM) by design
+        "llm_ann_pq_index_persistence",          # + the loaded-R rotation
+                                                 # apply on both proof legs
         "llm_embedding_near_dup",                # applyInPandas tiled GEMM
         "llm_semantic_dedup",                    # applyInPandas per-cell GEMM
         "llm_embedding_decontamination_planted", # mapInPandas benchmark GEMM
