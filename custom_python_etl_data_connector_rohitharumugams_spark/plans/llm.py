@@ -1679,6 +1679,38 @@ def llm_kmeans_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The exact-baseline fence (DESIGN.md "exact-baseline hazard pairs"),
+#: enforced in code instead of prose: the two declared quadratic
+#: baselines refuse to build above this corpus size unless the caller
+#: states allow_quadratic=True. Sized above every committed measurement
+#: tier (sf1 scaled embeddings = 20k rows; the r11 sf3 60k-row legs are
+#: the documented 162 s hazard the fence now interdicts) and far below
+#: any real corpus. The scale paths are the committed twins:
+#: llm_semantic_dedup (bucketed cells) and
+#: llm_embedding_decontamination_pruned (IVF-pruned, exponent 0.12).
+_QUADRATIC_MAX_ROWS = 50_000
+
+
+def _fence_quadratic(e: DataFrame, name: str, allow_quadratic: bool) -> None:
+    """Row-count probe (parquet metadata-scale) guarding a declared
+    O(N^2)/O(N·M) exact baseline. Raising is the contract: these two
+    plans exist to ORACLE their bucketed twins at fixture scale, and a
+    scheduler that reaches for them on a real corpus should fail fast
+    with the alternative named, not run for a week."""
+    if allow_quadratic:
+        return
+    n = e.count()
+    if n > _QUADRATIC_MAX_ROWS:
+        raise RuntimeError(
+            f"{name}: refusing to build the exact quadratic baseline over "
+            f"{n} rows (> {_QUADRATIC_MAX_ROWS}). This plan is the "
+            "declared fixture-scale oracle of its bucketed twin "
+            "(llm_semantic_dedup / llm_embedding_decontamination_pruned) "
+            "— use the twin at scale, or pass allow_quadratic=True to "
+            "state the cost explicitly."
+        )
+
+
 @query(
     "llm_embedding_near_dup",
     tags=("L2", "L3"),
@@ -1693,12 +1725,16 @@ def llm_kmeans_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) > 0.35
     """,
 )
-def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above threshold, computed as
     block-wise BLAS GEMM (operators/similarity.cosine_near_pairs) — the
     threshold is applied to the ROUNDED similarity on both sides so the
-    cutoff is engine-exact."""
+    cutoff is engine-exact. All-pairs BY DESIGN (the exact baseline of
+    llm_semantic_dedup); fenced above _QUADRATIC_MAX_ROWS."""
     e = load_table(spark, sf_dir, "embeddings")
+    _fence_quadratic(e, "llm_embedding_near_dup", allow_quadratic)
     return S.cosine_near_pairs(e, threshold=0.35)
 
 
@@ -2608,7 +2644,9 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pv GROUP BY label
     """,
 )
-def llm_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_embedding_decontamination(
+    spark: SparkSession, sf_dir: str, *, allow_quadratic: bool = False
+) -> DataFrame:
     """Embedding-space benchmark decontamination: treat label-0 vectors as
     the held-out benchmark set and flag corpus vectors whose cosine to ANY
     benchmark vector exceeds 0.3 — the dense-retrieval complement of the
@@ -2622,8 +2660,12 @@ def llm_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus-only shuffle volume (the per-vector max folds into a partial
     aggregate keyed by vec_id, then a tiny per-label roll-up). Similarity
     is rounded to 4 decimals in both engines before the max/threshold so
-    the flag never depends on last-ulp drift."""
+    the flag never depends on last-ulp drift. The corpus x benchmark
+    product is O(N·M) BY DESIGN (the exact baseline of
+    llm_embedding_decontamination_pruned); fenced above
+    _QUADRATIC_MAX_ROWS."""
     e = load_table(spark, sf_dir, "embeddings")
+    _fence_quadratic(e, "llm_embedding_decontamination", allow_quadratic)
     return S.benchmark_decontamination(e, benchmark_label=0, threshold=0.3)
 
 

@@ -1348,3 +1348,31 @@ def test_save_pq_index_without_rotation_loads_none(spark, tmp_path):
     _, _, _, l_cbs, l_rot = S.load_pq_index(spark, path)
     assert l_rot is None
     assert l_cbs == S._pq_codebooks(None)
+
+
+def test_quadratic_baseline_fence_refuses_above_threshold(spark, tmp_path):
+    """The DESIGN.md exact-baseline hazard as a CONTRACT: both declared
+    quadratic baselines must refuse to build over a corpus larger than
+    _QUADRATIC_MAX_ROWS unless allow_quadratic=True states the cost, and
+    must keep building (driver rows unchanged) at fixture scale."""
+    import pytest as _pytest
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.llm import (
+        _QUADRATIC_MAX_ROWS,
+        llm_embedding_decontamination,
+        llm_embedding_near_dup,
+    )
+
+    big = str(tmp_path / "big")
+    spark.range(_QUADRATIC_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).cast("int").alias("label"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+    ).write.parquet(f"{big}/embeddings.parquet")
+    for fn in (llm_embedding_near_dup, llm_embedding_decontamination):
+        with _pytest.raises(RuntimeError, match="quadratic"):
+            fn(spark, big)
+        # the explicit override still BUILDS the plan (no action run here)
+        assert fn(spark, big, allow_quadratic=True).columns
+        # fixture scale stays under the fence: plan builds without override
+        assert fn(spark, SMOKE_SF).columns
