@@ -1274,11 +1274,15 @@ def _inc_admit(quality: DataFrame, ledger: DataFrame | None = None):
     )
 
 
-@query(
-    "llm_corpus_build_incremental",
-    tags=("L1", "L2", "L9", "L12", "L13"),
-    oracle=f"""
-    WITH {CONTAMINATION_CTES},
+#: Shared DuckDB CTE block of the ARRIVAL-ORDERED admission pipeline
+#: (exact dedup -> greedy fuzzy dedup -> holdout/decontam/quality ->
+#: doc_id-ordered budget window), ending at admitted(doc_id, source,
+#: n_tokens, cb). One definition feeds the incremental-build oracle AND
+#: the streaming-admission oracle — the two queries prove the same
+#: from-scratch fixpoint from different execution shapes, so their
+#: oracles must be the same text.
+INC_ADMISSION_CTES = f"""
+    {CONTAMINATION_CTES},
     keepers AS (
         SELECT MIN(doc_id) AS doc_id
         FROM documents
@@ -1314,6 +1318,14 @@ def _inc_admit(quality: DataFrame, ledger: DataFrame | None = None):
         FROM quality
     ),
     admitted AS (SELECT * FROM adm WHERE cb < {INC_BUDGET})
+"""
+
+
+@query(
+    "llm_corpus_build_incremental",
+    tags=("L1", "L2", "L9", "L12", "L13"),
+    oracle=f"""
+    WITH {INC_ADMISSION_CTES}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

@@ -76,40 +76,40 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # compare).
 _PRIORITY: tuple[str, ...] = (
     "agg_hll_partition_merge",  # cover (last r10): A3 A1 F2
-    "analytics_daily_order_gapfill",  # cover (last r10): F5 F2 J2 F4
-    "analytics_unshipped_revenue_top10",  # cover (last r5): J1 J3 A1 O2 W4
+    "analytics_value_outliers_iqr",  # cover (last r11): A6 J3 P2 A5
     "asof_next_purchase_within_2d",  # cover (last r11): J7 F2
+    "cdc_incremental_agg_maintenance",  # cover (last r7): A1 A5 O3 F4
     "connector_binaryfile_media_landing",  # cover (last r9): S6 L5 U3
     "connector_incremental_sync",  # cover (last r11): S1 S2 S3 S4 S7
     "connector_key_sanitization_report",  # cover (last r11): P3
     "connector_shardsink_manifest",  # cover (last r8): S7b F8
     "dq_constraint_report",  # cover (last r10): P4 A5 F4 A2
-    "dq_join_skew_profile",  # cover (last r10): A1 A6 O3
+    "graph_pagerank_suppliers",  # cover (last r11): J1 J2 A1 F3
     "join_range_price_bands",  # cover (last r11): J5 A1
     "llm_ann_index_compaction",  # cover (last r11): L3 J4 O4
+    "llm_bm25_search",  # cover (last r11): L3 L4 F5 A1 O2
     "llm_boilerplate_ngrams",  # cover (last r9): L12 L14 F5
     "llm_chunk_documents",  # cover (last r11): L6 F5
-    "llm_corpus_build_e2e",  # cover (last r10): L1 L9 L12 L13 L10
+    "llm_corpus_build_e2e",  # cover (last r10): L1 L2 L11 L9 L12 L13 L10
     "llm_cosine_topk",  # cover (last r11): L3 J8 W4 F5
-    "llm_neardup_degree_histogram",  # cover (last r11): L2 L11 A1 F5
     "llm_pii_scrub",  # cover (last r11): L8 F1
     "llm_sequence_packing",  # cover (last r11): L7 W3
-    "llm_tfidf_top_terms",  # cover (last r6): L4 W4 F3
     "pricing_summary",  # cover (last r11): S5 P1 P2 A1 O1
     "scalar_map_event_totals",  # cover (last r11): F6 F7
     "sql_pivot_status_by_priority",  # cover (last r7): A1 A4
     "sql_window_distribution",  # cover (last r10): W1
-    "stream_ann_index_maintenance",  # cover (last r11): S8 S9 T7 L3
     "stream_checkpoint_recovery",  # cover (last r10): T4 T1 S8 S9
     "stream_dedup_user_event_types",  # cover (last r11): T5 O5
     "stream_running_totals_update_log",  # cover (last r11): T6 W3
     "stream_session_windows",  # cover (last r11): T3 W2
     "stream_sliding_event_volume",  # cover (last r11): T2
+    "stream_static_join_enrichment",  # cover (last r10): T7 J1
     "stream_stream_left_outer_interval_join",  # cover (last r11): T8 J6 F4
     "udaf_weighted_avg_price",  # cover (last r11): A7 U2
     "udf_scalar_name_clean",  # cover (last r11): U1
     "udtf_fixed_width_parse",  # cover (last r11): U4 P5
-    "agg_approx_distinct_parts",  # refresh (last r5): A3
+    "llm_ann_pq_index_persistence",  # first-time: L3 U2 S5
+    "stream_corpus_admission",  # first-time: S8 S9 L1 L2 L9 L12
     "agg_conditional_revenue",  # refresh (last r2): A5 F4
     "agg_distinct_customers_per_status",  # refresh (last r2): A2
     "join_semi_urgent_customers",  # refresh (last r4): J4 A1

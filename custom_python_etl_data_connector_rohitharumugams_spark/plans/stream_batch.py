@@ -62,6 +62,7 @@ def _run_replay_foreachbatch(
     sink,
     transform=None,
     timeout: int = 300,
+    source: str = "events",
 ):
     """ONE copy of the replayed-foreachBatch scaffold shared by the
     streaming-maintenance queries (CMS grids, observed metrics, histogram
@@ -74,22 +75,34 @@ def _run_replay_foreachbatch(
     ``transform`` (optional) maps the streaming source frame before the
     sink — e.g. observe() instrumentation; ``sink`` is a FACTORY
     ``sink(log_dir) -> foreachBatch body`` so the batch writer is built
-    against the helper-owned log path. Returns ``(log_dir, query)`` —
-    the query object is terminated, kept for progress-ledger readers."""
+    against the helper-owned log path. ``source`` selects the replayed
+    table: ``"events"`` (time-sliced) or ``"documents"`` (doc_id-sliced
+    arrival order — the corpus-admission loop). Returns ``(log_dir,
+    query)`` — the query object is terminated, kept for progress-ledger
+    readers."""
     import shutil
     import tempfile
 
-    from ..streaming.replay import events_stream, split_events_for_replay
+    from ..streaming.replay import (
+        documents_stream,
+        events_stream,
+        split_documents_for_replay,
+        split_events_for_replay,
+    )
 
     safe = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    replay_dir = split_events_for_replay(
+    splitter, stream_fn = {
+        "events": (split_events_for_replay, events_stream),
+        "documents": (split_documents_for_replay, documents_stream),
+    }[source]
+    replay_dir = splitter(
         spark, sf_dir, f"{tempfile.gettempdir()}/sg_{tag}_{safe}_replay"
     )
     log_dir = f"{tempfile.gettempdir()}/sg_{tag}_log_{safe}"
     shutil.rmtree(log_dir, ignore_errors=True)
     cp = tempfile.mkdtemp(prefix=f"sg_{tag}_cp_")
 
-    sdf = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    sdf = stream_fn(spark, replay_dir, max_files_per_trigger=1)
     if transform is not None:
         sdf = transform(sdf)
     with _stream_state_conf(spark):
@@ -1479,4 +1492,233 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("maintained_equals_batch"),
             (F.col("__search_diff") == 0).cast("int").alias("search_equal"),
         )
+    )
+
+
+def _stream_corpus_oracle() -> str:
+    from .llm_pipeline import INC_ADMISSION_CTES
+
+    return f"""
+    WITH {INC_ADMISSION_CTES}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           1 AS multi_batch,
+           TRUE AS stream_equals_batch
+    FROM admitted
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "stream_corpus_admission",
+    # real documents readStream (S8) + foreachBatch durable logs (S9);
+    # the per-batch admission carries the corpus-build family: exact
+    # dedup state (L1), the near-dup index (L2), frozen decontamination
+    # reference (L9), quality gates (L12)
+    tags=("S8", "S9", "L1", "L2", "L9", "L12"),
+    oracle=_stream_corpus_oracle(),
+)
+def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus admission — llm_corpus_build_incremental's
+    two-batch proof generalized to a REAL micro-batch loop: documents
+    replay through a ``readStream`` file source in doc_id-ordered slices
+    (arrival order IS id order, the prefix-property premise), and each
+    micro-batch is re-admitted through foreachBatch against four pieces
+    of durable state, all parquet logs:
+
+    - DEDUP STATE: the digest log — batch docs whose digest was already
+      seen are dropped without re-reading any prior batch;
+    - NEAR-DUP INDEX: shingle postings + MinHash signatures of prior
+      exact survivors — the batch's signatures band-join against
+      index ∪ batch, candidates verify at NEARDUP_TAU through the union
+      postings, and a doc drops iff a smaller-id verified neighbor
+      exists (the arrival-ordered greedy keeper; component-min cannot
+      be maintained incrementally — _inc_neardup_drops);
+    - DECONTAMINATION REFERENCE: the benchmark shingle postings, frozen
+      before the stream starts (an external eval set);
+    - BUDGET LEDGER: per-source tokens SEEN by prior batches, so each
+      batch's admission window resumes mid-budget.
+
+    REPLAY SAFETY is structural, not hoped-for: every log row carries
+    its batch_id and every state READ filters ``batch_id < current``, so
+    a re-executed batch recomputes from exactly the state it saw the
+    first time even if its own partial appends survived a crash;
+    re-attempt rows are byte-identical and collapse under the final
+    dropDuplicates. The final admitted log must equal the from-scratch
+    batch build (the incremental query's twin, recomputed here) ROW FOR
+    ROW — proven in-plan via symmetric exceptAll, and the oracle
+    recomputes the same fixpoint from raw documents in SQL (the shared
+    INC_ADMISSION_CTES text).
+
+    100 TB shape: per batch the loop pays the batch's own shingle/
+    signature build, one band join against the persisted index, and
+    kilobyte-scale ledger reads; prior batches' raw text is never
+    rescanned — the carried state is the digest store, the near-dup
+    index, and a few ledger rows, exactly what a production admission
+    service persists."""
+    from ..operators import dedup as D
+    from .llm_pipeline import (
+        NEARDUP_TAU,
+        _inc_admit,
+        _inc_digest,
+        _inc_gated,
+        _inc_neardup_drops,
+        contamination_pairs,
+        neardup_stage,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    contaminated = (
+        contamination_pairs(D.shingle_postings(d, shingle_n=3))
+        .select("doc_id")
+        .distinct()
+        .persist()
+    )
+
+    def _sink(log_dir: str):
+        # init every log with an empty typed frame so first-batch state
+        # reads see a schema instead of an empty-dir error
+        schemas = {
+            "digests": "dig string, batch_id long",
+            "index": "doc_id bigint, shingle string, batch_id long",
+            "sigs": "doc_id bigint, signature array<bigint>, batch_id long",
+            "ledger": "source string, seen bigint, batch_id long",
+            "admitted": "doc_id bigint, source string, n_tokens bigint, batch_id long",
+            "batches": "batch_id long",
+        }
+        for sub, sch in schemas.items():
+            spark.createDataFrame([], sch).write.mode("overwrite").parquet(
+                f"{log_dir}/{sub}"
+            )
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            bl = F.lit(batch_id).cast("long")
+
+            def prior(sub: str) -> DataFrame:
+                return spark.read.parquet(f"{log_dir}/{sub}").where(
+                    F.col("batch_id") < batch_id
+                )
+
+            state_digs = prior("digests").select(
+                F.col("dig").alias("__dig")
+            ).distinct()
+            keepers_b = (
+                batch_df.withColumn("__dig", _inc_digest())
+                .join(state_digs, "__dig", "anti")
+                .groupBy("__dig")
+                .agg(F.min("doc_id").alias("doc_id"))
+            )
+            kept_b = batch_df.join(keepers_b.select("doc_id"), "doc_id", "semi")
+            posts_b = D.shingle_postings(kept_b).persist()
+            sigs_b = D.minhash_signatures(posts_b)
+            state_sigs = (
+                prior("sigs")
+                .dropDuplicates(["doc_id"])
+                .select("doc_id", "signature")
+            )
+            state_posts = (
+                prior("index")
+                .dropDuplicates(["doc_id", "shingle"])
+                .select("doc_id", "shingle")
+            )
+            # only pairs whose LATER side is in this batch are decided
+            # now (state-state pairs were prior batches' decisions)
+            cands = D.lsh_candidate_pairs(
+                state_sigs.unionByName(sigs_b)
+            ).join(
+                kept_b.select(F.col("doc_id").alias("doc_id_2")),
+                "doc_id_2",
+                "semi",
+            )
+            drops_b = _inc_neardup_drops(
+                D.jaccard_verify(
+                    cands,
+                    state_posts.unionByName(posts_b),
+                    threshold=NEARDUP_TAU,
+                )
+            )
+            quality_b = _inc_gated(
+                batch_df, keepers_b, contaminated, drops_b
+            ).persist()
+            ledger = (
+                prior("ledger")
+                .dropDuplicates(["source", "batch_id"])
+                .groupBy("source")
+                .agg(F.sum("seen").alias("seen"))
+            )
+            admitted_b = _inc_admit(quality_b, ledger)
+
+            batch_df.select(_inc_digest().alias("dig")).distinct().withColumn(
+                "batch_id", bl
+            ).write.mode("append").parquet(f"{log_dir}/digests")
+            posts_b.withColumn("batch_id", bl).write.mode("append").parquet(
+                f"{log_dir}/index"
+            )
+            sigs_b.withColumn("batch_id", bl).write.mode("append").parquet(
+                f"{log_dir}/sigs"
+            )
+            quality_b.groupBy("source").agg(
+                F.sum("n_tokens").cast("bigint").alias("seen")
+            ).withColumn("batch_id", bl).write.mode("append").parquet(
+                f"{log_dir}/ledger"
+            )
+            admitted_b.withColumn("batch_id", bl).write.mode(
+                "append"
+            ).parquet(f"{log_dir}/admitted")
+            spark.createDataFrame(
+                [(batch_id,)], "batch_id long"
+            ).write.mode("append").parquet(f"{log_dir}/batches")
+            posts_b.unpersist()
+            quality_b.unpersist()
+
+        return write
+
+    log_dir, _q = _run_replay_foreachbatch(
+        spark, sf_dir, "corpadm", _sink, source="documents"
+    )
+
+    streamed = (
+        spark.read.parquet(f"{log_dir}/admitted")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "source", "n_tokens")
+        .persist()
+    )
+    n_batches = (
+        spark.read.parquet(f"{log_dir}/batches")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+
+    # from-scratch twin (the incremental build's union leg, recomputed)
+    keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept_u = d.join(keepers_u.select("doc_id"), "doc_id", "semi")
+    _, ver_u = neardup_stage(kept_u)
+    twin = _inc_admit(
+        _inc_gated(d, keepers_u, contaminated, _inc_neardup_drops(ver_u))
+    ).persist()
+    diff = (
+        streamed.exceptAll(twin)
+        .unionByName(twin.exceptAll(streamed))
+        .agg(F.count(F.lit(1)).alias("__n_diff"))
+    )
+    return (
+        streamed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+            (F.col("__n_diff") == 0).alias("stream_equals_batch"),
+        )
+        .orderBy("source")
     )

@@ -179,3 +179,65 @@ def split_events_for_replay(
     with open(marker, "w") as fh:
         _json.dump(want, fh)
     return out_dir
+
+
+def split_documents_for_replay(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_slices: int = 3
+) -> str:
+    """ARRIVAL-ORDERED document replay fixture: the documents table split
+    into ``n_slices`` contiguous doc_id ranges (approximate-percentile
+    bounds), one single-file slice per micro-batch under
+    ``maxFilesPerTrigger=1``. doc_id IS the arrival order throughout the
+    corpus-build family (the incremental build's prefix-property theorem
+    quantifies over it), so a doc_id-sliced replay is the streaming form
+    of 'batches arrive in id order'. Skip-if-built marker as the event
+    splitters."""
+    d = load_table(spark, sf_dir, "documents")
+    marker = f"{out_dir}/_built.json"
+    want = {"n_docs": d.count(), "n_slices": n_slices, "by": "doc_id"}
+    if os.path.exists(marker):
+        try:
+            if _json.load(open(marker)) == want and len(
+                _glob.glob(f"{out_dir}/slice-*.parquet")
+            ) == n_slices:
+                return out_dir
+        except (ValueError, OSError):
+            pass
+        os.remove(marker)
+    if n_slices <= 1:
+        slices = [d]
+    else:
+        bounds = d.select(
+            F.percentile_approx(
+                F.col("doc_id").cast("double"),
+                [i / n_slices for i in range(1, n_slices)],
+                10_000,
+            ).alias("bs")
+        ).collect()[0]["bs"]
+        slices = []
+        lo = None
+        for hi in list(bounds) + [None]:
+            sl = d
+            if lo is not None:
+                sl = sl.where(F.col("doc_id").cast("double") >= lo)
+            if hi is not None:
+                sl = sl.where(F.col("doc_id").cast("double") < hi)
+            slices.append(sl)
+            lo = hi
+    _write_slices(slices, out_dir)
+    with open(marker, "w") as fh:
+        _json.dump(want, fh)
+    return out_dir
+
+
+def documents_stream(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over a :func:`split_documents_for_replay` dir (schema
+    pinned from a batch read, as :func:`events_stream`)."""
+    path = f"{replay_dir}/slice-*.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
