@@ -103,12 +103,12 @@ _PRIORITY: tuple[str, ...] = (
     "stream_running_totals_update_log",  # cover (last r11): T6 W3
     "stream_session_windows",  # cover (last r11): T3 W2
     "stream_sliding_event_volume",  # cover (last r11): T2
-    "stream_static_join_enrichment",  # cover (last r10): T7 J1
     "stream_stream_left_outer_interval_join",  # cover (last r11): T8 J6 F4
     "udaf_weighted_avg_price",  # cover (last r11): A7 U2
     "udf_scalar_name_clean",  # cover (last r11): U1
     "udtf_fixed_width_parse",  # cover (last r11): U4 P5
     "llm_ann_pq_index_persistence",  # first-time: L3 U2 S5
+    "stream_ann_index_compaction",  # first-time: S8 S9 T7 L3
     "stream_corpus_admission",  # first-time: S8 S9 L1 L2 L9 L12
     "agg_conditional_revenue",  # refresh (last r2): A5 F4
     "agg_distinct_customers_per_status",  # refresh (last r2): A2

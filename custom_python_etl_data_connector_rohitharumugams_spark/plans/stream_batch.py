@@ -1722,3 +1722,311 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: mid-stream compaction harness constants: deletes target BASE (even)
+#: ids only and adds target NON-base (odd) ids only, so add/delete sets
+#: are DISJOINT — the final live set is (base ∪ adds) − deletes no
+#: matter WHEN compaction fires, which is what makes the oracle a-priori
+#: under nondeterministic batch slicing. The denser delete stride (3 vs
+#: the maintenance query's 83) gives the trigger real mass: final-fold
+#: deleted ppm measured 150793 / 647058 / 204750 at sf0.001/0.01/0.1 —
+#: every tier crosses STREAM_CMP_THRESHOLD_PPM with >=1.5x margin, so
+#: "the trigger fired at least once" is a theorem (the per-batch check
+#: at the last batch sees the full fold if nothing fired earlier).
+STREAM_CMP_DEL_STRIDE = 3
+STREAM_CMP_THRESHOLD_PPM = 100_000
+
+
+@query(
+    "stream_ann_index_compaction",
+    tags=("S8", "S9", "T7", "L3"),
+    oracle=f"""
+    WITH adds AS (
+        SELECT DISTINCT e.vec_id
+        FROM (SELECT event_id % {STREAM_ANN_MOD} AS vec_id FROM events
+              WHERE event_type = 'signup'
+                AND event_id % {STREAM_ANN_ADD_STRIDE} = 0) s
+        JOIN embeddings e USING (vec_id) WHERE e.vec_id % 2 = 1
+    ), dels AS (
+        SELECT DISTINCT e.vec_id
+        FROM (SELECT event_id % {STREAM_ANN_MOD} AS vec_id FROM events
+              WHERE event_type = 'purchase'
+                AND event_id % {STREAM_CMP_DEL_STRIDE} = 0) s
+        JOIN embeddings e USING (vec_id) WHERE e.vec_id % 2 = 0
+    ), indexed AS (
+        SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+        UNION
+        SELECT vec_id FROM adds
+    ), dead AS (
+        SELECT vec_id FROM indexed INTERSECT SELECT vec_id FROM dels
+    ), m AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM adds) AS n_adds,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dels) AS n_deletes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM indexed) AS n_indexed,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dead) AS n_dead
+    )
+    SELECT n_adds, n_deletes, n_indexed,
+           n_indexed - n_dead AS n_live,
+           (n_dead * 1000000 // n_indexed) > {STREAM_CMP_THRESHOLD_PPM}
+               AS compaction_fired,
+           TRUE AS final_ppm_le_threshold,
+           1 AS multi_batch,
+           1 AS compacted_equals_batch,
+           1 AS search_equal
+    FROM m
+    """,
+)
+def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION UNDER STREAMING — the missing verb of
+    stream_ann_index_maintenance: the ppm trigger fires MID-STREAM.
+    Each micro-batch appends its index ops (frozen-center assignment for
+    adds, tombstones for deletes), then foreachBatch consults the load
+    report over the CURRENT generation (base-at-last-compaction ∪
+    adds-since − tombstones-since, all distinct-id counts) and, when
+    matched-delete mass crosses {STREAM_CMP_THRESHOLD_PPM} ppm, calls
+    the compaction action inline: materialize the live cell map as a new
+    GENERATION (reassign mode — frozen centers, so compaction is one
+    anti-join; ivf_compact's cheap path) and reset the tombstone ledger.
+
+    Invariants the one output row proves, each a THEOREM of the design:
+
+    - compaction_fired: add/delete targets are DISJOINT by construction
+      (deletes hit base even ids, adds hit odd ids), so the final fold's
+      deleted ppm is oracle-computable regardless of batch slicing; it
+      crosses the threshold at every fixture tier, and the per-batch
+      check at the last batch sees the full fold if nothing fired
+      earlier — so >= 1 firing is a-priori TRUE;
+    - final_ppm_le_threshold: the loop checks AFTER applying each
+      batch's ops, so the post-stream generation can never be left over
+      threshold — the property a compaction scheduler exists to enforce;
+    - compacted_equals_batch: the final streamed state must equal the
+      batch verb — assign_to_centers over ivf_compact(indexed corpus,
+      frozen centers, all deletes) — cell-for-cell (symmetric exceptAll
+      in-plan). Disjointness makes this timing-independent: the live set
+      is (base ∪ adds) − deletes whether compaction fired once, twice,
+      or only at the end;
+    - search_equal: a partial-probe search through the streamed
+      generation equals the same search through the batch-compacted
+      index row-for-row.
+
+    REPLAY SAFETY follows the corpus-admission discipline: ops and
+    generation-log rows carry batch_id, state reads filter
+    batch_id < current, and a re-executed compaction overwrites its own
+    generation directory with byte-identical content.
+
+    100 TB shape: per batch one narrow assignment pass over its adds +
+    two log appends + a k-row-scale ppm check; compaction cost is the
+    one anti-join rewrite of the CURRENT generation, amortized to zero
+    between firings — the corpus is never rescanned and the quantizer
+    never retrained (reassign mode; the retrain path stays behind the
+    drift monitor)."""
+    import math
+
+    from ..operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 2 == 0)
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        base, k=n_lists, iters=2, return_centers=True
+    )
+    base_assign = S.assign_to_centers(base, centers).select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+
+    def _ops(df: DataFrame, etype: str, stride: int, parity: int) -> DataFrame:
+        return (
+            df.where(
+                (F.col("event_type") == etype)
+                & (F.col("event_id") % stride == 0)
+            )
+            .select((F.col("event_id") % STREAM_ANN_MOD).alias("vec_id"))
+            .distinct()
+            .join(
+                e.where(F.col("vec_id") % 2 == parity).select("vec_id"),
+                "vec_id",
+                "semi",
+            )
+        )
+
+    def _maintained(
+        gen_cells: DataFrame, ops: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(live cells, indexed ids, matched tombstones) of a generation
+        plus its op tail."""
+        adds = ops.where(F.col("op") == "add").dropDuplicates(
+            ["vec_id", "cid"]
+        ).select("vec_id", "cid")
+        tombs = ops.where(F.col("op") == "del").dropDuplicates(
+            ["vec_id"]
+        ).select("vec_id")
+        cells = gen_cells.unionByName(adds).dropDuplicates(["vec_id", "cid"])
+        dead = cells.join(tombs, "vec_id", "semi").select("vec_id").distinct()
+        return cells.join(tombs, "vec_id", "anti"), cells, dead
+
+    def _sink(log_dir: str):
+        spark.createDataFrame(
+            [], "op string, vec_id bigint, cid long, batch_id long"
+        ).write.mode("overwrite").parquet(f"{log_dir}/ops")
+        spark.createDataFrame(
+            [(-1, -1)], "gen_batch long, batch_id long"
+        ).write.mode("overwrite").parquet(f"{log_dir}/genlog")
+        base_assign.write.mode("overwrite").parquet(f"{log_dir}/gen_-1")
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            bl = F.lit(batch_id).cast("long")
+            adds = _ops(batch_df, "signup", STREAM_ANN_ADD_STRIDE, 1)
+            add_rows = S.assign_to_centers(adds.join(e, "vec_id"), centers).select(
+                F.lit("add").alias("op"),
+                "vec_id",
+                F.col("cid").cast("long").alias("cid"),
+                bl.alias("batch_id"),
+            )
+            del_rows = _ops(
+                batch_df, "purchase", STREAM_CMP_DEL_STRIDE, 0
+            ).select(
+                F.lit("del").alias("op"),
+                "vec_id",
+                F.lit(-1).cast("long").alias("cid"),
+                bl.alias("batch_id"),
+            )
+            add_rows.unionByName(del_rows).write.mode("append").parquet(
+                f"{log_dir}/ops"
+            )
+            # trigger check over the CURRENT generation + its op tail
+            # (this batch's ops included); state reads exclude rows this
+            # attempt may have half-written on a previous crash
+            g = (
+                spark.read.parquet(f"{log_dir}/genlog")
+                .where(F.col("batch_id") < batch_id)
+                .agg(F.max("gen_batch"))
+                .collect()[0][0]
+            )
+            gen_cells = spark.read.parquet(f"{log_dir}/gen_{g}")
+            ops = (
+                spark.read.parquet(f"{log_dir}/ops")
+                .where(
+                    (F.col("batch_id") > g) & (F.col("batch_id") <= batch_id)
+                )
+                .dropDuplicates(["op", "vec_id", "cid"])
+            )
+            live, cells, dead = _maintained(gen_cells, ops)
+            n_idx, n_dead = (
+                cells.select("vec_id").distinct().count(),
+                dead.count(),
+            )
+            if n_idx and (n_dead * 1_000_000) // n_idx > STREAM_CMP_THRESHOLD_PPM:
+                live.write.mode("overwrite").parquet(
+                    f"{log_dir}/gen_{batch_id}"
+                )
+                spark.createDataFrame(
+                    [(batch_id, batch_id)], "gen_batch long, batch_id long"
+                ).write.mode("append").parquet(f"{log_dir}/genlog")
+
+        return write
+
+    log_dir, _q = _run_replay_foreachbatch(spark, sf_dir, "anncmp", _sink)
+
+    genlog = spark.read.parquet(f"{log_dir}/genlog").dropDuplicates(
+        ["gen_batch"]
+    )
+    g_final = genlog.agg(F.max("gen_batch")).collect()[0][0]
+    fired = bool(g_final is not None and g_final >= 0)
+    ops_tail = (
+        spark.read.parquet(f"{log_dir}/ops")
+        .where(F.col("batch_id") > g_final)
+        .dropDuplicates(["op", "vec_id", "cid"])
+    )
+    live_s, cells_s, dead_s = _maintained(
+        spark.read.parquet(f"{log_dir}/gen_{g_final}"), ops_tail
+    )
+    live_s = live_s.persist()
+    final_ppm = (
+        cells_s.select("vec_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(F.broadcast(dead_s.agg(F.count(F.lit(1)).alias("__d"))))
+        .select(
+            F.expr(
+                "CASE WHEN __n = 0 THEN 0 ELSE __d * 1000000L div __n END"
+            ).alias("__ppm")
+        )
+    )
+
+    # batch twin: the compaction VERB over the full op table
+    ev = load_table(spark, sf_dir, "events")
+    adds_b = _ops(ev, "signup", STREAM_ANN_ADD_STRIDE, 1)
+    dels_b = _ops(ev, "purchase", STREAM_CMP_DEL_STRIDE, 0).persist()
+    indexed = base.select("vec_id").unionByName(adds_b).distinct()
+    indexed_corpus = e.join(indexed, "vec_id", "semi").persist()
+    live_twin, centers_t = S.ivf_compact(indexed_corpus, centers, dels_b)
+    twin_cells = (
+        S.assign_to_centers(live_twin, centers_t)
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .persist()
+    )
+    cells_diff = (
+        live_s.exceptAll(twin_cells)
+        .unionByName(twin_cells.exceptAll(live_s))
+        .agg(F.count(F.lit(1)).alias("__cells_diff"))
+    )
+    q = e.where(F.col("vec_id") < 20)
+    nprobe = max(4, n_lists // 2)
+    got = S.ivf_topk(
+        q,
+        e.join(live_s.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
+        k=5,
+        nprobe=nprobe,
+        list_col="__ivf_cell",
+    )
+    want = S.ivf_topk(
+        q,
+        e.join(twin_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
+        k=5,
+        nprobe=nprobe,
+        list_col="__ivf_cell",
+    )
+    search_diff = (
+        got.exceptAll(want)
+        .unionByName(want.exceptAll(got))
+        .agg(F.count(F.lit(1)).alias("__search_diff"))
+    )
+    counts = adds_b.agg(F.count(F.lit(1)).alias("n_adds")).crossJoin(
+        F.broadcast(dels_b.agg(F.count(F.lit(1)).alias("n_deletes")))
+    )
+    dead_b = indexed_corpus.select("vec_id").join(dels_b, "vec_id", "semi")
+    stats = indexed_corpus.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_indexed")
+    ).crossJoin(
+        F.broadcast(
+            dead_b.agg(F.count(F.lit(1)).cast("bigint").alias("__n_dead"))
+        )
+    )
+    n_batches = (
+        spark.read.parquet(f"{log_dir}/ops")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cells_diff))
+        .crossJoin(F.broadcast(search_diff))
+        .crossJoin(F.broadcast(final_ppm))
+        .select(
+            F.col("n_adds").cast("bigint").alias("n_adds"),
+            F.col("n_deletes").cast("bigint").alias("n_deletes"),
+            "n_indexed",
+            (F.col("n_indexed") - F.col("__n_dead")).alias("n_live"),
+            F.lit(fired).alias("compaction_fired"),
+            (F.col("__ppm") <= STREAM_CMP_THRESHOLD_PPM).alias(
+                "final_ppm_le_threshold"
+            ),
+            F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+            (F.col("__cells_diff") == 0).cast("int").alias(
+                "compacted_equals_batch"
+            ),
+            (F.col("__search_diff") == 0).cast("int").alias("search_equal"),
+        )
+    )

@@ -258,6 +258,9 @@ def test_no_python_in_unexpected_query_plans(spark):
         "stream_ann_index_maintenance",          # + frozen assigns in the
                                                  # maintained/batch-twin
                                                  # equivalence proof
+        "stream_ann_index_compaction",           # + frozen assigns on both
+                                                 # sides of the post-compact
+                                                 # equivalence proof
         "llm_ann_ivf_pq_opq_topk",               # + the OPQ rotation apply
                                                  # (Arrow GEMM) by design
         "llm_ann_pq_index_persistence",          # + the loaded-R rotation
