@@ -85,7 +85,14 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sparkgraft_sf1")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list restricting which tables to generate "
+        "(e.g. 'embeddings' for the ANN-only sf10 tier); default all",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
 
     from pyspark.sql import functions as F
 
@@ -102,12 +109,16 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
 
     for t in FIXED_DIMS:
+        if only is not None and t not in only:
+            continue
         load_table(spark, args.base, t).write.mode("overwrite").parquet(
             str(out / f"{t}.parquet")
         )
         print(f"{t}: copied (fixed dim)")
 
     for t, strides in KEY_STRIDES.items():
+        if only is not None and t not in only:
+            continue
         base = load_table(spark, args.base, t)
         replicas = []
         for r in range(args.factor):
@@ -146,16 +157,23 @@ def main() -> None:
                 # the scaled tier. gcd(5, 64) = 1, so the 64 rotations are
                 # pairwise distinct for r < 64 and the only identity is
                 # r = 0 (guarded below: concat of empty slices would
-                # corrupt the column). Replica 64 would repeat replica 0's
-                # embeddings verbatim — the same silent-period bug the
-                # affine text permutations fix — so factors past the
-                # rotation period are refused rather than silently
-                # planting cross-replica exact duplicates.
-                assert args.factor <= dim, (
-                    f"embedding rotation repeats at replica {dim}: factor "
-                    f"{args.factor} would plant cross-replica exact dups — "
-                    "add a second norm-preserving transform (e.g. per-"
-                    "replica sign patterns) before generating this tier"
+                # corrupt the column). Replica 64 alone would repeat
+                # replica 0's embeddings verbatim — the same
+                # silent-period bug the affine text permutations fix — so
+                # past the rotation period a SECOND norm-preserving
+                # transform kicks in: a per-group SIGN PATTERN (group
+                # g = r // 64; g = 0 keeps the historical identity so
+                # factor <= 64 tiers reproduce bit-for-bit). Flipping a
+                # balanced half of the dims preserves the norm exactly,
+                # and same-rotation cross-group pairs (r, r + 64k) land
+                # at cosine ~ 0 for generic vectors (a balanced +/- sum
+                # of squares). Patterns are pairwise distinct for
+                # g < 64, so the combined period is 64 * 64 replicas.
+                assert args.factor <= dim * dim, (
+                    f"embedding transforms repeat at replica {dim * dim}: "
+                    f"factor {args.factor} would plant cross-replica "
+                    "exact dups — add a third norm-preserving transform "
+                    "before generating this tier"
                 )
                 rot_by = (r * 5) % dim
                 if rot_by:
@@ -164,6 +182,23 @@ def main() -> None:
                         F.concat(
                             F.slice("embedding", rot_by + 1, dim - rot_by),
                             F.slice("embedding", 1, rot_by),
+                        ),
+                    )
+                g = r // dim
+                if g:
+                    # flip dim j iff ((j+1) * (2g+1)) % 64 < 32: balanced
+                    # (exactly half the residues land under 32 for odd
+                    # multipliers), deterministic, distinct per group
+                    signs = [
+                        -1.0 if ((j + 1) * (2 * g + 1)) % dim < dim // 2 else 1.0
+                        for j in range(dim)
+                    ]
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.zip_with(
+                            "embedding",
+                            F.array(*[F.lit(s) for s in signs]),
+                            lambda x, s: x * s,
                         ),
                     )
             replicas.append(rep)
