@@ -1175,6 +1175,12 @@ def load_pq_index(spark, path: str):
         spark.read.parquet(f"{path}/codebooks").collect(),
         key=lambda r: (r.m, r.cidx),
     )
+    if not cb_rows:
+        raise RuntimeError(
+            f"load_pq_index: codebooks dataset at {path}/codebooks is "
+            "empty — the artifact is truncated or was not written by "
+            "save_pq_index"
+        )
     n_sub = 1 + max(r.m for r in cb_rows)
     codebooks = tuple(
         tuple(tuple(r.center) for r in cb_rows if r.m == m) for m in range(n_sub)

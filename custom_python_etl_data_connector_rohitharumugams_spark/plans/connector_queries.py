@@ -509,6 +509,7 @@ def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_df):
     tar/shard sinks use. On a multi-node cluster the tmp dir must be a
     shared filesystem, exactly as for those sinks — each task makedirs
     its own view, idempotently. Returns the dir path."""
+    import glob as _glob
     import hashlib
     import os
     import shutil
@@ -567,8 +568,12 @@ def _materialize_landing_dir(sf_dir, prefix, ext, n_expected, synth_df):
     # n_written counts TASK-side writes; on a cluster without a shared
     # filesystem the tasks' files never land in the driver-visible tmp.
     # Count driver-side too, turning the single-node/shared-fs
-    # assumption into a checked invariant instead of a comment.
-    n_visible = len(os.listdir(tmp)) if os.path.isdir(tmp) else 0
+    # assumption into a checked invariant instead of a comment. Count
+    # only PUBLISHED files: an orphaned .part.<pid> from a failed task
+    # attempt (retried under another pid) must not fail a valid build.
+    n_visible = (
+        len(_glob.glob(f"{tmp}/doc_*.{ext}")) if os.path.isdir(tmp) else 0
+    )
     if n_visible != n_expected:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(

@@ -1682,13 +1682,14 @@ def llm_kmeans_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The exact-baseline fence (DESIGN.md "exact-baseline hazard pairs"),
 #: enforced in code instead of prose: the two declared quadratic
 #: baselines refuse to build above this corpus size unless the caller
-#: states allow_quadratic=True. Sized above every committed measurement
-#: tier (sf1 scaled embeddings = 20k rows; the r11 sf3 60k-row legs are
-#: the documented 162 s hazard the fence now interdicts) and far below
-#: any real corpus. The scale paths are the committed twins:
-#: llm_semantic_dedup (bucketed cells) and
+#: states allow_quadratic=True. Sized just above the LARGEST committed
+#: measurement tier that includes these queries (the sf3 ladder, 60k
+#: embedding rows — SCALING.md's documented-superlinear legs stay
+#: reproducible) and far below any real corpus; the sf10 ANN tier
+#: (200k rows) deliberately excludes both queries. The scale paths are
+#: the committed twins: llm_semantic_dedup (bucketed cells) and
 #: llm_embedding_decontamination_pruned (IVF-pruned, exponent 0.12).
-_QUADRATIC_MAX_ROWS = 50_000
+_QUADRATIC_MAX_ROWS = 100_000
 
 
 def _fence_quadratic(e: DataFrame, name: str, allow_quadratic: bool) -> None:

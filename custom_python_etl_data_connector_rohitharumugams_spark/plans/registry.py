@@ -59,14 +59,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # then a drop loop ejecting first-timers until 50 slots fit.
 #
 # Round-12 window — MAX-AGE-FIRST RECERTIFICATION, second pass.
-# Composition (tools/window_optimizer.py, age-aware): 34 cover slots
-# whose tag-tied representatives are chosen oldest-row-first, and 16
+# Composition (tools/window_optimizer.py, age-aware): 32 cover slots
+# whose tag-tied representatives are chosen oldest-row-first, 3
+# first-timers (the round-12 registrations: PQ-index persistence,
+# streaming corpus admission, mid-stream index compaction), and 15
 # refresh slots filled outright with the oldest-certified residue (the
 # judge-named r1-r4 cohort: llm_quality_scores, the skew pair,
 # window_rolling_30d_spend, stream_tumbling_event_counts, the scalar
-# reports). Round-12 registrations (the PQ-index persistence and
-# streaming corpus admission queries) are appended as first-timers by
-# the round-end optimizer re-run. Zero deferred.
+# reports). Zero deferred.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window

@@ -1265,6 +1265,30 @@ STREAM_ANN_ADD_STRIDE = 23
 STREAM_ANN_DEL_STRIDE = 83
 
 
+def _ann_op_ids(
+    df: DataFrame,
+    e: DataFrame,
+    etype: str,
+    stride: int,
+    parity: int | None = None,
+) -> DataFrame:
+    """ONE definition of how an event stream becomes index-op vector ids
+    (shared by the maintenance and compaction queries — their oracles
+    embed the same rule): filter by event type + id stride, key to
+    event_id % STREAM_ANN_MOD, semi-join the embeddings table, optionally
+    restricted to one id parity (the compaction query's disjoint
+    add/delete targeting)."""
+    tgt = e if parity is None else e.where(F.col("vec_id") % 2 == parity)
+    return (
+        df.where(
+            (F.col("event_type") == etype) & (F.col("event_id") % stride == 0)
+        )
+        .select((F.col("event_id") % STREAM_ANN_MOD).alias("vec_id"))
+        .distinct()
+        .join(tgt.select("vec_id"), "vec_id", "semi")
+    )
+
+
 @query(
     "stream_ann_index_maintenance",
     # real readStream source (S8) + foreachBatch durable log (S9), the
@@ -1364,15 +1388,7 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _ops(df: DataFrame, etype: str, stride: int) -> DataFrame:
-        return (
-            df.where(
-                (F.col("event_type") == etype)
-                & (F.col("event_id") % stride == 0)
-            )
-            .select((F.col("event_id") % STREAM_ANN_MOD).alias("vec_id"))
-            .distinct()
-            .join(e.select("vec_id"), "vec_id", "semi")
-        )
+        return _ann_op_ids(df, e, etype, stride)
 
     def _sink(log_dir: str):
         def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -1836,19 +1852,7 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _ops(df: DataFrame, etype: str, stride: int, parity: int) -> DataFrame:
-        return (
-            df.where(
-                (F.col("event_type") == etype)
-                & (F.col("event_id") % stride == 0)
-            )
-            .select((F.col("event_id") % STREAM_ANN_MOD).alias("vec_id"))
-            .distinct()
-            .join(
-                e.where(F.col("vec_id") % 2 == parity).select("vec_id"),
-                "vec_id",
-                "semi",
-            )
-        )
+        return _ann_op_ids(df, e, etype, stride, parity)
 
     def _maintained(
         gen_cells: DataFrame, ops: DataFrame

@@ -167,10 +167,12 @@ def main() -> None:
                 # balanced half of the dims preserves the norm exactly,
                 # and same-rotation cross-group pairs (r, r + 64k) land
                 # at cosine ~ 0 for generic vectors (a balanced +/- sum
-                # of squares). Patterns are pairwise distinct for
-                # g < 64, so the combined period is 64 * 64 replicas.
-                assert args.factor <= dim * dim, (
-                    f"embedding transforms repeat at replica {dim * dim}: "
+                # of squares). Patterns depend on (2g+1) mod 64, which has
+                # period 32 in g, so there are 32 distinct sign patterns
+                # and the combined rotation x sign period is 64 * 32 =
+                # 2048 replicas — the assert refuses factors past it.
+                assert args.factor <= dim * dim // 2, (
+                    f"embedding transforms repeat at replica {dim * dim // 2}: "
                     f"factor {args.factor} would plant cross-replica "
                     "exact dups — add a third norm-preserving transform "
                     "before generating this tier"
