@@ -1602,7 +1602,6 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sigs": "doc_id bigint, signature array<bigint>, batch_id long",
             "ledger": "source string, seen bigint, batch_id long",
             "admitted": "doc_id bigint, source string, n_tokens bigint, batch_id long",
-            "batches": "batch_id long",
         }
         for sub, sch in schemas.items():
             spark.createDataFrame([], sch).write.mode("overwrite").parquet(
@@ -1683,9 +1682,6 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             admitted_b.withColumn("batch_id", bl).write.mode(
                 "append"
             ).parquet(f"{log_dir}/admitted")
-            spark.createDataFrame(
-                [(batch_id,)], "batch_id long"
-            ).write.mode("append").parquet(f"{log_dir}/batches")
             posts_b.unpersist()
             quality_b.unpersist()
 
@@ -1701,8 +1697,11 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens")
         .persist()
     )
+    # every batch lands at least one digest row (doc_id slices are
+    # non-empty by percentile construction), so the digest log doubles
+    # as the batch roster — no separate marker log/write per batch
     n_batches = (
-        spark.read.parquet(f"{log_dir}/batches")
+        spark.read.parquet(f"{log_dir}/digests")
         .select("batch_id")
         .distinct()
         .count()

@@ -484,3 +484,39 @@ def test_stream_observed_metrics_listener_matches_inplan(spark, sf_dir):
         want.ro,
         want.vc,
     )
+
+
+def test_document_replay_slices_are_id_ordered_and_partition_docs(spark, tmp_path):
+    """split_documents_for_replay's arrival-order contract: slices are
+    doc_id-contiguous ranges in replay (mtime) order, disjoint, and their
+    union is exactly the documents table — the premise of the streaming
+    admission query's prefix-property proof."""
+    import glob
+    import os
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.streaming.replay import (
+        split_documents_for_replay,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = split_documents_for_replay(spark, sf, str(tmp_path / "d_replay"))
+    slices = sorted(
+        glob.glob(f"{out}/slice-*.parquet"), key=lambda p: os.path.getmtime(p)
+    )
+    assert len(slices) == 3
+    seen = []
+    prev_max = None
+    for p in slices:
+        ids = [r.doc_id for r in spark.read.parquet(p).select("doc_id").collect()]
+        assert ids, f"empty slice {p}"
+        if prev_max is not None:
+            assert min(ids) > prev_max, "slices out of doc_id order"
+        prev_max = max(ids)
+        seen.extend(ids)
+    want = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    assert sorted(seen) == sorted(want)
