@@ -997,10 +997,12 @@ NEARDUP_PAIRS_CTES = f"""
 """
 
 
-@query(
-    "llm_corpus_build_e2e",
-    tags=("L1", "L2", "L11", "L9", "L12", "L13", "L10"),
-    oracle=f"""
+def _e2e_oracle(extra_select: str = "") -> str:
+    """DuckDB oracle of the one-shot corpus build; ``extra_select``
+    injects additional literal columns into the final SELECT (the
+    shard-shipping form appends its proof boolean — the driver sorts
+    columns by name, so the shared numbers stay byte-comparable)."""
+    return f"""
     WITH RECURSIVE {CONTAMINATION_CTES},
     keepers AS (
         SELECT MIN(doc_id) AS doc_id
@@ -1066,11 +1068,17 @@ NEARDUP_PAIRS_CTES = f"""
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(COUNT(DISTINCT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                                     AS BIGINT) % {E2E_SHARDS}) AS BIGINT) AS n_shards,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM ndrops) AS n_neardup_dropped
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ndrops) AS n_neardup_dropped{extra_select}
     FROM admitted
     GROUP BY 1, 2
     ORDER BY source, split
-    """,
+    """
+
+
+@query(
+    "llm_corpus_build_e2e",
+    tags=("L1", "L2", "L11", "L9", "L12", "L13", "L10"),
+    oracle=_e2e_oracle(),
 )
 def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE corpus build as ONE declarative Catalyst plan — every
@@ -1109,10 +1117,39 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     build re-plans — no intermediate files, no orchestration glue, one
     lineage from raw docs to shard roster.
     """
+    admitted, n_nd_dropped = _e2e_admitted(spark, sf_dir)
+    from ..sources.shardsink import shard_assignment
+
+    return (
+        admitted.select(
+            "source",
+            "n_tokens",
+            "split",
+            shard_assignment(F.col("doc_id"), E2E_SHARDS).alias("shard"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("shard").cast("bigint").alias("n_shards"),
+        )
+        .crossJoin(F.broadcast(n_nd_dropped))
+        .orderBy("source", "split")
+    )
+
+
+def _e2e_admitted(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The one-shot corpus build's ADMITTED frame — every stage of
+    llm_corpus_build_e2e up to (and including) the 90/10 split:
+    ``(admitted(doc_id, source, n_tokens, split), n_neardup_dropped)``.
+    Shared by the report query and the shard-shipping closure
+    (llm_corpus_build_to_shards) so the admission pipeline exists
+    exactly once."""
     from ..functions.text import distinct_ratio as _distinct_ratio
     from ..operators.dedup import shingle_postings
     from ..operators.graph import connected_components
-    from ..sources.shardsink import shard_assignment
 
     d = load_table(spark, sf_dir, "documents")
     dig = F.coalesce(
@@ -1166,27 +1203,21 @@ def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    admitted = quality.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    ).where(F.col("cum_before") < E2E_BUDGET)
-    return (
-        admitted.select(
+    admitted = (
+        quality.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .where(F.col("cum_before") < E2E_BUDGET)
+        .select(
+            "doc_id",
             "source",
             "n_tokens",
             F.when(_md5_bucket(F.col("doc_id"), 100) < 90, "train")
             .otherwise("val")
             .alias("split"),
-            shard_assignment(F.col("doc_id"), E2E_SHARDS).alias("shard"),
         )
-        .groupBy("source", "split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.countDistinct("shard").cast("bigint").alias("n_shards"),
-        )
-        .crossJoin(F.broadcast(n_nd_dropped))
-        .orderBy("source", "split")
     )
+    return admitted, n_nd_dropped
 
 
 INC_SPLIT_ID = 250  # arrival boundary: batch A = doc_id < 250, delta = rest
@@ -1587,4 +1618,76 @@ def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("docs_affected"),
         )
+    )
+
+
+#: Oracle staged for llm_corpus_build_to_shards' round-13 registration:
+#: the e2e report recomputed from scratch (same CTEs) plus the shipping
+#: proof boolean the shard layer must deliver.
+CORPUS_TO_SHARDS_ORACLE = _e2e_oracle(
+    ",\n           TRUE AS shards_verified"
+)
+
+
+def llm_corpus_build_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build's SHIPPING closure — staged for round-13
+    registration (the round-12 window is exactly full; registering past
+    it would orphan the query): the one-plan admission pipeline
+    (_e2e_admitted — exact dedup, banded fuzzy dedup with component-min
+    keeper, holdout/decontamination, quality gates, per-source token
+    budget, 90/10 split) lands as an ACTUAL training-shard layout on
+    disk via sources/shardsink.write_training_shards (hive-partitioned
+    by (split, shard), per-shard manifest with order-insensitive id
+    checksums, atomic overwrite), is re-read through the consumer path,
+    and the report is computed FROM THE SHARDS:
+
+    - per (source, split): n_docs, total_tokens, n_shards — byte-equal
+      to llm_corpus_build_e2e's numbers because write_training_shards
+      assigns shards with the SAME functions/ids.md5_bucket rule the
+      report query uses (pytest-pinned row equality);
+    - shards_verified: verify_training_shards' manifest-vs-files diff,
+      re-run consumer-side (a lost row, duplicated file, or id swap
+      flips it);
+    - n_neardup_dropped rides along as in the report form.
+
+    At 100 TB this is the handoff a training job actually consumes:
+    partition-pruned parquet shards, a bounded manifest as the commit
+    record, and an integrity check that needs no out-of-band state."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources import shardsink as SS
+
+    admitted, n_nd_dropped = _e2e_admitted(spark, sf_dir)
+    resolved = os.path.realpath(sf_dir.rstrip("/"))
+    tag = (
+        os.path.basename(resolved).replace(".", "_")
+        + "_"
+        + hashlib.md5(resolved.encode()).hexdigest()[:8]
+    )
+    out_dir = f"{tempfile.gettempdir()}/sg_corpus_shards_{tag}"
+    SS.write_training_shards(
+        admitted, out_dir, n_shards=E2E_SHARDS, id_col="doc_id"
+    )
+    ok = SS.verify_training_shards(spark, out_dir)["ok"]
+    shards = SS.read_training_shards(spark, out_dir)
+    return (
+        shards.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct(SS.SHARD_COL).cast("bigint").alias("n_shards"),
+        )
+        .crossJoin(F.broadcast(n_nd_dropped))
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            "total_tokens",
+            "n_shards",
+            "n_neardup_dropped",
+            F.lit(bool(ok)).alias("shards_verified"),
+        )
+        .orderBy("source", "split")
     )

@@ -365,3 +365,37 @@ def test_corpus_build_e2e_reports_live_neardup_drops(spark):
     rows = QS["llm_corpus_build_e2e"].fn(spark, SMOKE_SF).collect()
     drops = {r.n_neardup_dropped for r in rows}
     assert len(drops) == 1 and drops.pop() > 0
+
+
+def test_corpus_build_to_shards_matches_report_and_oracle(spark):
+    """The staged round-13 shipping closure (llm_corpus_build_to_shards,
+    deliberately unregistered — the round-12 window is exactly full):
+    the report computed FROM THE WRITTEN SHARDS must equal
+    llm_corpus_build_e2e's numbers row-for-row with shards_verified True
+    everywhere, and must match its staged DuckDB oracle
+    (CORPUS_TO_SHARDS_ORACLE) the way the driver will check it."""
+    import duckdb
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.llm_pipeline import (
+        CORPUS_TO_SHARDS_ORACLE,
+        llm_corpus_build_to_shards,
+    )
+
+    got = llm_corpus_build_to_shards(spark, SMOKE_SF).toPandas()
+    assert got["shards_verified"].all()
+    base = QS["llm_corpus_build_e2e"].fn(spark, SMOKE_SF).toPandas()
+    shared = ["source", "split", "n_docs", "total_tokens", "n_shards",
+              "n_neardup_dropped"]
+    assert got[shared].values.tolist() == base[shared].values.tolist()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/documents.parquet')"
+    )
+    want = con.execute(CORPUS_TO_SHARDS_ORACLE).fetchdf()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    assert sorted(map(tuple, got[cols].values.tolist())) == sorted(
+        map(tuple, want[cols].values.tolist())
+    )
