@@ -1621,18 +1621,21 @@ def llm_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Oracle staged for llm_corpus_build_to_shards' round-13 registration:
-#: the e2e report recomputed from scratch (same CTEs) plus the shipping
-#: proof boolean the shard layer must deliver.
+#: Oracle for llm_corpus_build_to_shards: the e2e report recomputed
+#: from scratch (same CTEs) plus the shipping proof boolean the shard
+#: layer must deliver.
 CORPUS_TO_SHARDS_ORACLE = _e2e_oracle(
     ",\n           TRUE AS shards_verified"
 )
 
 
+@query(
+    "llm_corpus_build_to_shards",
+    tags=("S7b", "L1", "L2", "L11", "L9", "L12", "L13", "L10"),
+    oracle=CORPUS_TO_SHARDS_ORACLE,
+)
 def llm_corpus_build_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus build's SHIPPING closure — staged for round-13
-    registration (the round-12 window is exactly full; registering past
-    it would orphan the query): the one-plan admission pipeline
+    """The corpus build's SHIPPING closure: the one-plan admission pipeline
     (_e2e_admitted — exact dedup, banded fuzzy dedup with component-min
     keeper, holdout/decontamination, quality gates, per-source token
     budget, 90/10 split) lands as an ACTUAL training-shard layout on
@@ -1666,7 +1669,9 @@ def llm_corpus_build_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "_"
         + hashlib.md5(resolved.encode()).hexdigest()[:8]
     )
-    out_dir = f"{tempfile.gettempdir()}/sg_corpus_shards_{tag}"
+    # pid-keyed like sg_pqidx/sg_ivfidx: two concurrent sessions on the
+    # same fixture must not race on write/verify/read of one directory.
+    out_dir = f"{tempfile.gettempdir()}/sg_corpus_shards_{tag}_{os.getpid()}"
     SS.write_training_shards(
         admitted, out_dir, n_shards=E2E_SHARDS, id_col="doc_id"
     )
