@@ -137,11 +137,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_rows(
     sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band, band_hash): docs agreeing
-    on ALL rows of any band become candidate pairs (doc1 < doc2).
+    """Explode MinHash signatures into LSH band rows ``(doc_id, band,
+    band_hash)`` — the join-ready form of the banding trick, shared by the
+    all-pairs candidate join (:func:`lsh_candidate_pairs`) and the
+    streaming near-dup INDEX (stream_corpus_admission persists exactly
+    these rows, so the incremental band join needs no signature re-band
+    per micro-batch).
 
     Signatures shorter than ``bands * rows_per_band`` fail loudly per-row:
     under ANSI the out-of-range element_at would error anyway, but with
@@ -153,7 +157,7 @@ def lsh_candidate_pairs(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"lsh_candidate_pairs: bands*rows_per_band={needed} "
+                        f"band_rows: bands*rows_per_band={needed} "
                         "exceeds signature length "
                     ),
                     F.size("signature").cast("string"),
@@ -161,7 +165,7 @@ def lsh_candidate_pairs(
             )
         )
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -175,6 +179,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_hash): docs agreeing
+    on ALL rows of any band become candidate pairs (doc1 < doc2)."""
+    banded = band_rows(sigs, bands=bands, rows_per_band=rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -559,6 +559,25 @@ def pq_subspace_dists(vec_col, m: int, codebooks=None):
     cbs = _pq_codebooks(codebooks)
     sub_dims = len(cbs[m][0])
     centers = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cbs[m]])
+    # dimensionality guard: with CUSTOM codebooks, n_sub * sub_dims can
+    # exceed the vector length, and F.slice past the array end would
+    # silently return a short array — distances over partial subspaces
+    # instead of an error. Fail loudly per-row (the band_rows pattern);
+    # the size() probe is an array-header read, not a traversal.
+    needed = m * sub_dims + sub_dims
+    vec_col = F.when(
+        F.size(vec_col) >= needed, vec_col
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pq_subspace_dists: subspace m={m} needs vector length "
+                    f">= {needed}, got "
+                ),
+                F.size(vec_col).cast("string"),
+            )
+        )
+    )
     sub = F.slice(vec_col, m * sub_dims + 1, sub_dims)
     return F.transform(
         centers,
@@ -1185,6 +1204,21 @@ def load_pq_index(spark, path: str):
     codebooks = tuple(
         tuple(tuple(r.center) for r in cb_rows if r.m == m) for m in range(n_sub)
     )
+    # contiguity validation: a PARTIALLY-written codebooks dataset (a
+    # subspace missing, or cidx rows lost) would otherwise yield short or
+    # reordered center lists that score candidates wrongly instead of
+    # failing — validate every m has the same center count and cidx runs
+    # 0..k-1 before anything consumes the tuple
+    k = len(codebooks[0])
+    for m in range(n_sub):
+        got = sorted(r.cidx for r in cb_rows if r.m == m)
+        if len(codebooks[m]) != k or got != list(range(k)):
+            raise RuntimeError(
+                f"load_pq_index: codebooks dataset at {path}/codebooks is "
+                f"truncated — subspace m={m} has cidx rows {got[:5]}... "
+                f"(expected 0..{k - 1}); the artifact was partially "
+                "written or not produced by save_pq_index"
+            )
     rot_rows = sorted(
         spark.read.parquet(f"{path}/rotation").collect(), key=lambda r: r.i
     )

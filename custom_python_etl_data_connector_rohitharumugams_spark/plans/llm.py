@@ -1531,10 +1531,17 @@ def llm_ann_pq_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_cells, l_cent, l_codes, l_cbs, l_rot = S.load_pq_index(spark, path)
     # sever lineage from the on-disk artifact, then reclaim the dir
     # (the llm_ann_index_persistence discipline: no leaked artifact per
-    # process/sf tier; the k-row/N-id frames checkpoint cheaply)
-    l_cells = l_cells.localCheckpoint(eager=True)
+    # process/sf tier). The two N-row pieces (cells, codes) are joined
+    # FIRST and checkpointed ONCE: one materialization pass over the
+    # id-keyed state instead of two, and the loaded-search legs reuse
+    # the pre-joined (vec_id, cell, codes) frame instead of re-running
+    # the join per execution — the round-12 proof-volume trim.
+    l_state = (
+        l_cells.withColumnRenamed("cid", "__ivf_cell")
+        .join(l_codes, "vec_id")
+        .localCheckpoint(eager=True)
+    )
     l_cent = l_cent.localCheckpoint(eager=True)
-    l_codes = l_codes.localCheckpoint(eager=True)
     shutil.rmtree(path, ignore_errors=True)
     if l_rot is None or len(l_cbs) != S.PQ_SUBSPACES:
         raise RuntimeError(
@@ -1547,9 +1554,7 @@ def llm_ann_pq_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R (the artifact stores routing/compression state, never vectors —
     # the corpus table remains the single source of vector truth)
     er_loaded = S.opq_apply(e, l_rot)
-    corpus_loaded = er_loaded.join(
-        l_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"
-    ).join(l_codes, "vec_id")
+    corpus_loaded = er_loaded.join(l_state, "vec_id")
     ann_loaded = S.ivf_pq_topk(
         er_loaded.where(F.col("vec_id") < 20),
         corpus_loaded,

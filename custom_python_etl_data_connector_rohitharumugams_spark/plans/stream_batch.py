@@ -1511,6 +1511,130 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Streaming-admission state layout: every durable log is hash-bucketed
+#: into this many hive partitions on its join key (digest / band key /
+#: doc id), so a micro-batch's state read prunes to the buckets its own
+#: keys hash into — a partition FILTER on the scan, never a shuffle of
+#: state. 16 buckets is sized to the fixture tiers (3 micro-batches,
+#: 500-5000 docs); a 100 TB deployment raises it so that
+#: (batch keys / buckets) << 1 and the pruned fraction stays small —
+#: the bucket count is the index grain, exactly like n_lists in the IVF
+#: family's sqrt rule.
+STREAM_ADM_NBKT = 16
+
+#: Generation-compact the admission state logs every N micro-batches
+#: (the ivf_compact pattern: rewrite dropDuplicates into gen+1, bump an
+#: atomic marker). Appends from crash re-attempts are byte-identical
+#: duplicates; per-batch reads are duplicate-TOLERANT by construction
+#: (anti joins, pair dedup over candidate-sized frames), so duplicates
+#: cost nothing until compaction physically collapses them — per-batch
+#: work never includes a state-wide dropDuplicates. 2 fires inside every
+#: 3-slice replay, so the driver run exercises a real mid-stream
+#: compaction; production sets it by accumulated-duplicate bytes.
+STREAM_ADM_COMPACT_EVERY = 2
+
+
+def _adm_bkt(col):
+    """Non-negative int bucket of a 64-bit hash column."""
+    return F.pmod(col, F.lit(STREAM_ADM_NBKT)).cast("int")
+
+
+def _collect_bkts(df: DataFrame) -> list[int]:
+    """Driver-side bucket list for a partition ``isin`` filter — bounded
+    by STREAM_ADM_NBKT values (the k-means-centers class of collect), and
+    the literal list is what lets Catalyst turn it into PartitionFilters
+    on the state scan."""
+    return sorted({r[0] for r in df.distinct().collect()})
+
+
+class _GenLog:
+    """Generation-compacted, hash-bucket-partitioned parquet state log —
+    the durable-state shape of the streaming admission loop.
+
+    Layout: ``<root>/<name>/g<N>/<bucket_col>=<b>/part-*.parquet`` plus an
+    atomic ``GEN`` marker naming the current generation. Appends target
+    the current generation; reads resolve the marker and declare the
+    schema explicitly (an empty just-initialized generation reads as an
+    empty frame, no inference pass). ``compact()`` rewrites the current
+    generation ``dropDuplicates`` into gen+1 and bumps the marker via
+    ``os.replace`` — a crash mid-rewrite leaves the marker (and therefore
+    every reader) on the old generation, and a re-attempted compaction
+    simply overwrites gen+1, so the log never needs a state-wide dedup on
+    the read path."""
+
+    #: Every log is seeded with one sentinel row per bucket at batch_id=-1
+    #: (reads filter batch_id >= 0): the partitioned directory layout then
+    #: exists BEFORE the first state read is planned, so the relation's
+    #: partition schema never phase-changes from "empty unpartitioned" to
+    #: "hive-partitioned" between plan and execution — the mid-batch
+    #: append would otherwise trip Spark's partitionValues assertion on
+    #: plans resolved against the empty dir.
+    SENTINEL_BATCH = -1
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema: str,
+        bucket_col: str,
+        seed: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.dir = f"{root}/{name}"
+        self.schema = schema
+        self.bucket_col = bucket_col
+        if seed is not None and not os.path.exists(f"{self.dir}/g0"):
+            seed.write.mode("overwrite").partitionBy(bucket_col).parquet(
+                f"{self.dir}/g0"
+            )
+        os.makedirs(f"{self.dir}/g0", exist_ok=True)
+
+    def _gen(self) -> int:
+        try:
+            with open(f"{self.dir}/GEN") as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    def _path(self, gen: int | None = None) -> str:
+        return f"{self.dir}/g{self._gen() if gen is None else gen}"
+
+    def read(self) -> DataFrame:
+        # sentinel seed rows (batch_id=-1) are the layout bootstrap, not
+        # state — structurally excluded from every read
+        return (
+            self.spark.read.schema(self.schema)
+            .parquet(self._path())
+            .where(F.col("batch_id") >= 0)
+        )
+
+    def append(self, df: DataFrame) -> None:
+        path = self._path()
+        df.write.mode("append").partitionBy(self.bucket_col).parquet(path)
+        # external-write invalidation (the REFRESH TABLE pattern): plans
+        # created later in the same session must list the new files
+        self.spark.catalog.refreshByPath(path)
+
+    def compact(self) -> None:
+        import shutil
+
+        cur = self._gen()
+        (
+            self.spark.read.schema(self.schema)
+            .parquet(self._path(cur))
+            .dropDuplicates()
+            .write.mode("overwrite")
+            .partitionBy(self.bucket_col)
+            .parquet(self._path(cur + 1))
+        )
+        tmp = f"{self.dir}/GEN.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(cur + 1))
+        os.replace(tmp, f"{self.dir}/GEN")
+        shutil.rmtree(self._path(cur), ignore_errors=True)
+
+
 def _stream_corpus_oracle() -> str:
     from .llm_pipeline import INC_ADMISSION_CTES
 
@@ -1568,12 +1692,33 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same fixpoint from raw documents in SQL (the shared
     INC_ADMISSION_CTES text).
 
-    100 TB shape: per batch the loop pays the batch's own shingle/
-    signature build, one band join against the persisted index, and
-    kilobyte-scale ledger reads; prior batches' raw text is never
-    rescanned — the carried state is the digest store, the near-dup
-    index, and a few ledger rows, exactly what a production admission
-    service persists."""
+    100 TB shape — per-batch work NEVER shuffles state (pytest-pinned:
+    tests/test_streaming.py asserts the per-batch state subtrees carry
+    PartitionFilters and put no Exchange above a state scan):
+
+    - every state log is a :class:`_GenLog`: hash-bucketed on its join
+      key (digest / band key / doc id, STREAM_ADM_NBKT hive partitions),
+      so a batch's read prunes to the buckets its own keys hash into —
+      partition filter on the scan;
+    - the near-dup index is stored PRE-BANDED (band rows, not raw
+      signatures), so the incremental band join is one broadcast hash
+      join of the batch's band keys against the pruned scan — state-side
+      banding is never recomputed, and only state rows that actually
+      collide leave the scan;
+    - the digest store is probed the same way (broadcast semi of the
+      batch's digests against the pruned scan, then a batch-sized anti
+      join) and the verify postings are pruned to candidate docs before
+      the Jaccard intersection, so every exchange in the batch plan is
+      over batch- or candidate-sized frames;
+    - crash-re-attempt duplicates are collapsed by PERIODIC generation
+      compaction (STREAM_ADM_COMPACT_EVERY, the ivf_compact pattern),
+      not a per-batch state-wide dropDuplicates — the reads are
+      duplicate-tolerant in between.
+
+    Prior batches' raw text is never rescanned; the carried state is the
+    digest store, the banded near-dup index, the postings, and a few
+    ledger rows — exactly what a production admission service persists,
+    laid out the way one would key it."""
     from ..operators import dedup as D
     from .llm_pipeline import (
         NEARDUP_TAU,
@@ -1594,58 +1739,131 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _sink(log_dir: str):
-        # init every log with an empty typed frame so first-batch state
-        # reads see a schema instead of an empty-dir error
-        schemas = {
-            "digests": "dig string, batch_id long",
-            "index": "doc_id bigint, shingle string, batch_id long",
-            "sigs": "doc_id bigint, signature array<bigint>, batch_id long",
+        # bulky state = generation logs, bucketed on their join keys;
+        # the kilobyte-scale ledger/admitted logs stay plain append dirs
+        # (init with an empty typed frame so first-batch reads see a
+        # schema instead of an empty-dir error)
+        bkts = list(range(STREAM_ADM_NBKT))
+        digs_log = _GenLog(
+            spark, log_dir, "digests",
+            "dig string, batch_id long, dig_bkt int", "dig_bkt",
+            seed=spark.createDataFrame(
+                [("__seed__", -1, b) for b in bkts],
+                "dig string, batch_id long, dig_bkt int",
+            ),
+        )
+        bands_log = _GenLog(
+            spark, log_dir, "bands",
+            "doc_id bigint, band int, band_hash bigint, batch_id long, band_bkt int",
+            "band_bkt",
+            seed=spark.createDataFrame(
+                [(-1, -1, -1, -1, b) for b in bkts],
+                "doc_id bigint, band int, band_hash bigint, batch_id long, band_bkt int",
+            ),
+        )
+        posts_log = _GenLog(
+            spark, log_dir, "index",
+            "doc_id bigint, shingle string, batch_id long, doc_bkt int",
+            "doc_bkt",
+            seed=spark.createDataFrame(
+                [(-1, "__seed__", -1, b) for b in bkts],
+                "doc_id bigint, shingle string, batch_id long, doc_bkt int",
+            ),
+        )
+        for sub, sch in {
             "ledger": "source string, seen bigint, batch_id long",
             "admitted": "doc_id bigint, source string, n_tokens bigint, batch_id long",
-        }
-        for sub, sch in schemas.items():
+        }.items():
             spark.createDataFrame([], sch).write.mode("overwrite").parquet(
                 f"{log_dir}/{sub}"
             )
 
         def write(batch_df: DataFrame, batch_id: int) -> None:
             bl = F.lit(batch_id).cast("long")
+            cur = F.col("batch_id") < batch_id
+            bd = batch_df.withColumn("__dig", _inc_digest()).persist()
 
-            def prior(sub: str) -> DataFrame:
-                return spark.read.parquet(f"{log_dir}/{sub}").where(
-                    F.col("batch_id") < batch_id
-                )
-
-            state_digs = prior("digests").select(
-                F.col("dig").alias("__dig")
-            ).distinct()
+            # exact dedup against the digest store: prune the scan to the
+            # batch's digest buckets, broadcast-semi the batch keys
+            # against it (output <= batch size), anti-join the hit set —
+            # the store itself is never exchanged
+            dig_bkts = _collect_bkts(bd.select(_adm_bkt(F.xxhash64("__dig"))))
+            dig_hits = (
+                digs_log.read()
+                .where(F.col("dig_bkt").isin(dig_bkts) & cur)
+                .select(F.col("dig").alias("__dig"))
+                .join(F.broadcast(bd.select("__dig").distinct()), "__dig", "semi")
+            )
             keepers_b = (
-                batch_df.withColumn("__dig", _inc_digest())
-                .join(state_digs, "__dig", "anti")
+                bd.join(F.broadcast(dig_hits), "__dig", "anti")
                 .groupBy("__dig")
                 .agg(F.min("doc_id").alias("doc_id"))
             )
-            kept_b = batch_df.join(keepers_b.select("doc_id"), "doc_id", "semi")
+            kept_b = bd.join(keepers_b.select("doc_id"), "doc_id", "semi")
             posts_b = D.shingle_postings(kept_b).persist()
-            sigs_b = D.minhash_signatures(posts_b)
-            state_sigs = (
-                prior("sigs")
-                .dropDuplicates(["doc_id"])
-                .select("doc_id", "signature")
+            banded_b = D.band_rows(D.minhash_signatures(posts_b)).persist()
+
+            # batch-batch candidate pairs: LSH self-join of the batch's
+            # own band rows (batch-sized)
+            lb, rb = banded_b.alias("l"), banded_b.alias("r")
+            cands_bb = lb.join(
+                rb,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            ).select(
+                F.col("l.doc_id").alias("doc_id_1"),
+                F.col("r.doc_id").alias("doc_id_2"),
             )
-            state_posts = (
-                prior("index")
-                .dropDuplicates(["doc_id", "shingle"])
-                .select("doc_id", "shingle")
+            # state-batch candidate pairs: ONE broadcast hash join of the
+            # batch's band rows against the band-bucket-pruned index scan
+            # — only colliding state rows leave the scan, nothing is
+            # re-banded, nothing shuffles
+            band_bkts = _collect_bkts(
+                banded_b.select(_adm_bkt(F.xxhash64("band", "band_hash")))
+            )
+            cands_sb = (
+                bands_log.read()
+                .where(F.col("band_bkt").isin(band_bkts) & cur)
+                .join(
+                    F.broadcast(banded_b.withColumnRenamed("doc_id", "__b_doc")),
+                    ["band", "band_hash"],
+                )
+                .where(F.col("doc_id") != F.col("__b_doc"))
+                .select(
+                    F.least("doc_id", "__b_doc").alias("doc_id_1"),
+                    F.greatest("doc_id", "__b_doc").alias("doc_id_2"),
+                )
             )
             # only pairs whose LATER side is in this batch are decided
-            # now (state-state pairs were prior batches' decisions)
-            cands = D.lsh_candidate_pairs(
-                state_sigs.unionByName(sigs_b)
-            ).join(
-                kept_b.select(F.col("doc_id").alias("doc_id_2")),
-                "doc_id_2",
-                "semi",
+            # now (state-state pairs were prior batches' decisions);
+            # the dedup is over the candidate-pair frame, never state
+            cands = (
+                cands_bb.unionByName(cands_sb)
+                .join(
+                    kept_b.select(F.col("doc_id").alias("doc_id_2")),
+                    "doc_id_2",
+                    "semi",
+                )
+                .dropDuplicates()
+                .persist()
+            )
+            cand_ids = (
+                cands.select(F.col("doc_id_1").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_id_2").alias("doc_id")))
+                .distinct()
+            )
+            # verify postings pruned to candidate docs (doc-bucket
+            # partition filter + broadcast semi): whole-doc pruning keeps
+            # the Jaccard set sizes exact, and the replay-dup dedup runs
+            # over this candidate-sized frame only
+            doc_bkts = _collect_bkts(cand_ids.select(_adm_bkt(F.xxhash64("doc_id"))))
+            state_posts = (
+                posts_log.read()
+                .where(F.col("doc_bkt").isin(doc_bkts) & cur)
+                .join(F.broadcast(cand_ids), "doc_id", "semi")
+                .select("doc_id", "shingle")
+                .dropDuplicates(["doc_id", "shingle"])
             )
             drops_b = _inc_neardup_drops(
                 D.jaccard_verify(
@@ -1655,24 +1873,32 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             quality_b = _inc_gated(
-                batch_df, keepers_b, contaminated, drops_b
+                bd, keepers_b, contaminated, drops_b
             ).persist()
             ledger = (
-                prior("ledger")
+                spark.read.parquet(f"{log_dir}/ledger")
+                .where(cur)
                 .dropDuplicates(["source", "batch_id"])
                 .groupBy("source")
                 .agg(F.sum("seen").alias("seen"))
             )
             admitted_b = _inc_admit(quality_b, ledger)
 
-            batch_df.select(_inc_digest().alias("dig")).distinct().withColumn(
-                "batch_id", bl
-            ).write.mode("append").parquet(f"{log_dir}/digests")
-            posts_b.withColumn("batch_id", bl).write.mode("append").parquet(
-                f"{log_dir}/index"
+            digs_log.append(
+                bd.select(F.col("__dig").alias("dig"))
+                .distinct()
+                .withColumn("batch_id", bl)
+                .withColumn("dig_bkt", _adm_bkt(F.xxhash64("dig")))
             )
-            sigs_b.withColumn("batch_id", bl).write.mode("append").parquet(
-                f"{log_dir}/sigs"
+            posts_log.append(
+                posts_b.withColumn("batch_id", bl).withColumn(
+                    "doc_bkt", _adm_bkt(F.xxhash64("doc_id"))
+                )
+            )
+            bands_log.append(
+                banded_b.withColumn("batch_id", bl).withColumn(
+                    "band_bkt", _adm_bkt(F.xxhash64("band", "band_hash"))
+                )
             )
             quality_b.groupBy("source").agg(
                 F.sum("n_tokens").cast("bigint").alias("seen")
@@ -1682,8 +1908,11 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             admitted_b.withColumn("batch_id", bl).write.mode(
                 "append"
             ).parquet(f"{log_dir}/admitted")
-            posts_b.unpersist()
-            quality_b.unpersist()
+            for frame in (cands, banded_b, posts_b, quality_b, bd):
+                frame.unpersist()
+            if batch_id > 0 and batch_id % STREAM_ADM_COMPACT_EVERY == 0:
+                for lg in (digs_log, bands_log, posts_log):
+                    lg.compact()
 
         return write
 
@@ -1697,11 +1926,17 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens")
         .persist()
     )
-    # every batch lands at least one digest row (doc_id slices are
-    # non-empty by percentile construction), so the digest log doubles
-    # as the batch roster — no separate marker log/write per batch
+    # every batch lands at least one digest row (the replay splitter
+    # writes only non-empty slices — degenerate percentile bounds are
+    # deduplicated and empty ranges dropped at build time), so the
+    # digest log doubles as the batch roster — no separate marker log;
+    # compaction preserves batch_id, so the roster survives generations
     n_batches = (
-        spark.read.parquet(f"{log_dir}/digests")
+        _GenLog(
+            spark, log_dir, "digests",
+            "dig string, batch_id long, dig_bkt int", "dig_bkt",
+        )
+        .read()
         .select("batch_id")
         .distinct()
         .count()
@@ -1811,7 +2046,15 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       deleted ppm is oracle-computable regardless of batch slicing; it
       crosses the threshold at every fixture tier, and the per-batch
       check at the last batch sees the full fold if nothing fired
-      earlier — so >= 1 firing is a-priori TRUE;
+      earlier — so >= 1 firing is a-priori TRUE. NOTE the direction of
+      this proof is margin-backed, not a theorem for arbitrary event
+      distributions: a mid-stream PARTIAL fold can cross the threshold
+      (deletes front-loaded, adds later) on a fixture whose FULL fold
+      would not, in which case the impl would fire while an
+      all-batches-at-once oracle says no. The committed tiers carry
+      >= 1.5x measured margin between full-fold ppm and threshold, so
+      both directions agree there; a new fixture must either keep that
+      margin or derive compaction_fired per-prefix;
     - final_ppm_le_threshold: the loop checks AFTER applying each
       batch's ops, so the post-stream generation can never be left over
       threshold — the property a compaction scheduler exists to enforce;

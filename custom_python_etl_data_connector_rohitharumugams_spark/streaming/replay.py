@@ -197,9 +197,10 @@ def split_documents_for_replay(
     want = {"n_docs": d.count(), "n_slices": n_slices, "by": "doc_id"}
     if os.path.exists(marker):
         try:
-            if _json.load(open(marker)) == want and len(
+            saved = _json.load(open(marker))
+            if {k: saved.get(k) for k in want} == want and len(
                 _glob.glob(f"{out_dir}/slice-*.parquet")
-            ) == n_slices:
+            ) == saved.get("actual_slices"):
                 return out_dir
         except (ValueError, OSError):
             pass
@@ -214,9 +215,21 @@ def split_documents_for_replay(
                 10_000,
             ).alias("bs")
         ).collect()[0]["bs"]
+        # EVERY written slice must be non-empty: downstream batch rosters
+        # (stream_corpus_admission counts batches from per-batch state
+        # rows) assume each micro-batch lands at least one row. Skewed or
+        # duplicate-heavy doc_id distributions can make percentile bounds
+        # coincide (or equal the minimum), which would produce silently
+        # empty slices — deduplicate the bounds to a strictly increasing
+        # list, then drop any range a degenerate distribution still left
+        # empty (n_slices <= 4, counted once per build, marker-amortized).
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
         slices = []
         lo = None
-        for hi in list(bounds) + [None]:
+        for hi in uniq + [None]:
             sl = d
             if lo is not None:
                 sl = sl.where(F.col("doc_id").cast("double") >= lo)
@@ -224,7 +237,9 @@ def split_documents_for_replay(
                 sl = sl.where(F.col("doc_id").cast("double") < hi)
             slices.append(sl)
             lo = hi
+        slices = [sl for sl in slices if sl.limit(1).count() > 0]
     _write_slices(slices, out_dir)
+    want["actual_slices"] = len(slices)
     with open(marker, "w") as fh:
         _json.dump(want, fh)
     return out_dir
