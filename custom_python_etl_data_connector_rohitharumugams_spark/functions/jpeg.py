@@ -326,3 +326,34 @@ def decode_gray_jpeg(data: bytes):
                     v = int(round(float(blk[y * 8 + x]))) + 128
                     pixels[(by * 8 + y) * w + bx * 8 + x] = max(0, min(255, v))
     return w, h, pixels
+
+
+def separable_ramp_err_bound() -> float:
+    """A-priori per-pixel reconstruction-error bound for images whose 8x8
+    blocks are SEPARABLE (pixel = f(x) + g(y) within every block) — the
+    DESIGN.md "JPEG oracle boundary" paragraph made executable.
+
+    Derivation: the 2-D DCT of a separable block has support only on
+    row 0 and column 0 (15 coefficients); quantization perturbs each
+    surviving coefficient by at most q/2, and the IDCT is linear, so the
+    per-pixel error is bounded by
+
+        B(x, y) =   (q_dc/2)|C[0,x]||C[0,y]|
+                  + sum_u>=1 (q_ac/2)|C[u,x]||C[0,y]|
+                  + sum_v>=1 (q_ac/2)|C[0,x]||C[v,y]|
+
+    maximized over (x, y) — no data-dependent term anywhere: the bound
+    holds for EVERY separable-block image under this codec's QTABLE, not
+    just the committed fixtures. (A general image has all 64
+    coefficients live and the same derivation gives ~118 — the reason
+    arbitrary photographs need a much looser gate.)"""
+    q = np.asarray(QTABLE, dtype=np.float64).reshape(8, 8)
+    a = np.abs(_DCT_M)  # |C[u, x]|
+    worst = 0.0
+    for x in range(8):
+        for y in range(8):
+            b = q[0, 0] / 2 * a[0, x] * a[0, y]
+            b += sum(q[u, 0] / 2 * a[u, x] * a[0, y] for u in range(1, 8))
+            b += sum(q[0, v] / 2 * a[0, x] * a[v, y] for v in range(1, 8))
+            worst = max(worst, b)
+    return worst

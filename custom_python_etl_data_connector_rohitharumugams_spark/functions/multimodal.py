@@ -1115,6 +1115,143 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
     )
 
 
+#: Integer per-pixel error gate for the separable-ramp JPEG family:
+#: floor(jpeg.separable_ramp_err_bound() + 0.5) — the +0.5 absorbs the
+#: decoder's round-to-int, and the floor is valid because the measured
+#: error is an integer. decode_jpeg_tolerance re-derives the analog
+#: bound and refuses to run if this literal drifts from it (the same
+#: literal is baked into the driver oracle's SQL, which cannot import
+#: this module).
+JPEG_RAMP_ERR_BOUND = 13
+
+
+def _jpeg_ramp_val(doc_id: int, x: int, y: int) -> int:
+    """Gray value of pixel (x, y) in the NON-block-constant JPEG family:
+    a per-block base (mod 200, so base + 3*7 + 5*7 <= 255 — no wrap
+    inside a block) plus a 3x+5y ramp within the block. Within-block
+    SEPARABLE by construction, which is what makes the tolerance bound
+    a theorem (jpeg.separable_ramp_err_bound) while the AC quantizers
+    stay genuinely lossy — decode(encode(img)) != img here."""
+    base = (doc_id * 19 + (x // 8) * 37 + (y // 8) * 53) % 200
+    return base + 3 * (x % 8) + 5 * (y % 8)
+
+
+def synth_jpeg_ramp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, data) with REAL baseline JPEG payloads over the
+    separable-ramp pixel family (``_jpeg_ramp_val``) — same codec as
+    :func:`synth_jpeg` (functions/jpeg.encode_gray_jpeg), but the images
+    are NOT block-constant, so every horizontal and vertical AC
+    coefficient in row 0 / column 0 of each block is live and the
+    encode is lossy: this is the corpus-like regime the exact-hash
+    oracle cannot cover."""
+    from .jpeg import encode_gray_jpeg
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                wb, hb = _jpeg_blocks(doc_id)
+                w, h = wb * 8, hb * 8
+                px = [
+                    _jpeg_ramp_val(doc_id, x, y)
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(encode_gray_jpeg(px, w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "data": payloads}
+            )
+
+    return src.mapInPandas(run, schema="doc_id long, data binary")
+
+
+def decode_jpeg_tolerance(df: DataFrame) -> DataFrame:
+    """TOLERANCE-oracle JPEG decode — the production-corpus form of
+    :func:`decode_jpeg` for payloads where the roundtrip is lossy by
+    design: run the full real decode (functions/jpeg.decode_gray_jpeg),
+    regenerate the reference pixels from the doc_id formula, and gate
+    the per-pixel error against the A-PRIORI bound
+    ``JPEG_RAMP_ERR_BOUND`` (derived, not measured — see
+    jpeg.separable_ramp_err_bound; the function refuses to run if the
+    literal and the derivation drift). Returns (doc_id, width, height,
+    orig_pixel_sum, err_bound, within_bound): orig_pixel_sum pins the
+    synth formula, within_bound is the executable form of the DESIGN.md
+    tolerance-oracle paragraph. Corrupt payloads yield no row (same
+    containment contract as every decoder); a payload decoding to the
+    wrong image trips within_bound, pytest-pinned."""
+    import math
+    import struct
+
+    from .jpeg import decode_gray_jpeg, separable_ramp_err_bound
+
+    if math.floor(separable_ramp_err_bound() + 0.5) != JPEG_RAMP_ERR_BOUND:
+        raise RuntimeError(
+            "JPEG_RAMP_ERR_BOUND drifted from its derivation: literal "
+            f"{JPEG_RAMP_ERR_BOUND}, derived "
+            f"{separable_ramp_err_bound():.6f} (+0.5, floored)"
+        )
+    src = df.select("doc_id", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "orig_pixel_sum",
+                    "err_bound", "within_bound",
+                )
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf["data"]):
+                if raw is None or pd.isna(doc_id):
+                    continue
+                try:
+                    w, h, px = decode_gray_jpeg(bytes(raw))
+                except (ValueError, IndexError, struct.error):
+                    continue
+                doc_id = int(doc_id)
+                ref = [
+                    _jpeg_ramp_val(doc_id, x, y)
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                max_err = max(
+                    (abs(a - b) for a, b in zip(px, ref)), default=0
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["orig_pixel_sum"].append(sum(ref))
+                out["err_bound"].append(JPEG_RAMP_ERR_BOUND)
+                out["within_bound"].append(max_err <= JPEG_RAMP_ERR_BOUND)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int64"),
+                    "height": pd.Series(out["height"], dtype="int64"),
+                    "orig_pixel_sum": pd.Series(
+                        out["orig_pixel_sum"], dtype="int64"
+                    ),
+                    "err_bound": pd.Series(out["err_bound"], dtype="int64"),
+                    "within_bound": pd.Series(
+                        out["within_bound"], dtype="bool"
+                    ),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, orig_pixel_sum long, "
+        "err_bound long, within_bound boolean",
+    )
+
+
 # -- GIF: the palette + LZW tier, real codec ----------------------------------
 # The one pixel model no other tier covers: INDEXED color (pixels are palette
 # references, not channel samples) under a dictionary coder (LZW) rather than

@@ -2081,6 +2081,56 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_tolerance_decode",
+    tags=("L5", "U3"),
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+        FROM documents
+    ), bx AS (
+        SELECT doc_id, wb, hb, unnest(range(0, wb)) AS bx FROM g
+    ), bxy AS (
+        SELECT doc_id, wb, hb, bx, unnest(range(0, hb)) AS by FROM bx
+    )
+    SELECT doc_id,
+           CAST(MIN(wb) * 8 AS BIGINT) AS width,
+           CAST(MIN(hb) * 8 AS BIGINT) AS height,
+           CAST(SUM(64 * ((doc_id * 19 + bx * 37 + by * 53) % 200) + 1792)
+                AS BIGINT) AS orig_pixel_sum,
+           CAST(13 AS BIGINT) AS err_bound,
+           TRUE AS within_bound
+    FROM bxy
+    GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_tolerance_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE oracle for LOSSY JPEG decode — the production-corpus
+    regime multimodal_jpeg_decode's exact hash deliberately cannot cover
+    (DESIGN.md "JPEG oracle boundary", now executable): synth_jpeg_ramp
+    writes NON-block-constant images (per-block base + 3x+5y ramp, so
+    every row-0/column-0 AC coefficient is live and quantization error
+    is real), and decode_jpeg_tolerance runs the full inverse codec and
+    gates per-pixel |decoded - original| against an A-PRIORI bound.
+
+    The bound is a theorem, not a measurement: within-block-separable
+    pixels put DCT support only on row 0 / column 0, quantization
+    perturbs each surviving coefficient by <= q/2, and the IDCT is
+    linear — maximizing the folded |basis| sums gives 13.44, +0.5
+    decoder rounding, floored to the integer gate 13
+    (jpeg.separable_ramp_err_bound; the decoder refuses to run if the
+    literal drifts from the derivation, and the measured fixture-family
+    max error is 4 — a 3x real margin). The oracle states width/height,
+    the closed-form ORIGINAL pixel sum (64*base + 1792 per block), the
+    bound literal, and within_bound TRUE, all a priori; a decoder that
+    mis-scales the IDCT, drops an AC coefficient, or mis-walks the MCU
+    raster pushes the error past the gate. Corrupt payloads yield no
+    row; bound violations are containment-pytest-pinned
+    (tests/test_llm_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_jpeg_tolerance(M.synth_jpeg_ramp(docs))
+
+
+@query(
     "multimodal_gif_decode",
     tags=("L5", "U3"),
     oracle="""

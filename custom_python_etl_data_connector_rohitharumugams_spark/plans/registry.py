@@ -60,12 +60,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #
 # Round-13 window — MAX-AGE-FIRST RECERTIFICATION, third pass.
 # Composition (tools/window_optimizer.py, age-aware): 31 cover slots
-# whose tag-tied representatives are chosen oldest-row-first, 1
-# first-timer (the round-13 registration: llm_corpus_build_to_shards,
-# the corpus pipeline's shipping closure), and 18 refresh slots filled
-# outright with the oldest-certified residue (the judge-named r5 cohort:
-# the ANN ivf/lsh pair, the near-dup family, the connector e2e pair,
-# asof/interval joins, percentile stats). Zero deferred.
+# whose tag-tied representatives are chosen oldest-row-first, 2
+# first-timers (the round-13 registrations: llm_corpus_build_to_shards,
+# the corpus pipeline's shipping closure, and
+# multimodal_jpeg_tolerance_decode, the lossy-decode tolerance oracle),
+# and 17 refresh slots filled outright with the oldest-certified
+# residue (the judge-named r5 cohort: the ANN ivf/lsh pair, the
+# near-dup family, the connector e2e pair, asof/interval joins,
+# percentile stats). Zero deferred.
 # tests/test_coverage.py asserts the backstop:
 # every registered query is either already in a committed CORRECTNESS
 # round or inside the current window's rotation plan, and that no window
@@ -85,16 +87,16 @@ _PRIORITY: tuple[str, ...] = (
     "llm_ann_index_compaction",  # cover (last r12): L3 J4 O4
     "llm_bm25_search",  # cover (last r12): L3 L4 F5 A1 O2
     "llm_chunk_documents",  # cover (last r12): L6 F5
-    "llm_compression_ratio_filter",  # cover (last r10): L12 L14 U3
     "llm_cosine_topk",  # cover (last r12): L3 J8 W4 F5
     "llm_pii_scrub",  # cover (last r12): L8 F1
+    "llm_repetition_filter",  # cover (last r11): L14 F5
     "llm_sequence_packing",  # cover (last r12): L7 W3
-    "multimodal_media_metadata",  # cover (last r12): L5 F8
     "pricing_summary",  # cover (last r12): S5 P1 P2 A1 O1
     "profile_lineitem_columns",  # cover (last r11): A1 A2 O3
     "scalar_map_event_totals",  # cover (last r12): F6 F7
     "sql_grouping_sets_revenue",  # cover (last r11): A4 A1
     "stream_ann_index_maintenance",  # cover (last r11): S8 S9 T7 L3
+    "stream_cms_maintenance",  # cover (last r10): S8 S9 A1 F8
     "stream_dedup_user_event_types",  # cover (last r12): T5 O5
     "stream_running_totals_update_log",  # cover (last r12): T6 W3
     "stream_session_windows",  # cover (last r12): T3 W2
@@ -106,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_fixed_width_parse",  # cover (last r12): U4 P5
     "window_rank_customers_by_balance",  # cover (last r11): W1
     "llm_corpus_build_to_shards",  # first-time: S7b L1 L2 L11 L9 L12 L13 L10
+    "multimodal_jpeg_tolerance_decode",  # first-time: L5 U3
     "agg_approx_distinct_parts",  # refresh (last r5): A3
     "agg_stats_percentiles",  # refresh (last r5): A6
     "analytics_unshipped_revenue_top10",  # refresh (last r5): J1 J3 A1 O2 W4
@@ -123,7 +126,6 @@ _PRIORITY: tuple[str, ...] = (
     "llm_minhash_near_dup",  # refresh (last r5): L2
     "llm_quality_filter_report",  # refresh (last r5): L12 A5
     "llm_simhash_near_dup",  # refresh (last r5): L2
-    "llm_token_stats_by_lang",  # refresh (last r5): L4 A1 F5
 )
 
 def priority_names() -> tuple[str, ...]:

@@ -1079,3 +1079,65 @@ def test_extract_mp4_contains_corrupt_and_sample_table_is_load_bearing(spark):
         if r.sample_id >= 2 and r.byte_sum != sum(samples[r.sample_id])
     ]
     assert wrong, "stsc/stco resolution was not load-bearing"
+
+def test_jpeg_tolerance_decode_gates_real_lossy_error_and_contains(spark):
+    """The tolerance-oracle JPEG tier (multimodal_jpeg_tolerance_decode):
+    the ramp family's roundtrip is genuinely LOSSY (nonzero pixel error —
+    the regime the exact-hash oracle cannot cover), yet every fixture doc
+    stays within the derived a-priori gate with real margin; the literal
+    gate equals its derivation; corrupt payloads yield no row; and a
+    payload decoding to the WRONG image (doc A's bytes labeled doc B)
+    trips within_bound — the gate is load-bearing, not decorative."""
+    import math
+
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions import (
+        multimodal as M,
+    )
+    from custom_python_etl_data_connector_rohitharumugams_spark.functions.jpeg import (
+        decode_gray_jpeg,
+        separable_ramp_err_bound,
+    )
+
+    assert (
+        math.floor(separable_ramp_err_bound() + 0.5) == M.JPEG_RAMP_ERR_BOUND
+    )
+
+    docs = spark.createDataFrame([(2,), (5,), (11,)], "doc_id long")
+    payloads = {r.doc_id: bytes(r.data) for r in M.synth_jpeg_ramp(docs).collect()}
+
+    # the codec is really lossy on this family: at least one doc's decode
+    # differs from its source pixels (pure-Python check, no Spark)
+    lossy = 0
+    for doc_id, raw in payloads.items():
+        w, h, px = decode_gray_jpeg(raw)
+        ref = [
+            M._jpeg_ramp_val(doc_id, x, y) for y in range(h) for x in range(w)
+        ]
+        err = max(abs(a - b) for a, b in zip(px, ref))
+        assert err <= M.JPEG_RAMP_ERR_BOUND
+        lossy = max(lossy, err)
+    assert lossy > 0, "ramp family must exercise real quantization loss"
+
+    hostile = [(d, p) for d, p in payloads.items()] + [
+        (600, payloads[5][: len(payloads[5]) // 2]),  # truncated scan
+        (601, None),
+        (602, payloads[5]),  # doc 5's image labeled doc 602: wrong content
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, data binary")
+    out = {r.doc_id: r for r in M.decode_jpeg_tolerance(df).collect()}
+    assert {2, 5, 11} <= set(out) and not {600, 601} & set(out)
+    for doc_id in (2, 5, 11):
+        r = out[doc_id]
+        wb, hb = M._jpeg_blocks(doc_id)
+        want_sum = sum(
+            M._jpeg_ramp_val(doc_id, x, y)
+            for y in range(hb * 8)
+            for x in range(wb * 8)
+        )
+        assert (r.width, r.height) == (wb * 8, hb * 8)
+        assert r.orig_pixel_sum == want_sum
+        assert r.err_bound == M.JPEG_RAMP_ERR_BOUND
+        assert r.within_bound
+    # 602 decodes fine (it IS a valid JPEG) but against doc 602's
+    # reference pixels the error blows past the theorem bound
+    assert 602 in out and not out[602].within_bound

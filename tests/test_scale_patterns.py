@@ -235,6 +235,8 @@ def test_no_python_in_unexpected_query_plans(spark):
         "multimodal_jpeg_decode",                           # byte parsing +
                                                  # RIFF/BMP byte parsing IS
                                                  # the operator (L5 tier)
+        "multimodal_jpeg_tolerance_decode",      # same codec, lossy ramp
+                                                 # family + a-priori error gate
         "llm_ann_lsh_topk",                      # mapInPandas hyperplane GEMM
         "llm_kmeans_large_k",                    # mapInPandas assignment GEMM
                                                  # (the large-k branch IS the
