@@ -563,10 +563,13 @@ def pq_subspace_dists(vec_col, m: int, codebooks=None):
     # exceed the vector length, and F.slice past the array end would
     # silently return a short array — distances over partial subspaces
     # instead of an error. Fail loudly per-row (the band_rows pattern);
-    # the size() probe is an array-header read, not a traversal.
+    # the size() probe is an array-header read, not a traversal. NULL
+    # vectors keep their pre-guard behavior (propagate NULL through the
+    # slice, never abort the job): the guard targets wrong DIMENSIONS,
+    # not missing rows.
     needed = m * sub_dims + sub_dims
     vec_col = F.when(
-        F.size(vec_col) >= needed, vec_col
+        vec_col.isNull() | (F.size(vec_col) >= needed), vec_col
     ).otherwise(
         F.raise_error(
             F.concat(

@@ -1658,6 +1658,7 @@ def llm_corpus_build_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     record, and an integrity check that needs no out-of-band state."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..sources import shardsink as SS
@@ -1677,7 +1678,7 @@ def llm_corpus_build_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ok = SS.verify_training_shards(spark, out_dir)["ok"]
     shards = SS.read_training_shards(spark, out_dir)
-    return (
+    report = (
         shards.groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1695,4 +1696,11 @@ def llm_corpus_build_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(ok)).alias("shards_verified"),
         )
         .orderBy("source", "split")
+        # sever the report's lineage from the on-disk shards (eager
+        # localCheckpoint of the k-row frame), then reclaim the
+        # pid-keyed dir — the sg_pqidx/sg_ivfidx discipline: no leaked
+        # shard layout per process/sf tier
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return report

@@ -67,11 +67,14 @@ def _run_replay_foreachbatch(
     """ONE copy of the replayed-foreachBatch scaffold shared by the
     streaming-maintenance queries (CMS grids, observed metrics, histogram
     quantiles): time-sliced replay source (maxFilesPerTrigger=1 => real
-    micro-batch boundaries), deterministic per-(tag, sf) parquet log dir
-    CLEARED at invocation start (the log must outlive the call for the
-    returned lazy plans, so a mkdtemp per run would leak one dir per
-    bench/driver execution — bounded to one per tag+sf instead), one-shot
-    checkpoint removed after termination, and the 300 s hang guard.
+    micro-batch boundaries), deterministic per-(tag, sf, PID) parquet log
+    dir CLEARED at invocation start (the log must outlive the call for
+    the returned lazy plans, so a mkdtemp per run would leak one dir per
+    bench/driver execution — bounded to one per tag+sf+process instead;
+    the pid key is the sg_pqidx concurrency discipline: a driver run and
+    a verify session overlapping on the same fixture must not rmtree
+    each other's live state mid-stream), one-shot checkpoint removed
+    after termination, and the 300 s hang guard.
     ``transform`` (optional) maps the streaming source frame before the
     sink — e.g. observe() instrumentation; ``sink`` is a FACTORY
     ``sink(log_dir) -> foreachBatch body`` so the batch writer is built
@@ -98,7 +101,7 @@ def _run_replay_foreachbatch(
     replay_dir = splitter(
         spark, sf_dir, f"{tempfile.gettempdir()}/sg_{tag}_{safe}_replay"
     )
-    log_dir = f"{tempfile.gettempdir()}/sg_{tag}_log_{safe}"
+    log_dir = f"{tempfile.gettempdir()}/sg_{tag}_log_{safe}_{os.getpid()}"
     shutil.rmtree(log_dir, ignore_errors=True)
     cp = tempfile.mkdtemp(prefix=f"sg_{tag}_cp_")
 
@@ -1528,9 +1531,12 @@ STREAM_ADM_NBKT = 16
 #: duplicates; per-batch reads are duplicate-TOLERANT by construction
 #: (anti joins, pair dedup over candidate-sized frames), so duplicates
 #: cost nothing until compaction physically collapses them — per-batch
-#: work never includes a state-wide dropDuplicates. 2 fires inside every
-#: 3-slice replay, so the driver run exercises a real mid-stream
-#: compaction; production sets it by accumulated-duplicate bytes.
+#: work never includes a state-wide dropDuplicates. The schedule fires
+#: after batch N-1, 2N-1, ... ((batch_id + 1) % N == 0), so in the
+#: 3-slice replay compaction fires after batch 1 and batch 2 then READS
+#: the compacted generation — the final stream_equals_batch proof runs
+#: through post-compaction state, not just past it; production sets the
+#: period by accumulated-duplicate bytes.
 STREAM_ADM_COMPACT_EVERY = 2
 
 
@@ -1910,7 +1916,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).parquet(f"{log_dir}/admitted")
             for frame in (cands, banded_b, posts_b, quality_b, bd):
                 frame.unpersist()
-            if batch_id > 0 and batch_id % STREAM_ADM_COMPACT_EVERY == 0:
+            if (batch_id + 1) % STREAM_ADM_COMPACT_EVERY == 0:
                 for lg in (digs_log, bands_log, posts_log):
                     lg.compact()
 
