@@ -1577,6 +1577,14 @@ class _GenLog:
     #: plans resolved against the empty dir.
     SENTINEL_BATCH = -1
 
+    #: DDL type -> pyarrow type for the seed writer (sentinel rows are
+    #: deterministic kilobyte-scale data, so they are written with
+    #: pyarrow directly — 16 one-row files per log cost milliseconds,
+    #: where three Spark partitioned-write jobs cost seconds of pure
+    #: init overhead per invocation; profiled, not guessed).
+    _ARROW_TYPES = {"string": "string", "long": "int64", "bigint": "int64",
+                    "int": "int32"}
+
     def __init__(
         self,
         spark: SparkSession,
@@ -1584,16 +1592,34 @@ class _GenLog:
         name: str,
         schema: str,
         bucket_col: str,
-        seed: DataFrame | None = None,
+        seed_row: tuple | None = None,
     ):
         self.spark = spark
         self.dir = f"{root}/{name}"
         self.schema = schema
         self.bucket_col = bucket_col
-        if seed is not None and not os.path.exists(f"{self.dir}/g0"):
-            seed.write.mode("overwrite").partitionBy(bucket_col).parquet(
-                f"{self.dir}/g0"
+        if seed_row is not None and not os.path.exists(f"{self.dir}/g0"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            cols = [
+                c.strip().rsplit(" ", 1) for c in schema.split(",")
+            ]
+            data_cols = [
+                (n, getattr(pa, self._ARROW_TYPES[t])())
+                for n, t in cols
+                if n != bucket_col
+            ]
+            tbl = pa.table(
+                {
+                    n: pa.array([v], type=t)
+                    for (n, t), v in zip(data_cols, seed_row)
+                }
             )
+            for b in range(STREAM_ADM_NBKT):
+                d = f"{self.dir}/g0/{bucket_col}={b}"
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(tbl, f"{d}/part-00000-seed.parquet")
         os.makedirs(f"{self.dir}/g0", exist_ok=True)
 
     def _gen(self) -> int:
@@ -1617,7 +1643,17 @@ class _GenLog:
 
     def append(self, df: DataFrame) -> None:
         path = self._path()
-        df.write.mode("append").partitionBy(self.bucket_col).parquet(path)
+        # one file per bucket per append: without the repartition every
+        # write task crosses every bucket dir (tasks x buckets small
+        # files per batch — measured 2x on the whole query at sf0.1),
+        # and at 100 TB file-count growth is what kills a state log.
+        # The shuffle this adds is BATCH-sized, never state-sized.
+        (
+            df.repartition(STREAM_ADM_NBKT, F.col(self.bucket_col))
+            .write.mode("append")
+            .partitionBy(self.bucket_col)
+            .parquet(path)
+        )
         # external-write invalidation (the REFRESH TABLE pattern): plans
         # created later in the same session must list the new files
         self.spark.catalog.refreshByPath(path)
@@ -1630,6 +1666,7 @@ class _GenLog:
             self.spark.read.schema(self.schema)
             .parquet(self._path(cur))
             .dropDuplicates()
+            .repartition(STREAM_ADM_NBKT, F.col(self.bucket_col))
             .write.mode("overwrite")
             .partitionBy(self.bucket_col)
             .parquet(self._path(cur + 1))
@@ -1749,32 +1786,22 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the kilobyte-scale ledger/admitted logs stay plain append dirs
         # (init with an empty typed frame so first-batch reads see a
         # schema instead of an empty-dir error)
-        bkts = list(range(STREAM_ADM_NBKT))
         digs_log = _GenLog(
             spark, log_dir, "digests",
             "dig string, batch_id long, dig_bkt int", "dig_bkt",
-            seed=spark.createDataFrame(
-                [("__seed__", -1, b) for b in bkts],
-                "dig string, batch_id long, dig_bkt int",
-            ),
+            seed_row=("__seed__", -1),
         )
         bands_log = _GenLog(
             spark, log_dir, "bands",
             "doc_id bigint, band int, band_hash bigint, batch_id long, band_bkt int",
             "band_bkt",
-            seed=spark.createDataFrame(
-                [(-1, -1, -1, -1, b) for b in bkts],
-                "doc_id bigint, band int, band_hash bigint, batch_id long, band_bkt int",
-            ),
+            seed_row=(-1, -1, -1, -1),
         )
         posts_log = _GenLog(
             spark, log_dir, "index",
             "doc_id bigint, shingle string, batch_id long, doc_bkt int",
             "doc_bkt",
-            seed=spark.createDataFrame(
-                [(-1, "__seed__", -1, b) for b in bkts],
-                "doc_id bigint, shingle string, batch_id long, doc_bkt int",
-            ),
+            seed_row=(-1, "__seed__", -1),
         )
         for sub, sch in {
             "ledger": "source string, seen bigint, batch_id long",

@@ -531,12 +531,7 @@ _BANDS_SCH = (
 )
 
 
-def _bands_seed(spark):
-    from custom_python_etl_data_connector_rohitharumugams_spark.plans.stream_batch import STREAM_ADM_NBKT
-
-    return spark.createDataFrame(
-        [(-1, -1, -1, -1, b) for b in range(STREAM_ADM_NBKT)], _BANDS_SCH
-    )
+_BANDS_SEED_ROW = (-1, -1, -1, -1)
 
 
 def _band_row(doc_id, band, band_hash, batch_id):
@@ -562,7 +557,7 @@ def test_stream_admission_state_read_prunes_partitions_and_never_shuffles_state(
 
     log = _GenLog(
         spark, str(tmp_path), "bands", _BANDS_SCH, "band_bkt",
-        seed=_bands_seed(spark),
+        seed_row=_BANDS_SEED_ROW,
     )
     state = spark.createDataFrame(
         [_band_row(i, i % 8, i * 7919, 0) for i in range(200)],
@@ -619,7 +614,7 @@ def test_genlog_compaction_bumps_generation_collapses_dups_and_keeps_layout(
 
     log = _GenLog(
         spark, str(tmp_path), "bands", _BANDS_SCH, "band_bkt",
-        seed=_bands_seed(spark),
+        seed_row=_BANDS_SEED_ROW,
     )
     rows = spark.createDataFrame(
         [_band_row(i, i % 8, i * 104729, 0) for i in range(50)],
