@@ -13,6 +13,7 @@ Two tiers, per the 100 TB design:
 from __future__ import annotations
 
 import math
+import os
 from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, Window
@@ -1053,6 +1054,47 @@ def ivf_compact(
     return live, new_centers
 
 
+def _write_driver_parquet(path: str, schema, columns) -> None:
+    """Write a BOUNDED driver-resident artifact (quantizer centers,
+    codebooks, rotation — k·d / d² floats, never corpus-scale) as one
+    parquet file via pyarrow. A Spark ``createDataFrame(...).coalesce(1)
+    .write`` of the same kilobytes costs a full write job + commit
+    (~0.3-1 s of pure fixed overhead per artifact at any scale); the
+    artifact is driver-resident on BOTH ends of its lifecycle (trained on
+    the driver, collected back to the driver at load), so no cluster job
+    belongs in the path. float64 passes through pyarrow bit-exactly, and
+    the on-disk format stays engine-portable parquet with the same column
+    types Spark wrote before."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {n: pa.array(v, type=t) for (n, t), v in zip(schema, columns)}
+    )
+    pq.write_table(tbl, f"{path}/part-00000.parquet")
+
+
+def _read_driver_parquet(path: str):
+    """Read a bounded driver artifact back — the pyarrow mirror of
+    :func:`_write_driver_parquet` (one metadata-scale local read, no
+    Spark job). Returns a list of pyarrow-native row dicts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        return []
+    rows: list[dict] = []
+    for f in files:
+        rows.extend(pq.read_table(f).to_pylist())
+    return rows
+
+
 def save_ivf_index(
     cellmap: DataFrame,
     centers: list[tuple[int, list[float]]],
@@ -1068,15 +1110,17 @@ def save_ivf_index(
     the corpus table is the single source of vector truth and the index
     stores only routing state, so persisting costs O(k + N ids), never
     O(N·d) floats."""
-    spark = cellmap.sparkSession
-    (
-        spark.createDataFrame(
-            [(int(c), [float(x) for x in v]) for c, v in centers],
-            "cid long, center array<double>",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/centers")
+    import pyarrow as pa
+
+    # k-row quantizer: driver-resident on both ends of its lifecycle —
+    # written directly (see _write_driver_parquet), no Spark write job
+    _write_driver_parquet(
+        f"{path}/centers",
+        [("cid", pa.int64()), ("center", pa.list_(pa.float64()))],
+        [
+            [int(c) for c, _ in centers],
+            [[float(x) for x in v] for _, v in centers],
+        ],
     )
     cellmap.select(
         F.col(cellmap.columns[0]).alias("vec_id"),
@@ -1093,8 +1137,8 @@ def load_ivf_index(
     frame; only the k-row quantizer collects to the driver (the same
     bounded artifact it was at training time)."""
     centers = [
-        (int(r.cid), list(r.center))
-        for r in spark.read.parquet(f"{path}/centers").collect()
+        (int(r["cid"]), list(r["center"]))
+        for r in _read_driver_parquet(f"{path}/centers")
     ]
     centers.sort(key=lambda cv: cv[0])
     return spark.read.parquet(f"{path}/cells"), centers
@@ -1144,7 +1188,6 @@ def save_pq_index(
     stays the single source of vector truth, and the artifact costs
     O(N·(1 id + M bytes) + k·d), the real memory story of a compressed
     index."""
-    spark = cellmap.sparkSession
     cellmap.select(
         F.col(cellmap.columns[0]).alias("vec_id"),
         F.col(cellmap.columns[1]).cast("long").alias("cid"),
@@ -1155,30 +1198,36 @@ def save_pq_index(
     codes.select(
         F.col(codes.columns[0]).alias("vec_id"), F.col(codes.columns[1]).alias("codes")
     ).write.mode("overwrite").parquet(f"{path}/codes")
+    # codebooks / rotation are bounded driver artifacts (M·k·sub_d and
+    # d² floats) on both ends of their lifecycle — written directly, no
+    # Spark write jobs (see _write_driver_parquet)
+    import pyarrow as pa
+
     cbs = _pq_codebooks(codebooks)
-    (
-        spark.createDataFrame(
-            [
-                (m, i, list(center))
-                for m, cb in enumerate(cbs)
-                for i, center in enumerate(cb)
-            ],
-            "m int, cidx int, center array<double>",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/codebooks")
+    cb_rows = [
+        (m, i, [float(x) for x in center])
+        for m, cb in enumerate(cbs)
+        for i, center in enumerate(cb)
+    ]
+    _write_driver_parquet(
+        f"{path}/codebooks",
+        [
+            ("m", pa.int32()),
+            ("cidx", pa.int32()),
+            ("center", pa.list_(pa.float64())),
+        ],
+        [[r[0] for r in cb_rows], [r[1] for r in cb_rows],
+         [r[2] for r in cb_rows]],
     )
     rot_rows = (
         []
         if rotation is None
         else [(i, [float(x) for x in row]) for i, row in enumerate(rotation)]
     )
-    (
-        spark.createDataFrame(rot_rows, "i int, row array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/rotation")
+    _write_driver_parquet(
+        f"{path}/rotation",
+        [("i", pa.int32()), ("row", pa.list_(pa.float64()))],
+        [[r[0] for r in rot_rows], [r[1] for r in rot_rows]],
     )
 
 
@@ -1194,8 +1243,8 @@ def load_pq_index(spark, path: str):
     import numpy as np
 
     cb_rows = sorted(
-        spark.read.parquet(f"{path}/codebooks").collect(),
-        key=lambda r: (r.m, r.cidx),
+        _read_driver_parquet(f"{path}/codebooks"),
+        key=lambda r: (r["m"], r["cidx"]),
     )
     if not cb_rows:
         raise RuntimeError(
@@ -1203,9 +1252,10 @@ def load_pq_index(spark, path: str):
             "empty — the artifact is truncated or was not written by "
             "save_pq_index"
         )
-    n_sub = 1 + max(r.m for r in cb_rows)
+    n_sub = 1 + max(r["m"] for r in cb_rows)
     codebooks = tuple(
-        tuple(tuple(r.center) for r in cb_rows if r.m == m) for m in range(n_sub)
+        tuple(tuple(r["center"]) for r in cb_rows if r["m"] == m)
+        for m in range(n_sub)
     )
     # contiguity validation: a PARTIALLY-written codebooks dataset (a
     # subspace missing, or cidx rows lost) would otherwise yield short or
@@ -1214,7 +1264,7 @@ def load_pq_index(spark, path: str):
     # 0..k-1 before anything consumes the tuple
     k = len(codebooks[0])
     for m in range(n_sub):
-        got = sorted(r.cidx for r in cb_rows if r.m == m)
+        got = sorted(r["cidx"] for r in cb_rows if r["m"] == m)
         if len(codebooks[m]) != k or got != list(range(k)):
             raise RuntimeError(
                 f"load_pq_index: codebooks dataset at {path}/codebooks is "
@@ -1223,10 +1273,10 @@ def load_pq_index(spark, path: str):
                 "written or not produced by save_pq_index"
             )
     rot_rows = sorted(
-        spark.read.parquet(f"{path}/rotation").collect(), key=lambda r: r.i
+        _read_driver_parquet(f"{path}/rotation"), key=lambda r: r["i"]
     )
     rotation = (
-        np.array([list(r.row) for r in rot_rows]) if rot_rows else None
+        np.array([list(r["row"]) for r in rot_rows]) if rot_rows else None
     )
     return (
         spark.read.parquet(f"{path}/cells"),

@@ -1555,6 +1555,11 @@ def llm_ann_pq_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus table remains the single source of vector truth)
     er_loaded = S.opq_apply(e, l_rot)
     corpus_loaded = er_loaded.join(l_state, "vec_id")
+    # both searches feed multiple proof consumers (two exceptAll
+    # directions each; the loaded search additionally feeds the recall
+    # report) — persist the ~k·queries-row results so each multi-stage
+    # ADC/rerank pipeline evaluates ONCE, not 2-3x inside the one
+    # returned plan (the round-13 proof-volume trim)
     ann_loaded = S.ivf_pq_topk(
         er_loaded.where(F.col("vec_id") < 20),
         corpus_loaded,
@@ -1565,7 +1570,7 @@ def llm_ann_pq_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=l_cbs,
         codes_col="codes",
         centroids=l_cent,
-    )
+    ).persist()
     ann_mem = S.ivf_pq_topk(
         er.where(F.col("vec_id") < 20),
         corpus_mem,
@@ -1574,7 +1579,7 @@ def llm_ann_pq_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=rerank,
         list_col="__ivf_cell",
         centroids=centroids,
-    )
+    ).persist()
     diff = (
         ann_loaded.exceptAll(ann_mem)
         .unionByName(ann_mem.exceptAll(ann_loaded))

@@ -1540,6 +1540,16 @@ STREAM_ADM_NBKT = 16
 STREAM_ADM_COMPACT_EVERY = 2
 
 
+#: One physical schema for the multiplexed admission state log: the
+#: digests / bands / index sub-logs share it with nulls in the columns a
+#: sub-log does not carry (parquet nulls are bitmap-cheap), `log` and
+#: `bkt` are the two partition-directory levels.
+_ADM_STATE_SCHEMA = (
+    "dig string, doc_id bigint, band int, band_hash bigint, "
+    "shingle string, batch_id long, log string, bkt int"
+)
+
+
 def _adm_bkt(col):
     """Non-negative int bucket of a 64-bit hash column."""
     return F.pmod(col, F.lit(STREAM_ADM_NBKT)).cast("int")
@@ -1549,8 +1559,11 @@ def _collect_bkts(df: DataFrame) -> list[int]:
     """Driver-side bucket list for a partition ``isin`` filter — bounded
     by STREAM_ADM_NBKT values (the k-means-centers class of collect), and
     the literal list is what lets Catalyst turn it into PartitionFilters
-    on the state scan."""
-    return sorted({r[0] for r in df.distinct().collect()})
+    on the state scan. The dedup happens HERE, not in a ``distinct()``:
+    the input is a batch-sized projection, so a driver-side set over at
+    most batch-size ints replaces a shuffle stage per probe (three probes
+    per micro-batch — the shuffle was pure fixed cost at every tier)."""
+    return sorted({r[0] for r in df.collect()})
 
 
 class _GenLog:
@@ -1566,22 +1579,33 @@ class _GenLog:
     ``os.replace`` — a crash mid-rewrite leaves the marker (and therefore
     every reader) on the old generation, and a re-attempted compaction
     simply overwrites gen+1, so the log never needs a state-wide dedup on
-    the read path."""
+    the read path.
 
-    #: Every log is seeded with one sentinel row per bucket at batch_id=-1
-    #: (reads filter batch_id >= 0): the partitioned directory layout then
-    #: exists BEFORE the first state read is planned, so the relation's
-    #: partition schema never phase-changes from "empty unpartitioned" to
-    #: "hive-partitioned" between plan and execution — the mid-batch
-    #: append would otherwise trip Spark's partitionValues assertion on
-    #: plans resolved against the empty dir.
+    MULTIPLEXED form (``log_col``/``seed_logs``, the round-13 fixed-cost
+    optimization): several named sub-logs share ONE physical dataset
+    partitioned by ``(log_col, bucket_col)``, so a micro-batch appends,
+    compacts and cache-invalidates the whole state ONCE instead of once
+    per sub-log — the admission loop's three state appends per batch
+    (profiled at 2-5 s each at sf0.1, almost entirely fixed write-job +
+    commit cost, not bytes) collapse into one. Reads stay sub-log-scoped:
+    ``read("bands")`` filters on the ``log`` partition directory, so the
+    scan prunes to exactly the same files the separate-log layout read —
+    partition filter on (log, bucket), never a shuffle of state."""
+
+    #: Every log is seeded with one sentinel row per partition dir at
+    #: batch_id=-1 (reads filter batch_id >= 0): the partitioned directory
+    #: layout then exists BEFORE the first state read is planned, so the
+    #: relation's partition schema never phase-changes from "empty
+    #: unpartitioned" to "hive-partitioned" between plan and execution —
+    #: the mid-batch append would otherwise trip Spark's partitionValues
+    #: assertion on plans resolved against the empty dir.
     SENTINEL_BATCH = -1
 
     #: DDL type -> pyarrow type for the seed writer (sentinel rows are
     #: deterministic kilobyte-scale data, so they are written with
-    #: pyarrow directly — 16 one-row files per log cost milliseconds,
-    #: where three Spark partitioned-write jobs cost seconds of pure
-    #: init overhead per invocation; profiled, not guessed).
+    #: pyarrow directly — one-row files cost milliseconds, where Spark
+    #: partitioned-write jobs cost seconds of pure init overhead per
+    #: invocation; profiled, not guessed).
     _ARROW_TYPES = {"string": "string", "long": "int64", "bigint": "int64",
                     "int": "int32"}
 
@@ -1593,11 +1617,18 @@ class _GenLog:
         schema: str,
         bucket_col: str,
         seed_row: tuple | None = None,
+        log_col: str | None = None,
+        seed_logs: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.dir = f"{root}/{name}"
         self.schema = schema
         self.bucket_col = bucket_col
+        self.log_col = log_col
+        #: repartition slot count for append/compact — one slot per
+        #: (sub-log, bucket) pair so each write task owns one partition
+        #: dir (hash collisions merely merge two dirs into one task)
+        self._n_slots = STREAM_ADM_NBKT * max(1, len(seed_logs))
         if seed_row is not None and not os.path.exists(f"{self.dir}/g0"):
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -1608,7 +1639,7 @@ class _GenLog:
             data_cols = [
                 (n, getattr(pa, self._ARROW_TYPES[t])())
                 for n, t in cols
-                if n != bucket_col
+                if n != bucket_col and n != log_col
             ]
             tbl = pa.table(
                 {
@@ -1616,10 +1647,16 @@ class _GenLog:
                     for (n, t), v in zip(data_cols, seed_row)
                 }
             )
-            for b in range(STREAM_ADM_NBKT):
-                d = f"{self.dir}/g0/{bucket_col}={b}"
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(tbl, f"{d}/part-00000-seed.parquet")
+            log_dirs = (
+                [f"{log_col}={lg}/" for lg in seed_logs]
+                if log_col is not None
+                else [""]
+            )
+            for lg in log_dirs:
+                for b in range(STREAM_ADM_NBKT):
+                    d = f"{self.dir}/g0/{lg}{bucket_col}={b}"
+                    os.makedirs(d, exist_ok=True)
+                    pq.write_table(tbl, f"{d}/part-00000-seed.parquet")
         os.makedirs(f"{self.dir}/g0", exist_ok=True)
 
     def _gen(self) -> int:
@@ -1632,26 +1669,35 @@ class _GenLog:
     def _path(self, gen: int | None = None) -> str:
         return f"{self.dir}/g{self._gen() if gen is None else gen}"
 
-    def read(self) -> DataFrame:
+    def _part_cols(self) -> list[str]:
+        return ([self.log_col] if self.log_col else []) + [self.bucket_col]
+
+    def read(self, log: str | None = None) -> DataFrame:
         # sentinel seed rows (batch_id=-1) are the layout bootstrap, not
-        # state — structurally excluded from every read
-        return (
+        # state — structurally excluded from every read. ``log`` scopes a
+        # multiplexed read to one sub-log: a filter on the log_col
+        # PARTITION directory, pruned before any file is opened.
+        df = (
             self.spark.read.schema(self.schema)
             .parquet(self._path())
             .where(F.col("batch_id") >= 0)
         )
+        if log is not None:
+            df = df.where(F.col(self.log_col) == log)
+        return df
 
     def append(self, df: DataFrame) -> None:
         path = self._path()
-        # one file per bucket per append: without the repartition every
-        # write task crosses every bucket dir (tasks x buckets small
-        # files per batch — measured 2x on the whole query at sf0.1),
-        # and at 100 TB file-count growth is what kills a state log.
-        # The shuffle this adds is BATCH-sized, never state-sized.
+        # one file per partition dir per append: without the repartition
+        # every write task crosses every bucket dir (tasks x buckets
+        # small files per batch — measured 2x on the whole query at
+        # sf0.1), and at 100 TB file-count growth is what kills a state
+        # log. The shuffle this adds is BATCH-sized, never state-sized.
+        parts = self._part_cols()
         (
-            df.repartition(STREAM_ADM_NBKT, F.col(self.bucket_col))
+            df.repartition(self._n_slots, *[F.col(c) for c in parts])
             .write.mode("append")
-            .partitionBy(self.bucket_col)
+            .partitionBy(*parts)
             .parquet(path)
         )
         # external-write invalidation (the REFRESH TABLE pattern): plans
@@ -1662,13 +1708,14 @@ class _GenLog:
         import shutil
 
         cur = self._gen()
+        parts = self._part_cols()
         (
             self.spark.read.schema(self.schema)
             .parquet(self._path(cur))
             .dropDuplicates()
-            .repartition(STREAM_ADM_NBKT, F.col(self.bucket_col))
+            .repartition(self._n_slots, *[F.col(c) for c in parts])
             .write.mode("overwrite")
-            .partitionBy(self.bucket_col)
+            .partitionBy(*parts)
             .parquet(self._path(cur + 1))
         )
         tmp = f"{self.dir}/GEN.tmp.{os.getpid()}"
@@ -1739,10 +1786,15 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py asserts the per-batch state subtrees carry
     PartitionFilters and put no Exchange above a state scan):
 
-    - every state log is a :class:`_GenLog`: hash-bucketed on its join
-      key (digest / band key / doc id, STREAM_ADM_NBKT hive partitions),
-      so a batch's read prunes to the buckets its own keys hash into —
-      partition filter on the scan;
+    - the durable state is ONE multiplexed :class:`_GenLog` whose
+      digests / bands / index sub-logs are hive partition levels over
+      STREAM_ADM_NBKT hash buckets of each sub-log's join key (digest /
+      band key / doc id), so a batch's read prunes to (sub-log, buckets
+      its own keys hash into) — partition filter on the scan — while the
+      batch's three state appends, the periodic compaction, and the
+      cache invalidation each run ONCE per batch instead of once per
+      sub-log (the appends were 2-5 s apiece of almost pure fixed
+      write-job cost at sf0.1);
     - the near-dup index is stored PRE-BANDED (band rows, not raw
       signatures), so the incremental band join is one broadcast hash
       join of the batch's band keys against the pruned scan — state-side
@@ -1782,34 +1834,31 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _sink(log_dir: str):
-        # bulky state = generation logs, bucketed on their join keys;
-        # the kilobyte-scale ledger/admitted logs stay plain append dirs
-        # (init with an empty typed frame so first-batch reads see a
-        # schema instead of an empty-dir error)
-        digs_log = _GenLog(
-            spark, log_dir, "digests",
-            "dig string, batch_id long, dig_bkt int", "dig_bkt",
-            seed_row=("__seed__", -1),
+        # bulky state = ONE multiplexed generation log (sub-logs digests/
+        # bands/index as a `log` partition level over the bucket level) so
+        # each micro-batch pays ONE state append + ONE compaction + ONE
+        # cache invalidation, not three of each — the three separate-log
+        # appends measured 2-5 s apiece at sf0.1, nearly all fixed
+        # write-job/commit cost. Reads stay sub-log-scoped partition
+        # filters, so the pruned per-batch scan shape is unchanged.
+        # The kilobyte-scale admitted log stays a plain append dir (init
+        # with an empty typed frame so first-batch reads see a schema
+        # instead of an empty-dir error); the per-source ledger rows ride
+        # IN it under doc_id IS NULL (one write job per batch, not two —
+        # both outputs aggregate the same persisted quality frame).
+        state_log = _GenLog(
+            spark, log_dir, "state",
+            _ADM_STATE_SCHEMA,
+            "bkt",
+            seed_row=("__seed__", -1, -1, -1, "__seed__", -1),
+            log_col="log",
+            seed_logs=("digests", "bands", "index"),
         )
-        bands_log = _GenLog(
-            spark, log_dir, "bands",
-            "doc_id bigint, band int, band_hash bigint, batch_id long, band_bkt int",
-            "band_bkt",
-            seed_row=(-1, -1, -1, -1),
-        )
-        posts_log = _GenLog(
-            spark, log_dir, "index",
-            "doc_id bigint, shingle string, batch_id long, doc_bkt int",
-            "doc_bkt",
-            seed_row=(-1, "__seed__", -1),
-        )
-        for sub, sch in {
-            "ledger": "source string, seen bigint, batch_id long",
-            "admitted": "doc_id bigint, source string, n_tokens bigint, batch_id long",
-        }.items():
-            spark.createDataFrame([], sch).write.mode("overwrite").parquet(
-                f"{log_dir}/{sub}"
-            )
+        spark.createDataFrame(
+            [],
+            "doc_id bigint, source string, n_tokens bigint, seen bigint, "
+            "batch_id long",
+        ).write.mode("overwrite").parquet(f"{log_dir}/admitted")
 
         def write(batch_df: DataFrame, batch_id: int) -> None:
             bl = F.lit(batch_id).cast("long")
@@ -1822,8 +1871,8 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the store itself is never exchanged
             dig_bkts = _collect_bkts(bd.select(_adm_bkt(F.xxhash64("__dig"))))
             dig_hits = (
-                digs_log.read()
-                .where(F.col("dig_bkt").isin(dig_bkts) & cur)
+                state_log.read("digests")
+                .where(F.col("bkt").isin(dig_bkts) & cur)
                 .select(F.col("dig").alias("__dig"))
                 .join(F.broadcast(bd.select("__dig").distinct()), "__dig", "semi")
             )
@@ -1856,8 +1905,8 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 banded_b.select(_adm_bkt(F.xxhash64("band", "band_hash")))
             )
             cands_sb = (
-                bands_log.read()
-                .where(F.col("band_bkt").isin(band_bkts) & cur)
+                state_log.read("bands")
+                .where(F.col("bkt").isin(band_bkts) & cur)
                 .join(
                     F.broadcast(banded_b.withColumnRenamed("doc_id", "__b_doc")),
                     ["band", "band_hash"],
@@ -1892,8 +1941,8 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # over this candidate-sized frame only
             doc_bkts = _collect_bkts(cand_ids.select(_adm_bkt(F.xxhash64("doc_id"))))
             state_posts = (
-                posts_log.read()
-                .where(F.col("doc_bkt").isin(doc_bkts) & cur)
+                state_log.read("index")
+                .where(F.col("bkt").isin(doc_bkts) & cur)
                 .join(F.broadcast(cand_ids), "doc_id", "semi")
                 .select("doc_id", "shingle")
                 .dropDuplicates(["doc_id", "shingle"])
@@ -1909,43 +1958,83 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bd, keepers_b, contaminated, drops_b
             ).persist()
             ledger = (
-                spark.read.parquet(f"{log_dir}/ledger")
-                .where(cur)
+                spark.read.parquet(f"{log_dir}/admitted")
+                .where(F.col("doc_id").isNull() & cur)
                 .dropDuplicates(["source", "batch_id"])
                 .groupBy("source")
                 .agg(F.sum("seen").alias("seen"))
             )
             admitted_b = _inc_admit(quality_b, ledger)
 
-            digs_log.append(
+            # ONE state append per batch: the three sub-logs' rows union
+            # under the `log` partition level (missing columns null) —
+            # the inputs are this batch's persisted frames, so the job is
+            # batch-sized compute plus one write commit
+            nl = F.lit(None)
+            dig_rows = (
                 bd.select(F.col("__dig").alias("dig"))
                 .distinct()
-                .withColumn("batch_id", bl)
-                .withColumn("dig_bkt", _adm_bkt(F.xxhash64("dig")))
-            )
-            posts_log.append(
-                posts_b.withColumn("batch_id", bl).withColumn(
-                    "doc_bkt", _adm_bkt(F.xxhash64("doc_id"))
+                .select(
+                    "dig",
+                    nl.cast("bigint").alias("doc_id"),
+                    nl.cast("int").alias("band"),
+                    nl.cast("bigint").alias("band_hash"),
+                    nl.cast("string").alias("shingle"),
+                    bl.alias("batch_id"),
+                    F.lit("digests").alias("log"),
+                    _adm_bkt(F.xxhash64("dig")).alias("bkt"),
                 )
             )
-            bands_log.append(
-                banded_b.withColumn("batch_id", bl).withColumn(
-                    "band_bkt", _adm_bkt(F.xxhash64("band", "band_hash"))
+            band_rows_b = banded_b.select(
+                nl.cast("string").alias("dig"),
+                "doc_id",
+                "band",
+                "band_hash",
+                nl.cast("string").alias("shingle"),
+                bl.alias("batch_id"),
+                F.lit("bands").alias("log"),
+                _adm_bkt(F.xxhash64("band", "band_hash")).alias("bkt"),
+            )
+            post_rows = posts_b.select(
+                nl.cast("string").alias("dig"),
+                "doc_id",
+                nl.cast("int").alias("band"),
+                nl.cast("bigint").alias("band_hash"),
+                "shingle",
+                bl.alias("batch_id"),
+                F.lit("index").alias("log"),
+                _adm_bkt(F.xxhash64("doc_id")).alias("bkt"),
+            )
+            state_log.append(
+                dig_rows.unionByName(band_rows_b).unionByName(post_rows)
+            )
+            # ONE admitted append per batch: admitted rows + per-source
+            # ledger rows (doc_id IS NULL) aggregate the same persisted
+            # quality frame, so fusing them halves the write jobs without
+            # changing either consumer's rows
+            led_rows = (
+                quality_b.groupBy("source")
+                .agg(F.sum("n_tokens").cast("bigint").alias("seen"))
+                .select(
+                    nl.cast("bigint").alias("doc_id"),
+                    "source",
+                    nl.cast("bigint").alias("n_tokens"),
+                    "seen",
                 )
             )
-            quality_b.groupBy("source").agg(
-                F.sum("n_tokens").cast("bigint").alias("seen")
-            ).withColumn("batch_id", bl).write.mode("append").parquet(
-                f"{log_dir}/ledger"
+            adm_rows = admitted_b.select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                nl.cast("bigint").alias("seen"),
             )
-            admitted_b.withColumn("batch_id", bl).write.mode(
-                "append"
-            ).parquet(f"{log_dir}/admitted")
+            adm_rows.unionByName(led_rows).withColumn(
+                "batch_id", bl
+            ).write.mode("append").parquet(f"{log_dir}/admitted")
             for frame in (cands, banded_b, posts_b, quality_b, bd):
                 frame.unpersist()
             if (batch_id + 1) % STREAM_ADM_COMPACT_EVERY == 0:
-                for lg in (digs_log, bands_log, posts_log):
-                    lg.compact()
+                state_log.compact()
 
         return write
 
@@ -1955,6 +2044,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     streamed = (
         spark.read.parquet(f"{log_dir}/admitted")
+        .where(F.col("doc_id").isNotNull())
         .dropDuplicates(["doc_id"])
         .select("doc_id", "source", "n_tokens")
         .persist()
@@ -1962,14 +2052,15 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every batch lands at least one digest row (the replay splitter
     # writes only non-empty slices — degenerate percentile bounds are
     # deduplicated and empty ranges dropped at build time), so the
-    # digest log doubles as the batch roster — no separate marker log;
-    # compaction preserves batch_id, so the roster survives generations
+    # digest sub-log doubles as the batch roster — no separate marker
+    # log; compaction preserves batch_id, so the roster survives
+    # generations
     n_batches = (
         _GenLog(
-            spark, log_dir, "digests",
-            "dig string, batch_id long, dig_bkt int", "dig_bkt",
+            spark, log_dir, "state", _ADM_STATE_SCHEMA, "bkt",
+            log_col="log",
         )
-        .read()
+        .read("digests")
         .select("batch_id")
         .distinct()
         .count()
@@ -2191,9 +2282,20 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .dropDuplicates(["op", "vec_id", "cid"])
             )
             live, cells, dead = _maintained(gen_cells, ops)
+            # ONE trigger-check job, not two: indexed count and matched-
+            # tombstone count come out of the same aggregate over the
+            # distinct indexed ids (dead ⊆ indexed by construction)
             n_idx, n_dead = (
-                cells.select("vec_id").distinct().count(),
-                dead.count(),
+                cells.select("vec_id")
+                .distinct()
+                .join(
+                    dead.withColumn("__d", F.lit(1)), "vec_id", "left"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("__d"), F.lit(0)).alias("d"),
+                )
+                .collect()[0]
             )
             if n_idx and (n_dead * 1_000_000) // n_idx > STREAM_CMP_THRESHOLD_PPM:
                 live.write.mode("overwrite").parquet(
@@ -2252,20 +2354,22 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.where(F.col("vec_id") < 20)
     nprobe = max(4, n_lists // 2)
+    # each search feeds both exceptAll directions — persist the k·queries
+    # result rows so the probe+rank pipelines evaluate once, not twice
     got = S.ivf_topk(
         q,
         e.join(live_s.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
         k=5,
         nprobe=nprobe,
         list_col="__ivf_cell",
-    )
+    ).persist()
     want = S.ivf_topk(
         q,
         e.join(twin_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
         k=5,
         nprobe=nprobe,
         list_col="__ivf_cell",
-    )
+    ).persist()
     search_diff = (
         got.exceptAll(want)
         .unionByName(want.exceptAll(got))

@@ -595,6 +595,82 @@ def test_stream_admission_state_read_prunes_partitions_and_never_shuffles_state(
             ), f"state shuffled:\n{line}\n\nfull plan:\n{plan[:2000]}"
 
 
+def test_multiplexed_genlog_read_prunes_sublog_and_buckets_without_shuffle(
+    spark, tmp_path
+):
+    """The round-13 fixed-cost rework, pinned structurally: the admission
+    loop's three state logs share ONE _GenLog partitioned by (log, bkt).
+    A sub-log-scoped, bucket-pruned read must carry BOTH partition levels
+    in PartitionFilters (so only that sub-log's colliding buckets are
+    scanned), and the probe join must put no shuffle exchange above the
+    state scan — the same no-state-shuffle property the separate-log pin
+    above proves, preserved across the append/compact/invalidate-once
+    consolidation."""
+    from custom_python_etl_data_connector_rohitharumugams_spark.plans.stream_batch import (
+        _ADM_STATE_SCHEMA,
+        _GenLog,
+        _adm_bkt,
+        _collect_bkts,
+    )
+
+    log = _GenLog(
+        spark, str(tmp_path), "state", _ADM_STATE_SCHEMA, "bkt",
+        seed_row=("__seed__", -1, -1, -1, "__seed__", -1),
+        log_col="log",
+        seed_logs=("digests", "bands", "index"),
+    )
+    nl = F.lit(None)
+    state = (
+        spark.createDataFrame(
+            [(i, i % 8, i * 7919, 0) for i in range(200)],
+            "doc_id bigint, band int, band_hash bigint, batch_id long",
+        )
+        .select(
+            nl.cast("string").alias("dig"),
+            "doc_id", "band", "band_hash",
+            nl.cast("string").alias("shingle"),
+            "batch_id",
+            F.lit("bands").alias("log"),
+            _adm_bkt(F.xxhash64("band", "band_hash")).alias("bkt"),
+        )
+    )
+    log.append(state)
+
+    batch = spark.createDataFrame(
+        [(1000 + i, i % 8, i * 7919) for i in range(5)],
+        "doc_id bigint, band int, band_hash bigint",
+    )
+    bkts = _collect_bkts(batch.select(_adm_bkt(F.xxhash64("band", "band_hash"))))
+    pruned = log.read("bands").where(
+        F.col("bkt").isin(bkts) & (F.col("batch_id") < 1)
+    )
+    joined = pruned.join(
+        F.broadcast(batch.withColumnRenamed("doc_id", "__b_doc")),
+        ["band", "band_hash"],
+    )
+    rows = joined.collect()
+    assert rows, "collision join must produce candidates"
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    tail = plan.split("PartitionFilters", 1)[1][:400]
+    assert "bkt" in tail and "log" in tail, (
+        f"missing (log, bkt) pruning in PartitionFilters: {tail}"
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert (
+                "BroadcastExchange" in line or "ReusedExchange" in line
+            ), f"state shuffled:\n{line}\n\nfull plan:\n{plan[:2000]}"
+    # compaction keeps the multiplexed layout and collapses duplicates
+    log.append(state)  # crash re-attempt duplicates
+    log.compact()
+    assert log._gen() == 1
+    got = log.read("bands")
+    assert got.count() == 200
+    assert got.where(F.col("log") != "bands").count() == 0
+
+
 def test_genlog_compaction_bumps_generation_collapses_dups_and_keeps_layout(
     spark, tmp_path
 ):
