@@ -956,7 +956,15 @@ def neardup_stage(kept: DataFrame) -> tuple[DataFrame, DataFrame]:
     one) and stays at the call sites."""
     from ..operators import dedup as D
 
-    posts = D.shingle_postings(kept)
+    # the postings frame is persisted HERE: every caller evaluates it at
+    # least three times in one plan (the signature build plus the two
+    # posting-list sides of jaccard_verify), each evaluation the full
+    # explode + window + dedup shingle pipeline over the corpus —
+    # measured as the dominant repeated subtree of the corpus-build
+    # family's plans, and runtime exchange reuse does not collapse it
+    # (llm_corpus_build_incremental executed 132 live exchanges before
+    # this). One materialization, three cache reads.
+    posts = D.shingle_postings(kept).persist()
     sigs = D.minhash_signatures(posts)
     cands = D.lsh_candidate_pairs(sigs)
     return posts, D.jaccard_verify(cands, posts, threshold=NEARDUP_TAU)
@@ -1083,7 +1091,10 @@ def _e2e_oracle(extra_select: str = "") -> str:
 def llm_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE corpus build as ONE declarative Catalyst plan — every
     stage a production pre-training pipeline runs, composed as DataFrame
-    transformations with nothing materialized in between:
+    transformations with nothing written to disk in between (the two
+    multiply-consumed residues — the survivors' postings and the fuzzy
+    drop set — are session-persisted inside the one lineage so their
+    band-join/verify subtrees evaluate once per execution):
 
     1. exact dedup (keep smallest doc_id per text digest, null-safe);
     2. FUZZY dedup (neardup_stage: MinHash band join over the exact
@@ -1164,9 +1175,12 @@ def _e2e_admitted(
     kept = d.join(keepers.select("doc_id"), "doc_id", "semi")
     _, nd_verified = neardup_stage(kept)
     comps = connected_components(nd_verified)
+    # the drop set feeds TWO consumers (the quality anti join and the
+    # reported drop count) and is id-list-sized; persist so the band
+    # join -> verify -> CC chain above it evaluates once per execution
     nd_drops = comps.where(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("doc_id")
-    )
+    ).persist()
     n_nd_dropped = nd_drops.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_neardup_dropped")
     )
@@ -1433,9 +1447,15 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = d.where(F.col("doc_id") >= INC_SPLIT_ID)
 
     # ---- leg 1: batch A, empty state ----
+    # every keepers frame below feeds TWO consumers (its kept semi join
+    # and _inc_gated's keeper semi join), and each evaluation is a
+    # corpus-scan + digest groupBy shuffle — persist the small
+    # (digest, doc_id) outputs so the scan+shuffle runs once per leg
+    # (runtime exchange reuse measurably does not collapse these:
+    # 132 live exchanges in the executed plan before this change)
     keepers_a = a.groupBy(_inc_digest().alias("__dig")).agg(
         F.min("doc_id").alias("doc_id")
-    )
+    ).persist()
     # near-dup index over A's exact survivors — persisted: the postings
     # feed leg 1's verify (both pair sides), leg 2's verify (the A side
     # of cross-batch pairs), and the signature build; the signatures
@@ -1464,14 +1484,17 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(state_digests, "__dig", "anti")
         .groupBy("__dig")
         .agg(F.min("doc_id").alias("doc_id"))
+        .persist()
     )
     # delta near-dups: band-join the delta's signatures against the
     # frozen index ∪ the delta itself, keep only pairs whose LATER side
     # is a delta doc (A-A pairs were leg 1's; doc_id_1 < doc_id_2 and
     # A ids < INC_SPLIT_ID <= delta ids make the predicate exact), then
-    # verify through the union postings
+    # verify through the union postings. posts_b feeds the signature
+    # build AND both posting sides of the cross-batch verify — persist
+    # (posts_a's existing rationale, applied to the delta side)
     kept_b = delta.join(keepers_b.select("doc_id"), "doc_id", "semi")
-    posts_b = shingle_postings(kept_b)
+    posts_b = shingle_postings(kept_b).persist()
     sigs_b = D.minhash_signatures(posts_b)
     cands_2 = D.lsh_candidate_pairs(sigs_a.unionByName(sigs_b)).where(
         F.col("doc_id_2") >= INC_SPLIT_ID
@@ -1495,7 +1518,7 @@ def llm_corpus_build_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the equality proof circular)
     keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
         F.min("doc_id").alias("doc_id")
-    )
+    ).persist()
     kept_u = d.join(keepers_u.select("doc_id"), "doc_id", "semi")
     _, ver_u = neardup_stage(kept_u)
     twin = _inc_admit(

@@ -2066,10 +2066,12 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
 
-    # from-scratch twin (the incremental build's union leg, recomputed)
+    # from-scratch twin (the incremental build's union leg, recomputed).
+    # keepers_u feeds two consumers (kept semi + gate semi), each
+    # evaluation a corpus scan + digest shuffle — persist the small frame
     keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
         F.min("doc_id").alias("doc_id")
-    )
+    ).persist()
     kept_u = d.join(keepers_u.select("doc_id"), "doc_id", "semi")
     _, ver_u = neardup_stage(kept_u)
     twin = _inc_admit(
