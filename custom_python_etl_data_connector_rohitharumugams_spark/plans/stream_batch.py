@@ -13,14 +13,53 @@ struct and DuckDB timestamps don't hash alike.
 
 from __future__ import annotations
 
+import math
 import os
 from contextlib import contextmanager
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
+
+#: Frozen coarse quantizer over the EVEN-id base partition — the two
+#: streaming index queries (maintenance, mid-stream compaction) train the
+#: byte-identical quantizer (same base population, same sqrt-rule k, same
+#: iteration count); one Lloyd's run per corpus per session serves both
+#: (the _frozen_quantizer train-once contract of plans/llm.py applied to
+#: the streaming family's base population). Deterministic training means
+#: the cached centers are the exact list either query would derive.
+_EVEN_BASE_QUANT: "WeakKeyDictionary[DataFrame, tuple[int, list]]" = (
+    WeakKeyDictionary()
+)
+
+
+def _even_base_quantizer(e: DataFrame) -> tuple[int, list]:
+    from ..operators import similarity as S
+
+    try:
+        got = _EVEN_BASE_QUANT.get(e)
+    except TypeError:
+        got = None
+    if got is not None:
+        return got
+    # the family sqrt rule sizes cells for the FULL anticipated
+    # population (train-time capacity planning — streamed adds will
+    # grow the index toward e's size), uniform with the frozen-index
+    # siblings in plans/llm.py (_frozen_quantizer)
+    n_lists = max(5, math.ceil(math.sqrt(e.count())))
+    _, _inertias, centers = S.kmeans_train(
+        e.where(F.col("vec_id") % 2 == 0), k=n_lists, iters=2,
+        return_centers=True,
+    )
+    try:
+        _EVEN_BASE_QUANT[e] = (n_lists, centers)
+    except TypeError:
+        pass
+    return n_lists, centers
+
 
 #: State-store partition count for the REAL streaming runs (the
 #: watermark-replay and checkpoint-recovery queries). Structured Streaming
@@ -1375,20 +1414,11 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment pass over the batch's adds plus two kilobyte-scale log
     appends; the corpus is never rescanned and the index never
     rebuilt until the ppm trigger says so."""
-    import math
-
     from ..operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
     base = e.where(F.col("vec_id") % 2 == 0)
-    # the family sqrt rule sizes cells for the FULL anticipated
-    # population (train-time capacity planning — streamed adds will
-    # grow the index toward e's size), uniform with the frozen-index
-    # siblings in plans/llm.py (_frozen_quantizer)
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        base, k=n_lists, iters=2, return_centers=True
-    )
+    n_lists, centers = _even_base_quantizer(e)
 
     def _ops(df: DataFrame, etype: str, stride: int) -> DataFrame:
         return _ann_op_ids(df, e, etype, stride)
@@ -1515,15 +1545,31 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Streaming-admission state layout: every durable log is hash-bucketed
-#: into this many hive partitions on its join key (digest / band key /
-#: doc id), so a micro-batch's state read prunes to the buckets its own
-#: keys hash into — a partition FILTER on the scan, never a shuffle of
-#: state. 16 buckets is sized to the fixture tiers (3 micro-batches,
-#: 500-5000 docs); a 100 TB deployment raises it so that
-#: (batch keys / buckets) << 1 and the pruned fraction stays small —
-#: the bucket count is the index grain, exactly like n_lists in the IVF
-#: family's sqrt rule.
+#: into hive partitions on its join key (digest / band key / doc id), so
+#: a micro-batch's state read prunes to the buckets its own keys hash
+#: into — a partition FILTER on the scan, never a shuffle of state.
+#: STREAM_ADM_NBKT is the default grain (kept for the structural pins and
+#: any caller without a corpus size); the admission query itself derives
+#: the count from corpus size via _adm_nbkt (guide §2: partitioning
+#: derived from input size, not a constant tuned to one tier).
 STREAM_ADM_NBKT = 16
+
+#: docs per state bucket for the scale-adaptive rule: small enough that
+#: (batch keys / buckets) << 1 once a corpus outgrows a single machine,
+#: large enough that a bucket's per-generation file is parquet-page-sized
+#: at the bottom tiers (guide §6: no small-files explosion in a log that
+#: is rewritten every compaction).
+_ADM_DOCS_PER_BUCKET = 2000
+
+
+def _adm_nbkt(n_docs: int) -> int:
+    """Scale-adaptive bucket count for the admission state logs: one
+    bucket per ~_ADM_DOCS_PER_BUCKET docs, floor 4 (keeps the partition-
+    pruning shape exercised at every fixture tier), cap 4096 (directory-
+    fanout guard — a 100 TB deployment raises the cap alongside its
+    file-count budget; the bucket count is the index grain, exactly like
+    n_lists in the IVF family's sqrt rule)."""
+    return max(4, min(4096, -(-n_docs // _ADM_DOCS_PER_BUCKET)))
 
 #: Generation-compact the admission state logs every N micro-batches
 #: (the ivf_compact pattern: rewrite dropDuplicates into gen+1, bump an
@@ -1550,9 +1596,9 @@ _ADM_STATE_SCHEMA = (
 )
 
 
-def _adm_bkt(col):
+def _adm_bkt(col, nbkt: int = STREAM_ADM_NBKT):
     """Non-negative int bucket of a 64-bit hash column."""
-    return F.pmod(col, F.lit(STREAM_ADM_NBKT)).cast("int")
+    return F.pmod(col, F.lit(nbkt)).cast("int")
 
 
 def _collect_bkts(df: DataFrame) -> list[int]:
@@ -1619,16 +1665,18 @@ class _GenLog:
         seed_row: tuple | None = None,
         log_col: str | None = None,
         seed_logs: tuple[str, ...] = (),
+        nbkt: int = STREAM_ADM_NBKT,
     ):
         self.spark = spark
         self.dir = f"{root}/{name}"
         self.schema = schema
         self.bucket_col = bucket_col
         self.log_col = log_col
+        self.nbkt = nbkt
         #: repartition slot count for append/compact — one slot per
         #: (sub-log, bucket) pair so each write task owns one partition
         #: dir (hash collisions merely merge two dirs into one task)
-        self._n_slots = STREAM_ADM_NBKT * max(1, len(seed_logs))
+        self._n_slots = nbkt * max(1, len(seed_logs))
         if seed_row is not None and not os.path.exists(f"{self.dir}/g0"):
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -1653,7 +1701,7 @@ class _GenLog:
                 else [""]
             )
             for lg in log_dirs:
-                for b in range(STREAM_ADM_NBKT):
+                for b in range(nbkt):
                     d = f"{self.dir}/g0/{lg}{bucket_col}={b}"
                     os.makedirs(d, exist_ok=True)
                     pq.write_table(tbl, f"{d}/part-00000-seed.parquet")
@@ -1826,6 +1874,9 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # scale-adaptive state grain (guide §2): bucket count derived from
+    # corpus size — parquet metadata count, no scan
+    nbkt = _adm_nbkt(d.count())
     contaminated = (
         contamination_pairs(D.shingle_postings(d, shingle_n=3))
         .select("doc_id")
@@ -1853,6 +1904,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             seed_row=("__seed__", -1, -1, -1, "__seed__", -1),
             log_col="log",
             seed_logs=("digests", "bands", "index"),
+            nbkt=nbkt,
         )
         spark.createDataFrame(
             [],
@@ -1869,7 +1921,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # batch's digest buckets, broadcast-semi the batch keys
             # against it (output <= batch size), anti-join the hit set —
             # the store itself is never exchanged
-            dig_bkts = _collect_bkts(bd.select(_adm_bkt(F.xxhash64("__dig"))))
+            dig_bkts = _collect_bkts(bd.select(_adm_bkt(F.xxhash64("__dig"), nbkt)))
             dig_hits = (
                 state_log.read("digests")
                 .where(F.col("bkt").isin(dig_bkts) & cur)
@@ -1902,7 +1954,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # — only colliding state rows leave the scan, nothing is
             # re-banded, nothing shuffles
             band_bkts = _collect_bkts(
-                banded_b.select(_adm_bkt(F.xxhash64("band", "band_hash")))
+                banded_b.select(_adm_bkt(F.xxhash64("band", "band_hash"), nbkt))
             )
             cands_sb = (
                 state_log.read("bands")
@@ -1939,7 +1991,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             # partition filter + broadcast semi): whole-doc pruning keeps
             # the Jaccard set sizes exact, and the replay-dup dedup runs
             # over this candidate-sized frame only
-            doc_bkts = _collect_bkts(cand_ids.select(_adm_bkt(F.xxhash64("doc_id"))))
+            doc_bkts = _collect_bkts(cand_ids.select(_adm_bkt(F.xxhash64("doc_id"), nbkt)))
             state_posts = (
                 state_log.read("index")
                 .where(F.col("bkt").isin(doc_bkts) & cur)
@@ -1982,7 +2034,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nl.cast("string").alias("shingle"),
                     bl.alias("batch_id"),
                     F.lit("digests").alias("log"),
-                    _adm_bkt(F.xxhash64("dig")).alias("bkt"),
+                    _adm_bkt(F.xxhash64("dig"), nbkt).alias("bkt"),
                 )
             )
             band_rows_b = banded_b.select(
@@ -1993,7 +2045,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nl.cast("string").alias("shingle"),
                 bl.alias("batch_id"),
                 F.lit("bands").alias("log"),
-                _adm_bkt(F.xxhash64("band", "band_hash")).alias("bkt"),
+                _adm_bkt(F.xxhash64("band", "band_hash"), nbkt).alias("bkt"),
             )
             post_rows = posts_b.select(
                 nl.cast("string").alias("dig"),
@@ -2003,7 +2055,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shingle",
                 bl.alias("batch_id"),
                 F.lit("index").alias("log"),
-                _adm_bkt(F.xxhash64("doc_id")).alias("bkt"),
+                _adm_bkt(F.xxhash64("doc_id"), nbkt).alias("bkt"),
             )
             state_log.append(
                 dig_rows.unionByName(band_rows_b).unionByName(post_rows)
@@ -2205,16 +2257,11 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     between firings — the corpus is never rescanned and the quantizer
     never retrained (reassign mode; the retrain path stays behind the
     drift monitor)."""
-    import math
-
     from ..operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
     base = e.where(F.col("vec_id") % 2 == 0)
-    n_lists = max(5, math.ceil(math.sqrt(e.count())))
-    _, _inertias, centers = S.kmeans_train(
-        base, k=n_lists, iters=2, return_centers=True
-    )
+    n_lists, centers = _even_base_quantizer(e)
     base_assign = S.assign_to_centers(base, centers).select(
         "vec_id", F.col("cid").cast("long").alias("cid")
     )
