@@ -28,6 +28,46 @@ if str(_REPO) not in sys.path:
 STDOUT_LINE_BUDGET = 1900
 
 
+def resolve_keymap(names, repo_dir: Path = _REPO) -> dict[str, str]:
+    """Stable hex keys for the stdout line's per-query map, FROZEN across
+    rounds: a query keeps the key it was first registered under for the
+    repo's whole lifetime, and new names get fresh keys appended after the
+    current maximum. Through round 13 keys were assigned alphabetically
+    per run, so any mid-alphabet registration shifted every later key and
+    silently corrupted the driver's round-over-round per-query table (119
+    of 212 prev/now pairs compared DIFFERENT queries in round 13's PERF).
+    The freeze is seeded from the most recent committed BENCH_KEYMAP_r*
+    sidecar (identical assignments for every existing name, so historical
+    keys stay valid); dropped names simply leave a hole — keys are never
+    reused."""
+    import glob as _glob
+    import re as _re
+
+    prior: dict[str, str] = {}
+    sidecars = sorted(
+        (
+            int(m.group(1)), f
+        )
+        for f in _glob.glob(str(repo_dir / "BENCH_KEYMAP_r*.json"))
+        if (m := _re.search(r"BENCH_KEYMAP_r(\d+)\.json$", f))
+    )
+    if sidecars:
+        try:
+            prior = json.loads(Path(sidecars[-1][1]).read_text())["keymap"]
+        except (OSError, ValueError, KeyError):
+            prior = {}
+    name_set = set(names)
+    keymap = {k: n for k, n in prior.items() if n in name_set}
+    taken = set(keymap.values())
+    next_idx = max((int(k, 16) for k in keymap), default=-1) + 1
+    for n in sorted(name_set - taken):
+        # 2-hex keys through 255, then 3-hex — the stdout budget math in
+        # main() caps the fine tier anyway; test_bench_line pins the ladder
+        keymap[f"{next_idx:02x}" if next_idx < 256 else f"{next_idx:03x}"] = n
+        next_idx += 1
+    return keymap
+
+
 def build_stdout_line(
     timings: dict[str, float], keymap: dict[str, str], total: float, sf_val
 ) -> str:
@@ -223,9 +263,11 @@ def main() -> None:
     # 2-hex-char keys: at 145 queries the q000-style 4-char keys put the
     # stdout line at ~1.84 KB — within a value-digit of the 1.9 KB driver
     # tail and the map-dropping fallback below. 10 chars/entry leaves
-    # ~350 B headroom for further registry growth (cap 256 queries; raise
-    # to :03x alongside the budget math if the registry ever passes it)
-    keymap = {f"{i:02x}": n for i, n in enumerate(sorted(timings))}
+    # ~350 B headroom for further registry growth. Assignments are FROZEN
+    # across rounds (resolve_keymap): every existing name keeps its
+    # round-13 key, new names append after the max — per-query
+    # round-over-round diffs stay name-aligned no matter what registers.
+    keymap = resolve_keymap(timings)
     detail = {
         "metric": "total wall-clock over all named queries",
         "value": total,

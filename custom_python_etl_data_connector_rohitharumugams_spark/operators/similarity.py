@@ -1064,12 +1064,20 @@ def _write_driver_parquet(path: str, schema, columns) -> None:
     the driver, collected back to the driver at load), so no cluster job
     belongs in the path. float64 passes through pyarrow bit-exactly, and
     the on-disk format stays engine-portable parquet with the same column
-    types Spark wrote before."""
+    types Spark wrote before.
+
+    CONTRACT: the index root must be a DRIVER-LOCAL filesystem path (a
+    bare path or file: URI). The sibling cells/codes datasets in the same
+    root are written by Spark and would accept any Hadoop FS URI, but the
+    quantizer artifacts here go through os/pyarrow — a remote scheme
+    would split the index across filesystems, so it is rejected up front
+    (save_ivf_index/save_pq_index inherit this)."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    path = _require_local_path(path)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     tbl = pa.table(
@@ -1078,15 +1086,36 @@ def _write_driver_parquet(path: str, schema, columns) -> None:
     pq.write_table(tbl, f"{path}/part-00000.parquet")
 
 
+def _require_local_path(path: str) -> str:
+    """Enforce the driver-local contract of the pyarrow artifact I/O: a
+    bare path passes through, a ``file:`` URI is stripped to its path, and
+    any other scheme (hdfs:, s3a:, ...) fails fast — otherwise an index
+    saved to a remote root would write its bulk data remotely via Spark
+    and its quantizer locally via os/pyarrow, a silently split artifact."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(?://[^/]*)?(/.*)$", path)
+    if m is None:
+        return path
+    if m.group(1) == "file":
+        return m.group(2)
+    raise ValueError(
+        f"driver-resident index artifacts require a local filesystem path; "
+        f"got scheme '{m.group(1)}:' in {path!r} (cells/codes may live on "
+        "any Hadoop FS, but the quantizer artifacts are written driver-side)"
+    )
+
+
 def _read_driver_parquet(path: str):
     """Read a bounded driver artifact back — the pyarrow mirror of
     :func:`_write_driver_parquet` (one metadata-scale local read, no
-    Spark job). Returns a list of pyarrow-native row dicts."""
+    Spark job; same driver-local path contract). Returns a list of
+    pyarrow-native row dicts."""
     import glob
 
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(f"{path}/*.parquet"))
+    files = sorted(glob.glob(f"{_require_local_path(path)}/*.parquet"))
     if not files:
         return []
     rows: list[dict] = []
@@ -1140,6 +1169,14 @@ def load_ivf_index(
         (int(r["cid"]), list(r["center"]))
         for r in _read_driver_parquet(f"{path}/centers")
     ]
+    if not centers:
+        # load_pq_index's truncated-artifact guard, mirrored: an unwritten
+        # or truncated centers dataset must fail loudly, not hand back a
+        # degenerate quantizer that silently searches wrong
+        raise RuntimeError(
+            f"load_ivf_index: centers dataset at {path}/centers is empty — "
+            "the artifact is truncated or was not written by save_ivf_index"
+        )
     centers.sort(key=lambda cv: cv[0])
     return spark.read.parquet(f"{path}/cells"), centers
 

@@ -82,16 +82,73 @@ def _stream_state_conf(spark: SparkSession):
     """Scope ``spark.sql.shuffle.partitions`` to the state-store sizing
     above for the duration of one streaming run (set at plan time, pinned
     into the checkpoint; restored after termination so batch queries keep
-    the session default)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    the session default).
+
+    ALSO scopes ``spark.sql.adaptive.enabled=false``: with AQE on, every
+    shuffle stage of every per-micro-batch action materializes as its OWN
+    Spark job (plus a re-optimization pass), which on the admission loop
+    measured 295 jobs per run vs 108 with AQE off — identical plans,
+    identical results, ~2.7x the fixed job/scheduling cost. AQE's value
+    (runtime coalescing, skew splits) needs unknown-cardinality shuffles;
+    inside a foreachBatch loop every frame is batch- or candidate-bounded
+    BY CONSTRUCTION (state reads are partition-pruned scans, probes are
+    broadcasts), and the partition count is already pinned by the line
+    above — there is nothing left for AQE to adapt, so its per-stage jobs
+    are pure overhead at every scale. This mirrors Spark's own choice of
+    running the streaming plan itself without AQE. Batch queries outside
+    the scope keep the session's AQE."""
+    keys = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.files.minPartitionNum",
+        "spark.sql.leafNodeDefaultParallelism",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
     spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # scan split count from BYTES, not core count: the local default
+    # (minPartitionNum = defaultParallelism) shreds the fixture-scale
+    # side tables into 32 near-empty tasks per scan inside every
+    # micro-batch job; 1 lets maxPartitionBytes (128 MB) govern, which
+    # is a no-op at any scale where file bytes dominate (guide §2/§6 —
+    # partitioning derived from input size, not a constant per core)
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    spark.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for key, val in prev.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
+def _overlap_with_stream(spark: SparkSession, frames, desc: str):
+    """Materialize stream-INDEPENDENT persisted frames on a driver thread
+    while a replay loop runs (guide §2.6: overlap independent jobs — the
+    micro-batch loops are latency-bound and leave the executor mostly
+    idle between their small stages, so the proof legs' corpus-scale
+    work back-fills that idle capacity for free). Returns ``(thread,
+    errs)``; join the thread after the stream and re-raise ``errs[0]``
+    if present. Correctness is untouched: the frames read only static
+    fixture tables, and persist() makes the thread's materialization
+    the one evaluation every post-stream consumer reuses."""
+    from pyspark import InheritableThread
+
+    errs: list[BaseException] = []
+
+    def _fill() -> None:
+        try:
+            spark.sparkContext.setJobDescription(desc)
+            for f in frames:
+                f.count()
+        except BaseException as exc:  # re-raised on the main thread
+            errs.append(exc)
+
+    t = InheritableThread(target=_fill)
+    t.start()
+    return t, errs
 
 
 def _run_replay_foreachbatch(
@@ -1414,6 +1471,14 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment pass over the batch's adds plus two kilobyte-scale log
     appends; the corpus is never rescanned and the index never
     rebuilt until the ppm trigger says so."""
+    # whole query under the micro-batch fixed-cost scope + eager report
+    # (see stream_corpus_admission — same rationale: the loop and its
+    # proof legs are job-count-bound, not task-bound)
+    with _stream_state_conf(spark):
+        return _ann_maintenance_body(spark, sf_dir)
+
+
+def _ann_maintenance_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1449,15 +1514,51 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return write
 
-    log_dir, _q = _run_replay_foreachbatch(spark, sf_dir, "annidx", _sink)
+    # batch twin over the same op table, recomputed from the raw events —
+    # stream-independent (events + embeddings only), so it materializes
+    # on a driver thread while the replay loop runs (_overlap_with_stream)
+    ev = load_table(spark, sf_dir, "events")
+    adds_b = _ops(ev, "signup", STREAM_ANN_ADD_STRIDE)
+    dels_b = _ops(ev, "purchase", STREAM_ANN_DEL_STRIDE).persist()
+    indexed = base.select("vec_id").unionByName(adds_b).distinct()
+    indexed_corpus = e.join(indexed, "vec_id", "semi").persist()
+    twin = (
+        S.assign_to_centers(
+            indexed_corpus.join(dels_b, "vec_id", "anti"), centers
+        )
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .persist()
+    )
+    q = e.where(F.col("vec_id") < 20)
+    nprobe = max(4, n_lists // 2)
+    want = S.ivf_frozen_delete_topk(
+        q, indexed_corpus, centers, dels_b, k=5, nprobe=nprobe
+    ).persist()
+
+    thread, errs = _overlap_with_stream(
+        spark, (twin, want),
+        "ann maintenance: batch twin + delete-verb search (overlapped)",
+    )
+    try:
+        log_dir, _q = _run_replay_foreachbatch(
+            spark, sf_dir, "annidx", _sink
+        )
+    finally:
+        thread.join()
+    if errs:
+        raise errs[0]
 
     log = spark.read.parquet(log_dir)
-    n_batches = log.select("batch_id").distinct().count()
     add_log = log.where(F.col("op") == "add").dropDuplicates(
         ["vec_id", "cid"]
     ).select("vec_id", "cid")
     tomb = log.where(F.col("op") == "del").dropDuplicates(["vec_id"]).select(
         "vec_id"
+    )
+    # batch roster rides the report plan as a broadcast 1-row frame
+    # instead of a separate count job
+    roster = log.agg(
+        (F.count_distinct("batch_id") >= 2).cast("int").alias("multi_batch")
     )
 
     base_assign = S.assign_to_centers(base, centers).select(
@@ -1473,20 +1574,6 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tomb, "vec_id", "anti")
         .persist()
     )
-
-    # batch twin over the same op table, recomputed from the raw events
-    ev = load_table(spark, sf_dir, "events")
-    adds_b = _ops(ev, "signup", STREAM_ANN_ADD_STRIDE)
-    dels_b = _ops(ev, "purchase", STREAM_ANN_DEL_STRIDE).persist()
-    indexed = base.select("vec_id").unionByName(adds_b).distinct()
-    indexed_corpus = e.join(indexed, "vec_id", "semi").persist()
-    twin = (
-        S.assign_to_centers(
-            indexed_corpus.join(dels_b, "vec_id", "anti"), centers
-        )
-        .select("vec_id", F.col("cid").cast("long").alias("cid"))
-        .persist()
-    )
     cells_diff = (
         maintained.exceptAll(twin)
         .unionByName(twin.exceptAll(maintained))
@@ -1494,17 +1581,12 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # partial-probe search equality: maintained index vs batch DELETE verb
-    q = e.where(F.col("vec_id") < 20)
-    nprobe = max(4, n_lists // 2)
     got = S.ivf_topk(
         q,
         e.join(maintained.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
         k=5,
         nprobe=nprobe,
         list_col="__ivf_cell",
-    ).persist()
-    want = S.ivf_frozen_delete_topk(
-        q, indexed_corpus, centers, dels_b, k=5, nprobe=nprobe
     ).persist()
     search_diff = (
         got.exceptAll(want)
@@ -1524,10 +1606,11 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(dels_b.agg(F.count(F.lit(1)).alias("n_deletes")))
         )
     )
-    return (
+    report = (
         counts.crossJoin(F.broadcast(rep))
         .crossJoin(F.broadcast(cells_diff))
         .crossJoin(F.broadcast(search_diff))
+        .crossJoin(F.broadcast(roster))
         .select(
             F.col("n_adds").cast("bigint").alias("n_adds"),
             F.col("n_deletes").cast("bigint").alias("n_deletes"),
@@ -1535,13 +1618,19 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_indexed") - F.col("__n_dead")).alias("n_live"),
             "deleted_ppm",
             "rebuild",
-            F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+            "multi_batch",
             (F.col("__cells_diff") == 0)
             .cast("int")
             .alias("maintained_equals_batch"),
             (F.col("__search_diff") == 0).cast("int").alias("search_equal"),
         )
+        # eager 1-row materialization inside the conf scope (the
+        # stream_corpus_admission pattern); same rows, lineage-free
+        .localCheckpoint(eager=True)
     )
+    for frame in (dels_b, indexed_corpus, twin, want, maintained, got):
+        frame.unpersist()
+    return report
 
 
 #: Streaming-admission state layout: every durable log is hash-bucketed
@@ -1587,12 +1676,18 @@ STREAM_ADM_COMPACT_EVERY = 2
 
 
 #: One physical schema for the multiplexed admission state log: the
-#: digests / bands / index sub-logs share it with nulls in the columns a
-#: sub-log does not carry (parquet nulls are bitmap-cheap), `log` and
-#: `bkt` are the two partition-directory levels.
+#: digests / bands / index / admitted sub-logs share it with nulls in the
+#: columns a sub-log does not carry (parquet nulls are bitmap-cheap),
+#: `log` and `bkt` are the two partition-directory levels. `admitted`
+#: holds the query's output rows (doc_id, source, n_tokens) plus the
+#: per-source ledger rows (doc_id NULL, seen) — riding in the same
+#: multiplexed log means a micro-batch pays ONE append + ONE compaction
+#: + ONE cache refresh for ALL its durable state, not a second write
+#: job + commit for the kilobyte-scale admitted dir.
 _ADM_STATE_SCHEMA = (
     "dig string, doc_id bigint, band int, band_hash bigint, "
-    "shingle string, batch_id long, log string, bkt int"
+    "shingle string, source string, n_tokens bigint, seen bigint, "
+    "batch_id long, log string, bkt int"
 )
 
 
@@ -1602,13 +1697,16 @@ def _adm_bkt(col, nbkt: int = STREAM_ADM_NBKT):
 
 
 def _collect_bkts(df: DataFrame) -> list[int]:
-    """Driver-side bucket list for a partition ``isin`` filter — bounded
-    by STREAM_ADM_NBKT values (the k-means-centers class of collect), and
-    the literal list is what lets Catalyst turn it into PartitionFilters
-    on the state scan. The dedup happens HERE, not in a ``distinct()``:
-    the input is a batch-sized projection, so a driver-side set over at
-    most batch-size ints replaces a shuffle stage per probe (three probes
-    per micro-batch — the shuffle was pure fixed cost at every tier)."""
+    """Driver-side bucket list for a partition ``isin`` filter — the
+    RESULT is bounded by the log's bucket count (the k-means-centers class
+    of collect), and the literal list is what lets Catalyst turn it into
+    PartitionFilters on the state scan. The dedup happens HERE, not in a
+    ``distinct()``: the COLLECTED projection is one int column of at most
+    (batch rows x expansion) values — expansion is 1 for the digest and
+    doc-id probes and n_bands for the band probe, so the driver transfer
+    is a few KB per batch either way — and a driver-side set over those
+    ints replaces a shuffle stage per probe (three probes per micro-batch;
+    the shuffle was pure fixed cost at every tier)."""
     return sorted({r[0] for r in df.collect()})
 
 
@@ -1862,6 +1960,23 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest store, the banded near-dup index, the postings, and a few
     ledger rows — exactly what a production admission service persists,
     laid out the way one would key it."""
+    d = load_table(spark, sf_dir, "documents")
+    # The WHOLE query — per-batch loop, from-scratch twin, and the final
+    # report — runs under the micro-batch fixed-cost scope (AQE off +
+    # pinned small shuffle grain, see _stream_state_conf): the loop is
+    # job-count-bound, not task-bound (measured 39 s of summed job wall +
+    # 27 s of driver gaps across 295 jobs at sf0.1 pre-change), so the
+    # per-stage jobs AQE adds are the dominant cost. The report is
+    # materialized EAGERLY inside the scope (localCheckpoint — the
+    # llm_corpus_build_to_shards pattern) so the proof legs execute here
+    # too; the returned frame is the k-row result, identical rows.
+    with _stream_state_conf(spark):
+        return _corpus_admission_body(spark, sf_dir, d)
+
+
+def _corpus_admission_body(
+    spark: SparkSession, sf_dir: str, d: DataFrame
+) -> DataFrame:
     from ..operators import dedup as D
     from .llm_pipeline import (
         NEARDUP_TAU,
@@ -1873,48 +1988,55 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_stage,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     # scale-adaptive state grain (guide §2): bucket count derived from
     # corpus size — parquet metadata count, no scan
     nbkt = _adm_nbkt(d.count())
+    # eager localCheckpoint, not persist: the contaminated id list is KB-
+    # scale but its LOGICAL plan is the full contamination shingle join —
+    # every per-batch action that referenced the persisted frame re-
+    # analyzed that whole subtree before the cache lookup replaced it.
+    # Truncating the lineage once makes every downstream plan shallow
+    # (guide §3.3: materialize an intermediate to cut planning cost).
     contaminated = (
         contamination_pairs(D.shingle_postings(d, shingle_n=3))
         .select("doc_id")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def _sink(log_dir: str):
-        # bulky state = ONE multiplexed generation log (sub-logs digests/
-        # bands/index as a `log` partition level over the bucket level) so
-        # each micro-batch pays ONE state append + ONE compaction + ONE
-        # cache invalidation, not three of each — the three separate-log
-        # appends measured 2-5 s apiece at sf0.1, nearly all fixed
-        # write-job/commit cost. Reads stay sub-log-scoped partition
-        # filters, so the pruned per-batch scan shape is unchanged.
-        # The kilobyte-scale admitted log stays a plain append dir (init
-        # with an empty typed frame so first-batch reads see a schema
-        # instead of an empty-dir error); the per-source ledger rows ride
-        # IN it under doc_id IS NULL (one write job per batch, not two —
-        # both outputs aggregate the same persisted quality frame).
+        # ALL durable state = ONE multiplexed generation log (sub-logs
+        # digests/bands/index/admitted as a `log` partition level over
+        # the bucket level) so each micro-batch pays ONE append + ONE
+        # compaction + ONE cache invalidation TOTAL — the loop is bound
+        # by fixed job cost, not bytes (the three separate-log appends
+        # measured 2-5 s apiece at sf0.1; round 13 multiplexed the bulky
+        # three, this round folds the kilobyte-scale admitted/ledger
+        # write in too, removing the second write job + commit per
+        # batch). Reads stay sub-log-scoped partition filters, so the
+        # pruned per-batch scan shape is unchanged; the per-source
+        # ledger rows ride in `admitted` under doc_id IS NULL.
         state_log = _GenLog(
             spark, log_dir, "state",
             _ADM_STATE_SCHEMA,
             "bkt",
-            seed_row=("__seed__", -1, -1, -1, "__seed__", -1),
+            seed_row=(
+                "__seed__", -1, -1, -1, "__seed__", "__seed__", -1, -1, -1
+            ),
             log_col="log",
-            seed_logs=("digests", "bands", "index"),
+            seed_logs=("digests", "bands", "index", "admitted"),
             nbkt=nbkt,
         )
-        spark.createDataFrame(
-            [],
-            "doc_id bigint, source string, n_tokens bigint, seen bigint, "
-            "batch_id long",
-        ).write.mode("overwrite").parquet(f"{log_dir}/admitted")
 
         def write(batch_df: DataFrame, batch_id: int) -> None:
             bl = F.lit(batch_id).cast("long")
             cur = F.col("batch_id") < batch_id
+            # per-batch frames are lazy persists: each is multiply
+            # consumed, and each probe's _collect_bkts is what fills the
+            # cache — a persist rides INSIDE the collect job where an
+            # eager localCheckpoint would be an extra job per frame per
+            # batch (tried; the job count, not planning depth, is what
+            # this loop pays for).
             bd = batch_df.withColumn("__dig", _inc_digest()).persist()
 
             # exact dedup against the digest store: prune the scan to the
@@ -1970,32 +2092,48 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             # only pairs whose LATER side is in this batch are decided
-            # now (state-state pairs were prior batches' decisions);
-            # the dedup is over the candidate-pair frame, never state
-            cands = (
+            # now (state-state pairs were prior batches' decisions).
+            # The pair set is COLLECTED once — it is candidate-bounded by
+            # the band-collision contract, and jaccard_verify was already
+            # hauling the identical rows to the driver to BUILD its
+            # broadcast, so this moves no new bytes; in exchange the
+            # verify probe needs no separate bucket-collect job, no
+            # cand-id broadcast build, and no pair-dedup shuffle (the
+            # driver set dedups) — three fixed-cost jobs per batch gone.
+            pair_rows = (
                 cands_bb.unionByName(cands_sb)
                 .join(
                     kept_b.select(F.col("doc_id").alias("doc_id_2")),
                     "doc_id_2",
                     "semi",
                 )
-                .dropDuplicates()
-                .persist()
+                .select(
+                    "doc_id_1",
+                    "doc_id_2",
+                    _adm_bkt(F.xxhash64("doc_id_1"), nbkt).alias("b1"),
+                    _adm_bkt(F.xxhash64("doc_id_2"), nbkt).alias("b2"),
+                )
+                .collect()
             )
-            cand_ids = (
-                cands.select(F.col("doc_id_1").alias("doc_id"))
-                .unionByName(cands.select(F.col("doc_id_2").alias("doc_id")))
-                .distinct()
+            pairs = sorted({(r[0], r[1]) for r in pair_rows})
+            doc_bkts = sorted({b for r in pair_rows for b in (r[2], r[3])})
+            cand_id_list = sorted({i for p in pairs for i in p})
+            cands = spark.createDataFrame(
+                pairs, "doc_id_1 bigint, doc_id_2 bigint"
+            ) if pairs else spark.createDataFrame(
+                [], "doc_id_1 bigint, doc_id_2 bigint"
             )
             # verify postings pruned to candidate docs (doc-bucket
-            # partition filter + broadcast semi): whole-doc pruning keeps
-            # the Jaccard set sizes exact, and the replay-dup dedup runs
-            # over this candidate-sized frame only
-            doc_bkts = _collect_bkts(cand_ids.select(_adm_bkt(F.xxhash64("doc_id"), nbkt)))
+            # partition filter + an isin literal over the bounded
+            # candidate ids): whole-doc pruning keeps the Jaccard set
+            # sizes exact
             state_posts = (
                 state_log.read("index")
-                .where(F.col("bkt").isin(doc_bkts) & cur)
-                .join(F.broadcast(cand_ids), "doc_id", "semi")
+                .where(
+                    F.col("bkt").isin(doc_bkts)
+                    & cur
+                    & F.col("doc_id").isin(cand_id_list)
+                )
                 .select("doc_id", "shingle")
                 .dropDuplicates(["doc_id", "shingle"])
             )
@@ -2010,7 +2148,7 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bd, keepers_b, contaminated, drops_b
             ).persist()
             ledger = (
-                spark.read.parquet(f"{log_dir}/admitted")
+                state_log.read("admitted")
                 .where(F.col("doc_id").isNull() & cur)
                 .dropDuplicates(["source", "batch_id"])
                 .groupBy("source")
@@ -2018,84 +2156,131 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             admitted_b = _inc_admit(quality_b, ledger)
 
-            # ONE state append per batch: the three sub-logs' rows union
+            # ONE append per batch, period: all four sub-logs' rows union
             # under the `log` partition level (missing columns null) —
             # the inputs are this batch's persisted frames, so the job is
             # batch-sized compute plus one write commit
             nl = F.lit(None)
-            dig_rows = (
-                bd.select(F.col("__dig").alias("dig"))
-                .distinct()
-                .select(
-                    "dig",
-                    nl.cast("bigint").alias("doc_id"),
-                    nl.cast("int").alias("band"),
-                    nl.cast("bigint").alias("band_hash"),
-                    nl.cast("string").alias("shingle"),
-                    bl.alias("batch_id"),
-                    F.lit("digests").alias("log"),
-                    _adm_bkt(F.xxhash64("dig"), nbkt).alias("bkt"),
-                )
+
+            def _state_row(df, log_name, bkt_col, **cols):
+                """Project ``df`` onto the full multiplexed schema with
+                nulls in the columns its sub-log does not carry."""
+                names_types = [
+                    c.strip().rsplit(" ", 1)
+                    for c in _ADM_STATE_SCHEMA.split(",")
+                ]
+                out = []
+                for name, typ in names_types:
+                    if name == "log":
+                        out.append(F.lit(log_name).alias("log"))
+                    elif name == "bkt":
+                        out.append(bkt_col.alias("bkt"))
+                    elif name == "batch_id":
+                        out.append(bl.alias("batch_id"))
+                    elif name in cols:
+                        out.append(cols[name].alias(name))
+                    else:
+                        out.append(nl.cast(typ).alias(name))
+                return df.select(*out)
+
+            dig_rows = _state_row(
+                bd.select(F.col("__dig").alias("dig")).distinct(),
+                "digests",
+                _adm_bkt(F.xxhash64("dig"), nbkt),
+                dig=F.col("dig"),
             )
-            band_rows_b = banded_b.select(
-                nl.cast("string").alias("dig"),
-                "doc_id",
-                "band",
-                "band_hash",
-                nl.cast("string").alias("shingle"),
-                bl.alias("batch_id"),
-                F.lit("bands").alias("log"),
-                _adm_bkt(F.xxhash64("band", "band_hash"), nbkt).alias("bkt"),
+            band_rows_b = _state_row(
+                banded_b,
+                "bands",
+                _adm_bkt(F.xxhash64("band", "band_hash"), nbkt),
+                doc_id=F.col("doc_id"),
+                band=F.col("band"),
+                band_hash=F.col("band_hash"),
             )
-            post_rows = posts_b.select(
-                nl.cast("string").alias("dig"),
-                "doc_id",
-                nl.cast("int").alias("band"),
-                nl.cast("bigint").alias("band_hash"),
-                "shingle",
-                bl.alias("batch_id"),
-                F.lit("index").alias("log"),
-                _adm_bkt(F.xxhash64("doc_id"), nbkt).alias("bkt"),
+            post_rows = _state_row(
+                posts_b,
+                "index",
+                _adm_bkt(F.xxhash64("doc_id"), nbkt),
+                doc_id=F.col("doc_id"),
+                shingle=F.col("shingle"),
+            )
+            adm_rows = _state_row(
+                admitted_b,
+                "admitted",
+                _adm_bkt(F.xxhash64("doc_id"), nbkt),
+                doc_id=F.col("doc_id"),
+                source=F.col("source"),
+                n_tokens=F.col("n_tokens").cast("bigint"),
+            )
+            led_rows = _state_row(
+                quality_b.groupBy("source").agg(
+                    F.sum("n_tokens").cast("bigint").alias("seen")
+                ),
+                "admitted",
+                _adm_bkt(F.xxhash64(F.lit("__ledger__")), nbkt),
+                source=F.col("source"),
+                seen=F.col("seen"),
             )
             state_log.append(
-                dig_rows.unionByName(band_rows_b).unionByName(post_rows)
+                dig_rows.unionByName(band_rows_b)
+                .unionByName(post_rows)
+                .unionByName(adm_rows)
+                .unionByName(led_rows)
             )
-            # ONE admitted append per batch: admitted rows + per-source
-            # ledger rows (doc_id IS NULL) aggregate the same persisted
-            # quality frame, so fusing them halves the write jobs without
-            # changing either consumer's rows
-            led_rows = (
-                quality_b.groupBy("source")
-                .agg(F.sum("n_tokens").cast("bigint").alias("seen"))
-                .select(
-                    nl.cast("bigint").alias("doc_id"),
-                    "source",
-                    nl.cast("bigint").alias("n_tokens"),
-                    "seen",
-                )
-            )
-            adm_rows = admitted_b.select(
-                "doc_id",
-                "source",
-                "n_tokens",
-                nl.cast("bigint").alias("seen"),
-            )
-            adm_rows.unionByName(led_rows).withColumn(
-                "batch_id", bl
-            ).write.mode("append").parquet(f"{log_dir}/admitted")
-            for frame in (cands, banded_b, posts_b, quality_b, bd):
+            for frame in (banded_b, posts_b, quality_b, bd):
                 frame.unpersist()
             if (batch_id + 1) % STREAM_ADM_COMPACT_EVERY == 0:
                 state_log.compact()
 
         return write
 
-    log_dir, _q = _run_replay_foreachbatch(
-        spark, sf_dir, "corpadm", _sink, source="documents"
-    )
+    # from-scratch twin (the incremental build's union leg, recomputed).
+    # keepers_u feeds two consumers (kept semi + gate semi), each
+    # evaluation a corpus scan + digest shuffle — persist the small frame.
+    # The twin is INDEPENDENT of the stream (it reads only the raw corpus
+    # and the frozen contamination set), so it materializes on a driver
+    # thread WHILE the replay loop runs (guide §2.6: overlap independent
+    # jobs — the micro-batch loop is latency-bound and leaves the
+    # executor mostly idle between its small stages; measured ~3 s of
+    # twin wall-clock fully hidden behind the ~18 s stream).
+    keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).persist()
+    kept_u = d.join(keepers_u.select("doc_id"), "doc_id", "semi")
+    _, ver_u = neardup_stage(kept_u)
+    twin = _inc_admit(
+        _inc_gated(d, keepers_u, contaminated, _inc_neardup_drops(ver_u))
+    ).persist()
 
+    from pyspark import InheritableThread
+
+    twin_err: list[BaseException] = []
+
+    def _fill_twin() -> None:
+        try:
+            spark.sparkContext.setJobDescription(
+                "corpus admission: from-scratch twin (overlapped)"
+            )
+            twin.count()
+        except BaseException as exc:  # re-raised on the main thread
+            twin_err.append(exc)
+
+    twin_thread = InheritableThread(target=_fill_twin)
+    twin_thread.start()
+    try:
+        log_dir, _q = _run_replay_foreachbatch(
+            spark, sf_dir, "corpadm", _sink, source="documents"
+        )
+    finally:
+        twin_thread.join()
+    if twin_err:
+        raise twin_err[0]
+
+    final_log = _GenLog(
+        spark, log_dir, "state", _ADM_STATE_SCHEMA, "bkt", log_col="log",
+    )
     streamed = (
-        spark.read.parquet(f"{log_dir}/admitted")
+        final_log.read("admitted")
         .where(F.col("doc_id").isNotNull())
         .dropDuplicates(["doc_id"])
         .select("doc_id", "source", "n_tokens")
@@ -2106,50 +2291,43 @@ def stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduplicated and empty ranges dropped at build time), so the
     # digest sub-log doubles as the batch roster — no separate marker
     # log; compaction preserves batch_id, so the roster survives
-    # generations
-    n_batches = (
-        _GenLog(
-            spark, log_dir, "state", _ADM_STATE_SCHEMA, "bkt",
-            log_col="log",
-        )
-        .read("digests")
-        .select("batch_id")
-        .distinct()
-        .count()
+    # generations. The >=2 test rides the report plan as a broadcast
+    # 1-row frame instead of a separate count job.
+    roster = final_log.read("digests").agg(
+        (F.count_distinct("batch_id") >= 2).cast("int").alias("multi_batch")
     )
 
-    # from-scratch twin (the incremental build's union leg, recomputed).
-    # keepers_u feeds two consumers (kept semi + gate semi), each
-    # evaluation a corpus scan + digest shuffle — persist the small frame
-    keepers_u = d.groupBy(_inc_digest().alias("__dig")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).persist()
-    kept_u = d.join(keepers_u.select("doc_id"), "doc_id", "semi")
-    _, ver_u = neardup_stage(kept_u)
-    twin = _inc_admit(
-        _inc_gated(d, keepers_u, contaminated, _inc_neardup_drops(ver_u))
-    ).persist()
     diff = (
         streamed.exceptAll(twin)
         .unionByName(twin.exceptAll(streamed))
         .agg(F.count(F.lit(1)).alias("__n_diff"))
     )
-    return (
+    report = (
         streamed.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
         .crossJoin(F.broadcast(diff))
+        .crossJoin(F.broadcast(roster))
         .select(
             "source",
             "n_docs",
             "total_tokens",
-            F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+            "multi_batch",
             (F.col("__n_diff") == 0).alias("stream_equals_batch"),
         )
         .orderBy("source")
+        # eager k-row materialization INSIDE the fixed-cost conf scope
+        # (the llm_corpus_build_to_shards pattern): the twin + exceptAll
+        # proof executes here with the loop's settings, the caller gets
+        # the same rows behind a lineage-free frame, and the per-run
+        # persisted twin frames stop pinning cache across the session
+        .localCheckpoint(eager=True)
     )
+    for frame in (streamed, keepers_u, twin):
+        frame.unpersist()
+    return report
 
 
 #: mid-stream compaction harness constants: deletes target BASE (even)
@@ -2257,6 +2435,13 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     between firings — the corpus is never rescanned and the quantizer
     never retrained (reassign mode; the retrain path stays behind the
     drift monitor)."""
+    # whole query under the micro-batch fixed-cost scope + eager report
+    # (see stream_corpus_admission — same rationale)
+    with _stream_state_conf(spark):
+        return _ann_compaction_body(spark, sf_dir)
+
+
+def _ann_compaction_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2330,15 +2515,22 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .dropDuplicates(["op", "vec_id", "cid"])
             )
-            live, cells, dead = _maintained(gen_cells, ops)
-            # ONE trigger-check job, not two: indexed count and matched-
-            # tombstone count come out of the same aggregate over the
-            # distinct indexed ids (dead ⊆ indexed by construction)
+            live, cells, _dead = _maintained(gen_cells, ops)
+            # ONE trigger-check job AND one evaluation of the cells
+            # subtree: dead == indexed ∩ tombstones, so the left join
+            # marks the distinct indexed ids against the (tiny, distinct)
+            # tombstone ids directly — the previous `dead` operand was a
+            # second full evaluation of the gen∪ops union per batch
+            tomb_ids = (
+                ops.where(F.col("op") == "del")
+                .dropDuplicates(["vec_id"])
+                .select("vec_id")
+            )
             n_idx, n_dead = (
                 cells.select("vec_id")
                 .distinct()
                 .join(
-                    dead.withColumn("__d", F.lit(1)), "vec_id", "left"
+                    tomb_ids.withColumn("__d", F.lit(1)), "vec_id", "left"
                 )
                 .agg(
                     F.count(F.lit(1)).alias("n"),
@@ -2356,35 +2548,9 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return write
 
-    log_dir, _q = _run_replay_foreachbatch(spark, sf_dir, "anncmp", _sink)
-
-    genlog = spark.read.parquet(f"{log_dir}/genlog").dropDuplicates(
-        ["gen_batch"]
-    )
-    g_final = genlog.agg(F.max("gen_batch")).collect()[0][0]
-    fired = bool(g_final is not None and g_final >= 0)
-    ops_tail = (
-        spark.read.parquet(f"{log_dir}/ops")
-        .where(F.col("batch_id") > g_final)
-        .dropDuplicates(["op", "vec_id", "cid"])
-    )
-    live_s, cells_s, dead_s = _maintained(
-        spark.read.parquet(f"{log_dir}/gen_{g_final}"), ops_tail
-    )
-    live_s = live_s.persist()
-    final_ppm = (
-        cells_s.select("vec_id")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .crossJoin(F.broadcast(dead_s.agg(F.count(F.lit(1)).alias("__d"))))
-        .select(
-            F.expr(
-                "CASE WHEN __n = 0 THEN 0 ELSE __d * 1000000L div __n END"
-            ).alias("__ppm")
-        )
-    )
-
-    # batch twin: the compaction VERB over the full op table
+    # batch twin — stream-independent (events + embeddings only): its
+    # compaction-verb cell map and the twin-side search materialize on a
+    # driver thread while the replay loop runs (_overlap_with_stream)
     ev = load_table(spark, sf_dir, "events")
     adds_b = _ops(ev, "signup", STREAM_ANN_ADD_STRIDE, 1)
     dels_b = _ops(ev, "purchase", STREAM_CMP_DEL_STRIDE, 0).persist()
@@ -2396,25 +2562,75 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cid").cast("long").alias("cid"))
         .persist()
     )
+    q = e.where(F.col("vec_id") < 20)
+    nprobe = max(4, n_lists // 2)
+    want = S.ivf_topk(
+        q,
+        e.join(twin_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
+        k=5,
+        nprobe=nprobe,
+        list_col="__ivf_cell",
+    ).persist()
+
+    thread, errs = _overlap_with_stream(
+        spark, (twin_cells, want),
+        "ann compaction: batch twin + twin-side search (overlapped)",
+    )
+    try:
+        log_dir, _q = _run_replay_foreachbatch(
+            spark, sf_dir, "anncmp", _sink
+        )
+    finally:
+        thread.join()
+    if errs:
+        raise errs[0]
+
+    genlog = spark.read.parquet(f"{log_dir}/genlog").dropDuplicates(
+        ["gen_batch"]
+    )
+    g_final = genlog.agg(F.max("gen_batch")).collect()[0][0]
+    fired = bool(g_final is not None and g_final >= 0)
+    ops_tail = (
+        spark.read.parquet(f"{log_dir}/ops")
+        .where(F.col("batch_id") > g_final)
+        .dropDuplicates(["op", "vec_id", "cid"])
+    )
+    live_s, cells_s, _dead_s = _maintained(
+        spark.read.parquet(f"{log_dir}/gen_{g_final}"), ops_tail
+    )
+    live_s = live_s.persist()
+    tomb_tail = (
+        ops_tail.where(F.col("op") == "del")
+        .dropDuplicates(["vec_id"])
+        .select("vec_id")
+    )
+    # one evaluation of the cells union: count + matched-tombstone count
+    # from a single left-join aggregate (the trigger check's shape)
+    final_ppm = (
+        cells_s.select("vec_id")
+        .distinct()
+        .join(tomb_tail.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.coalesce(F.sum("__d"), F.lit(0)).alias("__d"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN __n = 0 THEN 0 ELSE __d * 1000000L div __n END"
+            ).alias("__ppm")
+        )
+    )
+
     cells_diff = (
         live_s.exceptAll(twin_cells)
         .unionByName(twin_cells.exceptAll(live_s))
         .agg(F.count(F.lit(1)).alias("__cells_diff"))
     )
-    q = e.where(F.col("vec_id") < 20)
-    nprobe = max(4, n_lists // 2)
     # each search feeds both exceptAll directions — persist the k·queries
     # result rows so the probe+rank pipelines evaluate once, not twice
     got = S.ivf_topk(
         q,
         e.join(live_s.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
-        k=5,
-        nprobe=nprobe,
-        list_col="__ivf_cell",
-    ).persist()
-    want = S.ivf_topk(
-        q,
-        e.join(twin_cells.withColumnRenamed("cid", "__ivf_cell"), "vec_id"),
         k=5,
         nprobe=nprobe,
         list_col="__ivf_cell",
@@ -2435,17 +2651,17 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dead_b.agg(F.count(F.lit(1)).cast("bigint").alias("__n_dead"))
         )
     )
-    n_batches = (
-        spark.read.parquet(f"{log_dir}/ops")
-        .select("batch_id")
-        .distinct()
-        .count()
+    # batch roster rides the report plan as a broadcast 1-row frame
+    # instead of a separate count job
+    roster = spark.read.parquet(f"{log_dir}/ops").agg(
+        (F.count_distinct("batch_id") >= 2).cast("int").alias("multi_batch")
     )
-    return (
+    report = (
         counts.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(cells_diff))
         .crossJoin(F.broadcast(search_diff))
         .crossJoin(F.broadcast(final_ppm))
+        .crossJoin(F.broadcast(roster))
         .select(
             F.col("n_adds").cast("bigint").alias("n_adds"),
             F.col("n_deletes").cast("bigint").alias("n_deletes"),
@@ -2455,10 +2671,16 @@ def stream_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__ppm") <= STREAM_CMP_THRESHOLD_PPM).alias(
                 "final_ppm_le_threshold"
             ),
-            F.lit(1 if n_batches >= 2 else 0).alias("multi_batch"),
+            "multi_batch",
             (F.col("__cells_diff") == 0).cast("int").alias(
                 "compacted_equals_batch"
             ),
             (F.col("__search_diff") == 0).cast("int").alias("search_equal"),
         )
+        # eager 1-row materialization inside the conf scope (the
+        # stream_corpus_admission pattern); same rows, lineage-free
+        .localCheckpoint(eager=True)
     )
+    for frame in (dels_b, indexed_corpus, twin_cells, want, live_s, got):
+        frame.unpersist()
+    return report

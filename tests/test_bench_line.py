@@ -46,6 +46,39 @@ def test_stdout_line_coarse_tier_preserves_subsecond_precision():
         assert 12 in vals or 11.7 in vals
 
 
+def test_keymap_frozen_across_rounds_and_appends_new_names(tmp_path):
+    """Round-13 PERF had 119 misaligned prev/now pairs because keys were
+    re-assigned alphabetically each run; resolve_keymap must (a) keep every
+    prior assignment for names still registered, (b) append new names after
+    the max key instead of shifting existing ones, and (c) leave holes for
+    dropped names (keys never reused)."""
+    prior = {"00": "alpha", "01": "mike", "02": "zulu"}
+    (tmp_path / "BENCH_KEYMAP_r13.json").write_text(
+        json.dumps({"round": 13, "keymap": prior})
+    )
+    # 'bravo' sorts between alpha and mike: pre-freeze it would have
+    # shifted mike/zulu; frozen it must land AFTER zulu's key
+    got = bench.resolve_keymap(["alpha", "mike", "zulu", "bravo"], tmp_path)
+    assert got == {"00": "alpha", "01": "mike", "02": "zulu", "03": "bravo"}
+    # dropped name leaves a hole; its key is not reused by a new name
+    got2 = bench.resolve_keymap(["alpha", "zulu", "charlie"], tmp_path)
+    assert got2 == {"00": "alpha", "02": "zulu", "03": "charlie"}
+
+
+def test_keymap_matches_committed_round13_assignments():
+    """The live registry's frozen keys must be byte-identical to the
+    committed round-13 sidecar for every name that existed then — the
+    property the driver's PERF table depends on."""
+    import pathlib
+
+    repo = pathlib.Path(bench.__file__).resolve().parent
+    r13 = json.loads((repo / "BENCH_KEYMAP_r13.json").read_text())["keymap"]
+    live = bench.resolve_keymap(sorted(all_queries()), repo)
+    for key, name in r13.items():
+        if name in set(all_queries()):
+            assert live[key] == name
+
+
 def test_stdout_line_never_exceeds_budget_even_degenerate():
     """1000 fake queries with ugly values must still emit a parseable
     line under budget (the empty-map fallback)."""

@@ -615,9 +615,11 @@ def test_multiplexed_genlog_read_prunes_sublog_and_buckets_without_shuffle(
 
     log = _GenLog(
         spark, str(tmp_path), "state", _ADM_STATE_SCHEMA, "bkt",
-        seed_row=("__seed__", -1, -1, -1, "__seed__", -1),
+        seed_row=(
+            "__seed__", -1, -1, -1, "__seed__", "__seed__", -1, -1, -1
+        ),
         log_col="log",
-        seed_logs=("digests", "bands", "index"),
+        seed_logs=("digests", "bands", "index", "admitted"),
     )
     nl = F.lit(None)
     state = (
@@ -629,6 +631,9 @@ def test_multiplexed_genlog_read_prunes_sublog_and_buckets_without_shuffle(
             nl.cast("string").alias("dig"),
             "doc_id", "band", "band_hash",
             nl.cast("string").alias("shingle"),
+            nl.cast("string").alias("source"),
+            nl.cast("bigint").alias("n_tokens"),
+            nl.cast("bigint").alias("seen"),
             "batch_id",
             F.lit("bands").alias("log"),
             _adm_bkt(F.xxhash64("band", "band_hash")).alias("bkt"),

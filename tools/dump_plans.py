@@ -1,7 +1,8 @@
 """Dump `.explain("formatted")` for named queries to plans/<tag>/<name>_<suffix>.txt.
 
 Usage: python tools/dump_plans.py <suffix> <name1> [name2 ...]
-Writes plans/r13/<name>_<suffix>.txt (the optimization-round deliverable).
+Writes plans/$SPARK_GRAFT_PLANDIR/<name>_<suffix>.txt (default r14 —
+the optimization-round deliverable).
 Query builders run under the engine session at $SPARK_GRAFT_SF_DIR (default
 sf0.1) — streaming queries execute their replay loop at build time, so this
 costs roughly one bench pass over the listed queries.
@@ -17,7 +18,7 @@ REPO = Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-OUT = REPO / "plans" / "r13"
+OUT = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANDIR", "r14")
 
 
 def main() -> None:
